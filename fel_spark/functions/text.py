@@ -1,0 +1,104 @@
+"""Text normalization and tokenization as native column expressions.
+
+Semantics mirror the reference's fast normalizer
+(`utils/Normalize.java:77-90` normalizeFast: lowercase, keep letters/digits,
+collapse separator runs to single spaces) — this is the per-row invariant the
+whole pipeline hangs off: every stage keys mentions by the *normalized* form,
+and the raw `text` column is carried through untouched so per-turn text
+equality under (conv_id, turn_idx) ordering holds end-to-end.
+
+All functions are pure Column expressions → whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# SQL fragment duplicated in __spark_entry__.oracle_sql() — keep in sync.
+NORMALIZE_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def normalize_fast(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs, trim.
+
+    Bit-compatible with `Normalize.normalizeFast` for ASCII input and with
+    the DuckDB expression in :data:`NORMALIZE_SQL`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def normalize_tokens(col: Column | str) -> Column:
+    """Normalized token array (empty tokens removed)."""
+    toks = F.split(normalize_fast(col), " ")
+    return F.filter(toks, lambda t: F.length(t) > 0)
+
+
+def token_ngrams(tokens: Column, n: int) -> Column:
+    """All contiguous token n-grams (space-joined) of a token array.
+
+    This is the span-enumeration primitive (reference
+    `FastEntityLinker.java:246-271` enumerates all O(n^2) token spans; we
+    bound span length and explode — data-parallel per row).
+    """
+    # positions 0 .. size-n ; slice(arr, pos, n) is 1-based.
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def all_spans(tokens: Column, max_len: int) -> Column:
+    """All contiguous spans up to ``max_len`` tokens as
+    array<struct<span:string, start:int, length:int>> (1-based start).
+
+    Mirrors FEL's all-candidate span enumeration
+    (`FastEntityLinker.java:418-439`) with the bounded n-gram scan of the
+    corpus-frequency counter (`io/ExtractWikipediaAnchorText.java:322-445`,
+    15-token bound).
+    """
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1))),
+            lambda start: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.least(F.lit(max_len), F.size(tokens) - start + 1), F.lit(1)
+                    ),
+                ),
+                lambda ln: F.struct(
+                    F.array_join(F.slice(tokens, start, ln), " ").alias("span"),
+                    start.cast("int").alias("start"),
+                    ln.cast("int").alias("length"),
+                ),
+            ),
+        )
+    )
+
+
+def char_bigrams(col: Column | str) -> Column:
+    """Per-word adjacent character pairs, flattened over the string.
+
+    Reference: `w2v/CompressedSingleFileEntitySimilarityUtil.java:115-142`
+    (letter pairs per word, used by the char-bigram Dice similarity).
+    Single-char words contribute no pairs.
+    """
+    toks = normalize_tokens(col) if isinstance(col, str) else F.filter(
+        F.split(col, " "), lambda t: F.length(t) > 0
+    )
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+                    lambda i: t.substr(i, F.lit(2)),
+                ),
+                lambda p: F.length(p) == 2,
+            ),
+        )
+    )
