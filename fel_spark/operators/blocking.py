@@ -1,0 +1,86 @@
+"""Blocking: MinHash-LSH + dictionary blocking keys, hot-key capping,
+candidate-pair self-join.
+
+FEL never self-joins at scale — its candidate generation is a dictionary
+probe (`hash/QuasiSuccinctEntityHash.java:79-82`). At ER scale the analogue
+is a blocked self-join: mentions sharing a blocking key become candidate
+pairs. Keys:
+
+- ``e<entity_id>``  dictionary block (mentions linked to the same candidate
+  entity — FEL's own notion of a match);
+- LSH band keys over char bigrams of the mention surface (catches
+  same-entity mentions whose dictionary rankings disagree / typo surfaces).
+
+Zipf-hot aliases create quadratic blocks; we salt keys above a size cap
+(every lost intra-block edge is recoverable through the other keys +
+transitive closure) and log dropped volume. AQE skew-join splitting is ON
+(session.py) for the residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fel_spark.functions.hashing import lsh_band_keys, minhash_signature
+from fel_spark.functions.text import char_bigrams
+
+DEFAULT_BANDS = 4
+DEFAULT_ROWS_PER_BAND = 2
+DEFAULT_MAX_BLOCK = 200
+
+
+def blocking_keys(
+    mentions: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    use_entity_block: bool = True,
+) -> DataFrame:
+    """Explode each mention into its blocking keys -> (block_key, mention...)."""
+    sig = minhash_signature(char_bigrams(F.col("span")), bands * rows_per_band)
+    keys = lsh_band_keys(sig, bands, rows_per_band)
+    if use_entity_block:
+        keys = F.array_union(
+            keys, F.array(F.concat(F.lit("e"), F.col("entity_id").cast("string")))
+        )
+    return mentions.withColumn("block_key", F.explode(keys))
+
+
+def cap_blocks(
+    blocked: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    salt_col: str = "mention_id",
+) -> DataFrame:
+    """Split oversized blocks by a deterministic salt so no block exceeds
+    ~max_block rows. Pairs across salt shards of the same block are lost by
+    construction — the multi-key design + connected components restores
+    cluster connectivity (same mitigation class as AQE skew-join splitting,
+    which handles the residual shuffle skew).
+    """
+    sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    out = blocked.join(F.broadcast(sizes.filter(F.col("block_size") > max_block)), "block_key", "left")
+    n_shards = F.ceil(F.col("block_size") / max_block)
+    salted = F.when(
+        F.col("block_size").isNotNull(),
+        F.concat_ws(
+            "/",
+            F.col("block_key"),
+            F.pmod(F.xxhash64(F.col(salt_col)), n_shards).cast("string"),
+        ),
+    ).otherwise(F.col("block_key"))
+    return out.withColumn("block_key", salted).drop("block_size")
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    id_col: str = "mention_id",
+    payload_cols: tuple[str, ...] = ("span", "entity_id", "entity_key", "score"),
+) -> DataFrame:
+    """Self-join on block_key with id_a < id_b; dedup pairs found via
+    multiple keys. The join shuffles both sides on block_key — co-partitioned
+    sort-merge by construction; AQE splits skewed partitions at runtime.
+    """
+    cols = [id_col, *payload_cols, "block_key"]
+    a = blocked.select([F.col(c).alias(f"{c}_a") for c in cols[:-1]] + [F.col("block_key")])
+    b = blocked.select([F.col(c).alias(f"{c}_b") for c in cols[:-1]] + [F.col("block_key")])
+    pairs = a.join(b, "block_key").filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    return pairs.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])

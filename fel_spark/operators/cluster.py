@@ -1,0 +1,84 @@
+"""Transitive clustering: connected components over match edges.
+
+The reference resolves transitive chains twice: redirect closure
+(`io/ExtractWikipediaAnchorText.java:274-295`, a while-loop over an
+in-memory map) and the coherence pass that forces consistent entity
+assignments per document (`CoherentEntityLinker.java:152-255`). At ER scale
+both become connected components over the match graph.
+
+Implementation: iterative hash-min label propagation on DataFrames —
+each round every vertex adopts the minimum label in its neighborhood;
+converges in O(diameter) rounds (duplicate clusters are near-cliques, so
+diameter is small). Each round localCheckpoints to cut lineage (SURVEY §4
+custom-work item 3). Deterministic: labels are mention ids, min is total
+order, no randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """-> (id, component) where component = min mention id reachable.
+
+    ``edges`` must have columns (src, dst). ``vertices`` (optional) adds
+    isolated vertices (they become singleton components).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias(id_col)).distinct()
+    if vertices is not None:
+        verts = verts.union(vertices.select(id_col)).distinct()
+
+    labels = verts.withColumn("component", F.col(id_col))
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # candidate labels flowing over edges: for each dst, min(label(src))
+        msgs = (
+            sym.join(labels, sym.src == F.col(id_col))
+            .select(F.col("dst").alias(id_col), "component")
+            .groupBy(id_col)
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, id_col, "left")
+            .select(
+                id_col,
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "changed"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def cluster_mentions(
+    mentions: DataFrame, edges: DataFrame, id_col: str = "mention_id"
+) -> DataFrame:
+    """Attach cluster_id (= min mention_id of the component) to every
+    mention; unmatched mentions become singleton clusters."""
+    comp = connected_components(
+        edges, vertices=mentions.select(F.col(id_col).alias("id")), id_col="id"
+    )
+    return mentions.join(
+        comp.withColumnRenamed("id", id_col).withColumnRenamed("component", "cluster_id"),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))

@@ -1,0 +1,228 @@
+"""Quantized embedding matrix + context-centroid scoring.
+
+Spark-first restatement of FEL's compressed-embedding kernel:
+
+- the Golomb-coded `Word2VecCompress` store (`it/cnr/isti/hpc/
+  Word2VecCompress.java:40-123`) becomes an int16-quantized NumPy matrix
+  broadcast to executors; dequantization is `(v + 0.5*sign(v))/q`
+  (`Word2VecCompress.java:96-97`).
+- the centroid scorer (`it/cnr/isti/hpc/CentroidEntityScorer.java:30-55`):
+  context centroid = count-weighted sum of word vectors; score =
+  <entity_vec, centroid> / ||centroid||  (NOT normalized by the entity
+  norm — reference behavior).
+- per-query score caching (`w2v/CentroidEntityContext.java:91-99`) is
+  replaced by dedup-before-score: we score distinct (turn, entity) pairs.
+
+All scoring runs inside Arrow-batched pandas UDFs on NumPy (the manual
+4-way-unrolled dot of `it/cnr/isti/hpc/LinearAlgebra.java:20-36` is exactly
+what BLAS gives us).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fel_spark.functions.text import normalize_tokens
+
+QUANT_Q_DEFAULT = 9
+
+
+class EmbeddingMatrix:
+    """Driver-side vocab -> row-id dict + dequantized float32 matrix.
+
+    Must stay broadcast-sized (the reference requires the datapack to fit
+    per node, README.md:10). At 100 TB input this is a *dimension* artifact
+    — its size scales with the entity vocabulary, not the corpus.
+    """
+
+    def __init__(self, vocab: dict[str, int], matrix: np.ndarray):
+        self.vocab = vocab
+        self.matrix = matrix.astype(np.float32)
+
+    @classmethod
+    def from_quantized(cls, keys: list[str], rows: list[list[int]], q: float = QUANT_Q_DEFAULT):
+        m = np.asarray(rows, dtype=np.float32)
+        deq = np.where(m != 0, (m + 0.5 * np.sign(m)) / q, 0.0).astype(np.float32)
+        return cls({k: i for i, k in enumerate(keys)}, deq)
+
+    @classmethod
+    def from_spark(cls, emb_df: DataFrame, q: float = QUANT_Q_DEFAULT):
+        pdf = emb_df.select("key", "vec").toPandas()
+        return cls.from_quantized(pdf["key"].tolist(), pdf["vec"].tolist(), q)
+
+    def lookup(self, key: str) -> np.ndarray | None:
+        i = self.vocab.get(key)
+        return None if i is None else self.matrix[i]
+
+
+def broadcast_embeddings(spark: SparkSession, emb: EmbeddingMatrix):
+    return spark.sparkContext.broadcast(emb)
+
+
+def turn_centroids(transcripts: DataFrame, bc_emb, text_col: str = "text") -> DataFrame:
+    """(conv_id, turn_idx, centroid array<float>, centroid_norm double).
+
+    Count-weighted centroid of the turn's token vectors (OOV tokens skipped),
+    mirroring CentroidScorerContext (CentroidEntityScorer.java:36-49).
+    Computed via mapInPandas — one Arrow batch in, NumPy gather + add.
+    """
+    toks = transcripts.select(
+        "conv_id", "turn_idx", normalize_tokens(text_col).alias("toks")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emb = bc_emb.value
+        dim = emb.matrix.shape[1]
+        for pdf in batches:
+            cents, norms = [], []
+            for toks_row in pdf["toks"]:
+                acc = np.zeros(dim, dtype=np.float32)
+                for t in toks_row:
+                    i = emb.vocab.get(t)
+                    if i is not None:
+                        acc += emb.matrix[i]
+                nrm = float(np.linalg.norm(acc))
+                cents.append(acc.tolist())
+                norms.append(nrm)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "centroid": cents,
+                    "centroid_norm": norms,
+                }
+            )
+
+    return toks.mapInPandas(
+        gen,
+        schema="conv_id string, turn_idx int, centroid array<float>, centroid_norm double",
+    )
+
+
+def entity_context_scores(
+    pairs: DataFrame,
+    bc_emb,
+    entity_key_col: str = "entity_key",
+    centroid_col: str = "centroid",
+    out_col: str = "context_score",
+) -> DataFrame:
+    """Score = <entity_vec, centroid>/||centroid|| for each row.
+
+    ``pairs`` must carry the entity embedding key and the turn centroid.
+    Entities missing from the matrix score 0 (OOV rule,
+    `CompressedSingleFileEntitySimilarityUtil.java:40-47`).
+    """
+    dim = bc_emb.value.matrix.shape[1]
+
+    @F.pandas_udf("double")
+    def _score(keys: pd.Series, cents: pd.Series) -> pd.Series:
+        emb = bc_emb.value
+        n = len(keys)
+        ids = np.array([emb.vocab.get(k, -1) for k in keys], dtype=np.int64)
+        cmat = np.zeros((n, dim), dtype=np.float32)
+        for i, c in enumerate(cents):
+            if c is not None and len(c) == dim:
+                cmat[i] = c
+        evecs = np.zeros((n, dim), dtype=np.float32)
+        hit = ids >= 0
+        evecs[hit] = emb.matrix[ids[hit]]
+        norms = np.linalg.norm(cmat, axis=1)
+        dots = np.einsum("ij,ij->i", evecs, cmat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(norms > 0, dots / norms, 0.0)
+        out = np.where(hit, out, 0.0)
+        return pd.Series(out.astype(np.float64))
+
+    return pairs.withColumn(out_col, _score(F.col(entity_key_col), F.col(centroid_col)))
+
+
+def span_context_scores(
+    df: DataFrame,
+    bc_emb,
+    window: int = 2,
+    entity_key_col: str = "entity_key",
+    toks_col: str = "toks",
+    start_col: str = "start",
+    length_col: str = "length",
+    out_col: str = "context_score",
+) -> DataFrame:
+    """Localized context score: centroid of the tokens within ``window``
+    positions of the span (span tokens excluded), dotted with the entity
+    vector and normalized by the centroid norm.
+
+    This is the mention-local analogue of FEL's query context
+    (`view/EntityContext.java:31-40` — FEL's whole "query" is the window);
+    per-turn multi-mention transcripts need the locality so one mention's
+    topic words don't drown the other's.
+    """
+    dim = bc_emb.value.matrix.shape[1]
+
+    @F.pandas_udf("double")
+    def _score(keys: pd.Series, toks: pd.Series, starts: pd.Series, lengths: pd.Series) -> pd.Series:
+        emb = bc_emb.value
+        out = np.zeros(len(keys), dtype=np.float64)
+        for i, (k, tk, s, ln) in enumerate(zip(keys, toks, starts, lengths)):
+            ei = emb.vocab.get(k)
+            if ei is None or tk is None:
+                continue
+            s0 = int(s) - 1  # 0-based span start
+            lo = max(0, s0 - window)
+            hi = min(len(tk), s0 + int(ln) + window)
+            acc = np.zeros(dim, dtype=np.float32)
+            for j in range(lo, hi):
+                if s0 <= j < s0 + int(ln):
+                    continue  # exclude the span itself
+                wi = emb.vocab.get(tk[j])
+                if wi is not None:
+                    acc += emb.matrix[wi]
+            nrm = float(np.linalg.norm(acc))
+            if nrm > 0:
+                out[i] = float(emb.matrix[ei] @ acc) / nrm
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col,
+        _score(F.col(entity_key_col), F.col(toks_col), F.col(start_col), F.col(length_col)),
+    )
+
+
+def entity_entity_cosine(
+    pairs: DataFrame,
+    bc_emb,
+    key_a: str,
+    key_b: str,
+    out_col: str = "entity_cosine",
+) -> DataFrame:
+    """Cosine between two entities' vectors (0 when either is OOV) —
+    the pairwise-match analogue of `CompressedSingleFileEntitySimilarityUtil
+    .entity2EntitySimilarity` (`:40-47`)."""
+    dim = bc_emb.value.matrix.shape[1]
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        emb = bc_emb.value
+        ia = np.array([emb.vocab.get(k, -1) for k in a], dtype=np.int64)
+        ib = np.array([emb.vocab.get(k, -1) for k in b], dtype=np.int64)
+        va = np.zeros((len(a), dim), dtype=np.float32)
+        vb = np.zeros((len(b), dim), dtype=np.float32)
+        va[ia >= 0] = emb.matrix[ia[ia >= 0]]
+        vb[ib >= 0] = emb.matrix[ib[ib >= 0]]
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        dots = np.einsum("ij,ij->i", va, vb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where((na > 0) & (nb > 0), dots / (na * nb), 0.0)
+        return pd.Series(out.astype(np.float64))
+
+    return pairs.withColumn(out_col, _cos(F.col(key_a), F.col(key_b)))
+
+
+def entity_key_expr(name_col: str) -> F.Column:
+    """Entity embedding key: '_wiki_' + name with spaces -> underscores
+    (`CoherentEntityLinker.java:322-324` key convention)."""
+    return F.concat(F.lit("_wiki_"), F.regexp_replace(F.col(name_col), " ", "_"))

@@ -1,0 +1,129 @@
+"""End-to-end entity-resolution pipeline and its evaluation.
+
+transcripts -> link_mentions (span explode + dict join + contextual ranking
++ segmentation DP) -> blocking keys (dictionary + MinHash-LSH, salted) ->
+candidate-pair self-join -> vectorized pairwise scoring -> connected
+components -> entity clusters.
+
+The per-row invariant (BASELINE input_hint): the pipeline never rewrites
+`text` — transcripts pass through by reference, and `validate_invariant`
+asserts per-turn text equality under stable (conv_id, turn_idx) order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from fel_spark.operators import blocking, cluster, mentions as M, scoring
+
+
+@dataclass
+class ERResult:
+    mentions: DataFrame  # linked mentions incl. cluster_id
+    pairs: DataFrame  # scored candidate pairs
+    edges: DataFrame  # match edges
+    blocked: DataFrame  # mention x block_key
+
+
+def run_er(
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    entities: DataFrame,
+    bc_emb=None,
+    threshold: float = scoring.DEFAULT_THRESHOLD,
+    max_block: int = blocking.DEFAULT_MAX_BLOCK,
+) -> ERResult:
+    linked = M.link_mentions(transcripts, alias_dict, entities, bc_emb=bc_emb)
+    # one physical pass over mentions feeds both blocking and clustering
+    linked = linked.localCheckpoint(eager=False)
+    blocked = blocking.cap_blocks(blocking.blocking_keys(linked), max_block=max_block)
+    pairs = blocking.candidate_pairs(blocked)
+    scored = scoring.score_pairs(pairs, bc_emb=bc_emb, threshold=threshold)
+    edges = scoring.match_edges(scored)
+    clustered = cluster.cluster_mentions(linked, edges)
+    return ERResult(mentions=clustered, pairs=scored, edges=edges, blocked=blocked)
+
+
+def validate_invariant(input_df: DataFrame, output_df: DataFrame) -> bool:
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    a = input_df.select("conv_id", "turn_idx", F.col("text").alias("text_in"))
+    b = output_df.select("conv_id", "turn_idx", F.col("text").alias("text_out"))
+    diff = a.join(b, ["conv_id", "turn_idx"], "full").filter(
+        ~F.col("text_in").eqNullSafe(F.col("text_out"))
+    )
+    return diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: pairwise F1 vs planted reference clusters (BASELINE metric)
+# ---------------------------------------------------------------------------
+
+
+def make_labeled_pairs(gold: DataFrame, blocked: DataFrame) -> DataFrame:
+    """FIXTURES.md §3: every intra-block mention pair with ground truth.
+
+    ``gold`` carries (mention_id, entity_id); block membership comes from the
+    pipeline's own blocking keys ("labeled pairs at the same blocking key").
+    """
+    g = gold.select(
+        F.col("mention_id").alias("gid"), F.col("entity_id").alias("gent")
+    )
+    bm = (
+        blocked.select("block_key", "mention_id")
+        .join(g, F.col("mention_id") == F.col("gid"))
+        .select("block_key", "mention_id", "gent")
+    )
+    a = bm.select(
+        "block_key",
+        F.col("mention_id").alias("mention_id_a"),
+        F.col("gent").alias("ent_a"),
+    )
+    b = bm.select(
+        "block_key",
+        F.col("mention_id").alias("mention_id_b"),
+        F.col("gent").alias("ent_b"),
+    )
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("mention_id_a") < F.col("mention_id_b"))
+        .dropDuplicates(["mention_id_a", "mention_id_b"])
+    )
+    return pairs.select(
+        "mention_id_a",
+        "mention_id_b",
+        "block_key",
+        (F.col("ent_a") == F.col("ent_b")).alias("is_match"),
+    )
+
+
+def pairwise_f1(labeled: DataFrame, clustered_mentions: DataFrame) -> dict:
+    """Predicted match = same cluster_id; returns precision/recall/F1."""
+    c = clustered_mentions.select("mention_id", "cluster_id")
+    j = (
+        labeled.join(
+            c.withColumnRenamed("mention_id", "mention_id_a").withColumnRenamed(
+                "cluster_id", "cl_a"
+            ),
+            "mention_id_a",
+        )
+        .join(
+            c.withColumnRenamed("mention_id", "mention_id_b").withColumnRenamed(
+                "cluster_id", "cl_b"
+            ),
+            "mention_id_b",
+        )
+        .withColumn("pred", F.col("cl_a") == F.col("cl_b"))
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "n": agg["n"], "precision": prec, "recall": rec, "f1": f1}

@@ -198,7 +198,11 @@ def build_dict_pack(n_entities: int = 200, seed: int = 42) -> DictPack:
 
     for e in range(n_entities):
         key = "_wiki_" + names[e].replace(" ", "_")
-        emb_rows.append({"key": key, "vec": quantize(t_vecs[e] * 3.0)})
+        # entity vectors carry a larger norm than word vectors: the context
+        # term is FEL's dominant signal (its LR context scores are log-
+        # likelihoods with ranges well beyond the log-prior gaps), so the
+        # synthetic mirrors that scale relationship.
+        emb_rows.append({"key": key, "vec": quantize(t_vecs[e] * 10.0)})
         for wname in topic_words[e]:
             v = 0.92 * t_vecs[e] + 0.40 * rng.randn(EMB_DIM) / np.sqrt(EMB_DIM)
             v = v / np.linalg.norm(v) * 3.0

@@ -1,0 +1,36 @@
+"""Connected components: known graphs, determinism, isolated vertices."""
+
+from __future__ import annotations
+
+from fel_spark.operators.cluster import cluster_mentions, connected_components
+
+
+def test_two_components_and_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_long_chain_converges(spark):
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(n)], ["src", "dst"]
+    )
+    got = connected_components(edges).collect()
+    assert {r["component"] for r in got} == {"v00"}
+
+
+def test_isolated_vertices_become_singletons(spark):
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    mentions = spark.createDataFrame(
+        [("a",), ("b",), ("solo",)], ["mention_id"]
+    )
+    got = {
+        r["mention_id"]: r["cluster_id"]
+        for r in cluster_mentions(mentions, edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "solo": "solo"}
