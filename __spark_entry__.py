@@ -1,38 +1,664 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — near-duplicate document clustering over
+  the sf0.001 ``documents`` table using the ER engine's blocking + pairwise
+  scoring + connected-components stack.
+- ``queries()``: one entry per implemented operator family from SURVEY.md §2
+  (each callable: (spark, sf_dir) -> DataFrame).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents (same column names,
+  same rounding) for the value-hash correctness gate. Queries without an
+  oracle entry are non-SQL-expressible (LSH/minhash/clustering) and get the
+  driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from fel_spark.functions.hashing import lsh_band_keys, minhash_signature
+from fel_spark.functions.sim import cosine_sim
+from fel_spark.functions.text import normalize_fast, normalize_tokens, token_ngrams
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "for", "data", "value"]
+_SW = ",".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup document clustering on sf0.001 (blocking -> pairs -> CC)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from fel_spark.operators import blocking, cluster
+    from fel_spark.functions.sim import array_jaccard
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("mention_id"),
+        normalize_fast("text").alias("span"),
+        F.lit(0).alias("entity_id"),
+        F.lit("").alias("entity_key"),
+        F.lit(0.0).alias("score"),
+    )
+    # block on minhash bands over token 3-gram shingles
+    sig = minhash_signature(token_ngrams(F.split(F.col("span"), " "), 3), 8)
+    blocked = docs.withColumn(
+        "block_key", F.explode(lsh_band_keys(sig, 4, 2))
+    )
+    blocked = blocking.cap_blocks(blocked, max_block=100)
+    pairs = blocking.candidate_pairs(blocked)
+    scored = pairs.withColumn(
+        "jaccard",
+        array_jaccard(F.split("span_a", " "), F.split("span_b", " ")),
+    )
+    edges = scored.filter(F.col("jaccard") >= 0.6).select(
+        F.col("mention_id_a").alias("src"), F.col("mention_id_b").alias("dst")
+    )
+    clustered = cluster.cluster_mentions(
+        docs.select("mention_id"), edges
+    )
+    sizes = clustered.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        clustered.join(sizes, "cluster_id")
+        .select("mention_id", "cluster_id", "cluster_size")
+        .orderBy("mention_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator battery (SURVEY §2.2-§2.6) — TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(spark, sf_dir):
+    """P1/P2/P11: predicate + projection + computed column (pushed to scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("revenue_c"),
+        )
+    )
+
+
+def q_agg_pair_counts(spark, sf_dir):
+    """A1: two-key group sums (pair-count propagation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey", "l_returnflag").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_agg_marginal(spark, sf_dir):
+    """A2/A3: marginal roll-up with mixed aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_agg_mixed(spark, sf_dir):
+    """A4: SUM/MAX + derived expr per group (COEFF/CEIL pattern,
+    pig/compute-graph-alias-entity-counts.pig:43-58)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("s"), F.max("l_quantity").alias("m")
+    )
+    return g.select(
+        "l_partkey",
+        F.ceil(F.col("s") / F.col("m")).cast("long").alias("coeff_ceil"),
+    )
+
+
+def q_global_totals_cross(spark, sf_dir):
+    """A5/J4: 1-row global totals cross-joined back (GROUP ALL + CROSS)."""
+    li = _t(spark, sf_dir, "lineitem")
+    totals = li.agg(F.sum("l_quantity").alias("total_qty"))
+    per = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("grp_qty"))
+    return per.crossJoin(F.broadcast(totals)).select(
+        "l_returnflag",
+        F.floor(F.col("grp_qty") / F.col("total_qty") * 1000000)
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+def q_distinct_rows(spark, sf_dir):
+    """A6: full-row distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_count_distinct_group(spark, sf_dir):
+    """A7: exact COUNT(DISTINCT) per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_collect_pack(spark, sf_dir):
+    """A8: group-to-collection packing (bag per key -> ordered string)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.filter(F.col("c_acctbal") > 9900)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), "|").alias("members"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+def q_join_chain(spark, sf_dir):
+    """J1: multi-stage inner-join chain with filters."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.floor(F.sum("o_totalprice")).cast("long").alias("sum_price"),
+        )
+    )
+
+
+def q_left_outer_coalesce(spark, sf_dir):
+    """J2/P10: left outer join + NULL defaulting."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return c.join(per, c.c_custkey == per.o_custkey, "left").select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).alias("n_orders")
+    )
+
+
+def q_composite_key_join(spark, sf_dir):
+    """J3: composite-key (2-column) join — consecutive line items."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    a = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty_a"),
+    )
+    b = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_quantity").alias("qty_b"),
+    )
+    return a.join(b, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("qty_a") + F.col("qty_b")).cast("long").alias("qty_sum"),
+    )
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J5: map-side (broadcast) dim join — supplier x nation x region."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """left_semi: customers having at least one order (vocabulary membership)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """left_anti: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+def q_topk_window(spark, sf_dir):
+    """W2: top-k per group by score with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            F.floor("o_totalprice").cast("long").alias("price_fl"),
+        )
+    )
+
+
+def q_top1_group(spark, sf_dir):
+    """W1/W3: argmax per group (max_by semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_nationkey", "c_custkey", F.floor("c_acctbal").cast("long").alias("bal_fl"))
+    )
+
+
+def q_global_sort_limit(spark, sf_dir):
+    """W4: global order-by + limit with stable tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor("l_extendedprice").cast("long").alias("price_fl"),
+        )
+        .limit(100)
+    )
+
+
+def q_dense_id(spark, sf_dir):
+    """W6: deterministic dense-id assignment (sort|uniq|awk NR analogue)."""
+    p = _t(spark, sf_dir, "part")
+    w = W.orderBy("p_brand")
+    return (
+        p.select("p_brand")
+        .distinct()
+        .withColumn("brand_id", F.row_number().over(w).cast("long"))
+    )
+
+
+def q_union_merge(spark, sf_dir):
+    """§2.6: UNION of two count sources then re-aggregate."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("cust").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supp").alias("src")
+    )
+    return c.unionByName(s).groupBy("nationkey").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("src") == "cust", 1).otherwise(0)).alias("n_cust"),
+    )
+
+
+def q_events_lag_window(spark, sf_dir):
+    """Ordered analytic window: per-user event deltas (lag)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor((F.col("value") - F.col("prev_value")) * 100)
+            .cast("long")
+            .alias("delta_c"),
+        )
+    )
+
+
+def q_events_daily_rollup(spark, sf_dir):
+    """Time-bucketed aggregation (hypertable rollup analogue)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.sum("value")).cast("long").alias("sum_value_fl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_normalize(spark, sf_dir):
+    """P3: normalizeFast-compatible text normalization."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_fast("text").alias("text_norm"))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting + quality ratios (training-data pipeline ops)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalize_tokens("text")
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("n_stop_types"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text (dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(normalize_fast("text")).alias("fp"))
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup: canonical doc id per normalized-text group."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", normalize_fast("text").alias("tn"))
+        .groupBy("tn")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count"))
+        .select("canonical_id", "dup_count")
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword token share -> 'en' / 'other'."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalize_tokens("text")
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = n_sw / F.greatest(F.size(toks), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 3 probe vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = cosine_sim(F.col("embedding"), F.col("qv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        joined.withColumn("cos_raw", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(F.col("cos_raw") * 100000).cast("long").alias("cos_5dp"),
+        )
+    )
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs over documents (no SQL oracle —
+    LSH banding is not ANSI-expressible; rows-only check)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_fast("text").alias("tn")
+    )
+    sig = minhash_signature(token_ngrams(F.split(F.col("tn"), " "), 3), 8)
+    blocked = d.withColumn("bk", F.explode(lsh_band_keys(sig, 4, 2)))
+    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "bk")
+    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from fel_spark.functions.sim import array_jaccard
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(
+            array_jaccard(F.split("tn_a", " "), F.split("tn_b", " ")) * 10000
+        ).cast("long").alias("jaccard_4dp"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_project": q_filter_project,
+        "agg_pair_counts": q_agg_pair_counts,
+        "agg_marginal": q_agg_marginal,
+        "agg_mixed": q_agg_mixed,
+        "global_totals_cross": q_global_totals_cross,
+        "distinct_rows": q_distinct_rows,
+        "count_distinct_group": q_count_distinct_group,
+        "collect_pack": q_collect_pack,
+        "join_chain": q_join_chain,
+        "left_outer_coalesce": q_left_outer_coalesce,
+        "composite_key_join": q_composite_key_join,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "topk_window": q_topk_window,
+        "top1_group": q_top1_group,
+        "global_sort_limit": q_global_sort_limit,
+        "dense_id": q_dense_id,
+        "union_merge": q_union_merge,
+        "events_lag_window": q_events_lag_window,
+        "events_daily_rollup": q_events_daily_rollup,
+        "doc_normalize": q_doc_normalize,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_langid": q_doc_langid,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_near_dup": q_minhash_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = "list_filter(string_split(" + _NORM + ", ' '), t -> len(t) > 0)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS.format(c="text")
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_c
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        """,
+        "agg_pair_counts": """
+            SELECT l_suppkey, l_returnflag,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "agg_marginal": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "agg_mixed": """
+            SELECT l_partkey,
+                   CAST(ceil(sum(l_quantity) / max(l_quantity)) AS BIGINT) AS coeff_ceil
+            FROM lineitem GROUP BY 1
+        """,
+        "global_totals_cross": """
+            SELECT l_returnflag,
+                   CAST(floor(sum(l_quantity) / (SELECT sum(l_quantity) FROM lineitem) * 1000000) AS BIGINT) AS share_ppm
+            FROM lineitem GROUP BY 1
+        """,
+        "distinct_rows": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "count_distinct_group": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "collect_pack": """
+            SELECT n_name,
+                   string_agg(c_name, '|' ORDER BY c_name) AS members,
+                   count(*) AS n_members
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 9900 GROUP BY 1
+        """,
+        "join_chain": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(floor(sum(o_totalprice)) AS BIGINT) AS sum_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' GROUP BY 1
+        """,
+        "left_outer_coalesce": """
+            SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+            ) ON c_custkey = o_custkey
+        """,
+        "composite_key_join": """
+            SELECT a.l_orderkey, a.l_linenumber,
+                   CAST(a.l_quantity + b.l_quantity AS BIGINT) AS qty_sum
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber - 1
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "semi_join": """
+            SELECT c_mktsegment, count(*) AS n_active FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "topk_window": """
+            SELECT o_orderpriority, rk, o_orderkey, price_fl FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(floor(o_totalprice) AS BIGINT) AS price_fl,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "top1_group": """
+            SELECT c_nationkey, c_custkey, bal_fl FROM (
+                SELECT c_nationkey, c_custkey,
+                       CAST(floor(c_acctbal) AS BIGINT) AS bal_fl,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+                FROM customer
+            ) WHERE rk = 1
+        """,
+        "global_sort_limit": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_fl
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 100
+        """,
+        "dense_id": """
+            SELECT p_brand,
+                   CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id
+            FROM (SELECT DISTINCT p_brand FROM part)
+        """,
+        "union_merge": """
+            SELECT nationkey, count(*) AS n_total,
+                   sum(CASE WHEN src = 'cust' THEN 1 ELSE 0 END) AS n_cust
+            FROM (
+                SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey, 'supp' AS src FROM supplier
+            ) GROUP BY 1
+        """,
+        "events_lag_window": """
+            SELECT user_id, event_id,
+                   CAST(floor((value - prev_value) * 100) AS BIGINT) AS delta_c
+            FROM (
+                SELECT user_id, event_id, value,
+                       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+                FROM events
+            ) WHERE prev_value IS NOT NULL
+        """,
+        "events_daily_rollup": """
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+                   CAST(floor(sum(value)) AS BIGINT) AS sum_value_fl
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_normalize": f"SELECT doc_id, {_NORM.format(c='text')} AS text_norm FROM documents",
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   len(list_intersect(list_distinct({toks}), [{_SW}])) AS n_stop_types,
+                   len(text) AS n_chars_calc
+            FROM documents
+        """,
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents",
+        "doc_exact_dedup": f"""
+            SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+            FROM (SELECT doc_id, {_NORM.format(c='text')} AS tn FROM documents)
+            GROUP BY tn
+        """,
+        "doc_langid": f"""
+            SELECT doc_id,
+                   CASE WHEN len(list_filter({toks}, t -> list_contains([{_SW}], t)))
+                             / greatest(len({toks}), 1) >= 0.05
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, rk, neighbor_id, cos_5dp FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       CAST(floor(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) * 100000) AS BIGINT) AS cos_5dp,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rk
+                FROM embeddings e, embeddings q
+                WHERE q.vec_id < 3 AND e.vec_id != q.vec_id
+            ) WHERE rk <= 5
+        """,
+        # minhash_near_dup: intentionally no oracle (LSH banding not ANSI-SQL)
+    }

@@ -1,0 +1,66 @@
+"""Driver-contract checks: entry() smoke + a fast DuckDB-oracle sweep at
+sf0.001 for a representative subset (the full sweep runs via
+scripts/check_oracle.py at sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+from fel_spark.sources.testdata import TABLES  # noqa: E402
+from scripts.check_oracle import table_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "filter_project",
+    "agg_marginal",
+    "join_chain",
+    "collect_pack",
+    "topk_window",
+    "doc_token_stats",
+    "doc_langid",
+    "knn_bruteforce",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.schema.simpleString() == (
+        "struct<mention_id:string,cluster_id:string,cluster_size:bigint>"
+    )
+    assert df.count() > 0
+
+
+def test_queries_have_oracles_or_reason():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # all but the explicitly non-SQL-expressible ops have oracles
+    assert set(qs) - set(oracles) == {"minhash_near_dup"}
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_subset(spark, duck, name):
+    df = E.queries()[name](spark, SF_DIR)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    rel = duck.sql(E.oracle_sql()[name])
+    ocols = list(rel.columns)
+    orows = rel.fetchall()
+    assert sorted(cols) == sorted(ocols)
+    assert len(rows) == len(orows)
+    assert table_hash(cols, rows) == table_hash(ocols, orows)
