@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from fel_spark.functions.hashing import lsh_band_keys, minhash_signature
+from fel_spark.functions.hashing import lsh_band_keys, minhash_signatures_df
 from fel_spark.functions.sim import cosine_sim
 from fel_spark.functions.text import normalize_fast, normalize_tokens, token_ngrams
 
@@ -48,10 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit(0.0).alias("score"),
     )
     # block on minhash bands over token 3-gram shingles
-    sig = minhash_signature(token_ngrams(F.split(F.col("span"), " "), 3), 8)
-    blocked = docs.withColumn(
-        "block_key", F.explode(lsh_band_keys(sig, 4, 2))
+    with_sig = minhash_signatures_df(
+        docs, token_ngrams(F.split(F.col("span"), " "), 3), docs.columns, 8
     )
+    blocked = with_sig.withColumn(
+        "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
+    ).drop("sig")
     blocked = blocking.cap_blocks(blocked, max_block=100)
     pairs = blocking.candidate_pairs(blocked)
     scored = pairs.withColumn(
@@ -432,8 +434,10 @@ def q_minhash_near_dup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", normalize_fast("text").alias("tn")
     )
-    sig = minhash_signature(token_ngrams(F.split(F.col("tn"), " "), 3), 8)
-    blocked = d.withColumn("bk", F.explode(lsh_band_keys(sig, 4, 2)))
+    with_sig = minhash_signatures_df(
+        d, token_ngrams(F.split(F.col("tn"), " "), 3), ["doc_id", "tn"], 8
+    )
+    blocked = with_sig.withColumn("bk", F.explode(lsh_band_keys(F.col("sig"), 4, 2)))
     a = blocked.select(F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "bk")
     b = blocked.select(F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b"), "bk")
     pairs = (

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+    {"metric": "bench_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "er": {"turns": N, "sec": S, "turns_per_sec": T}}
+
+Relational/text queries run against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the ER benchmark runs the
+full pipeline (link -> block -> pair -> score -> CC) over a deterministic
+synthetic transcript corpus.
+
+Modes:
+    python bench.py                       # full battery + ER
+    python bench.py --er-only             # ER only (used by scaling study)
+    python bench.py --master local[8]     # explicit parallelism (scaling)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "filter_project",
+    "agg_pair_counts",
+    "agg_marginal",
+    "global_totals_cross",
+    "join_chain",
+    "left_outer_coalesce",
+    "composite_key_join",
+    "semi_join",
+    "topk_window",
+    "top1_group",
+    "union_merge",
+    "events_lag_window",
+    "events_daily_rollup",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "doc_langid",
+    "knn_bruteforce",
+    "minhash_near_dup",
+]
+
+
+def _materialize(df) -> int:
+    """Full materialization through a noop sink (no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_relational(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_er_bench(spark, n_conv: int, turns_per_conv: int, n_entities: int) -> dict:
+    from fel_spark.operators.context import EmbeddingMatrix, broadcast_embeddings
+    from fel_spark.plans.pipeline import run_er
+    from fel_spark.sources.synth import (
+        alias_dict_df,
+        build_dict_pack,
+        embeddings_df,
+        entities_df,
+        synth_transcripts_df,
+        transcripts,
+    )
+
+    pack = build_dict_pack(n_entities=n_entities, seed=42)
+    ad = alias_dict_df(spark, pack).cache()
+    ad.count()
+    ents = entities_df(spark, pack)
+    bc = broadcast_embeddings(spark, EmbeddingMatrix.from_spark(embeddings_df(spark, pack)))
+
+    # warmup at 1/8 size: JIT + python worker pool spin-up
+    warm = transcripts(
+        synth_transcripts_df(spark, pack, n_conv=max(n_conv // 8, 100), turns_per_conv=turns_per_conv)
+    )
+    run_er(warm, ad, ents, bc_emb=bc).mentions.count()
+
+    turns = n_conv * turns_per_conv
+    t0 = time.time()
+    t = transcripts(
+        synth_transcripts_df(spark, pack, n_conv=n_conv, turns_per_conv=turns_per_conv)
+    )
+    res = run_er(t, ad, ents, bc_emb=bc)
+    n_mentions = res.mentions.count()
+    sec = time.time() - t0
+    return {
+        "turns": turns,
+        "mentions": n_mentions,
+        "sec": round(sec, 2),
+        "turns_per_sec": round(turns / sec, 1),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--master", default=None)
+    p.add_argument("--er-only", action="store_true")
+    p.add_argument("--skip-er", action="store_true")
+    p.add_argument("--er-conv", type=int, default=80_000)
+    p.add_argument("--er-turns-per-conv", type=int, default=6)
+    p.add_argument("--er-entities", type=int, default=2000)
+    args = p.parse_args()
+
+    from fel_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="fel_spark_bench", master=args.master)
+    t_total = time.time()
+    queries: dict[str, float] = {}
+    if not args.er_only:
+        queries = run_relational(spark, sf_dir)
+    er = None
+    if not args.skip_er:
+        er = run_er_bench(spark, args.er_conv, args.er_turns_per_conv, args.er_entities)
+    total = round(time.time() - t_total, 2)
+    result = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "er": er,
+        "master": spark.sparkContext.master,
+    }
+    spark.stop()
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,6 +40,39 @@ def minhash_signature(grams: Column, num_hashes: int, seed: int = 4242) -> Colum
     return F.array(*[_slot(i) for i in range(num_hashes)])
 
 
+def minhash_signatures_df(
+    df,
+    grams: Column,
+    key_cols: list[str],
+    num_hashes: int,
+    seed: int = 4242,
+    out_col: str = "sig",
+):
+    """Scalable MinHash: explode grams once, hash with ``num_hashes``
+    codegen'd xxhash64 columns, min-aggregate per key (map-side partial
+    aggregation shrinks the shuffle to ``num_hashes`` longs per key).
+
+    Prefer this over :func:`minhash_signature` for large inputs — nested
+    higher-order-function lambdas are interpreted (not codegen'd) and the
+    expression gets re-evaluated per LSH band.
+
+    Rows with no grams get a signature of nulls (xxhash64(null) = seed hash,
+    constant) — filter upstream if that matters.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    g = df.select(*key_cols, F.explode_outer(grams).alias("_gram"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_gram"), F.lit(seed + i))).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = g.groupBy(*key_cols).agg(*aggs)
+    return sig.select(
+        *key_cols,
+        F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias(out_col),
+    )
+
+
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """LSH banding: array of ``bands`` keys, each hashing ``rows_per_band``
     consecutive signature slots. Two items share a band key iff their

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from fel_spark.functions.hashing import lsh_band_keys, minhash_signature
+from fel_spark.functions.hashing import lsh_band_keys, minhash_signatures_df
 from fel_spark.functions.text import char_bigrams
 
 DEFAULT_BANDS = 4
@@ -35,14 +35,25 @@ def blocking_keys(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     use_entity_block: bool = True,
 ) -> DataFrame:
-    """Explode each mention into its blocking keys -> (block_key, mention...)."""
-    sig = minhash_signature(char_bigrams(F.col("span")), bands * rows_per_band)
-    keys = lsh_band_keys(sig, bands, rows_per_band)
+    """Explode each mention into its blocking keys -> (block_key, mention...).
+
+    The signature is computed by the explode+min-aggregate plan
+    (:func:`minhash_signatures_df`) — fully codegen'd, map-side combined —
+    then banded from the materialized array (never from an inline expression,
+    which would re-evaluate the whole signature per band).
+    """
+    with_sig = minhash_signatures_df(
+        mentions,
+        char_bigrams(F.col("span")),
+        mentions.columns,
+        bands * rows_per_band,
+    )
+    keys = lsh_band_keys(F.col("sig"), bands, rows_per_band)
     if use_entity_block:
         keys = F.array_union(
             keys, F.array(F.concat(F.lit("e"), F.col("entity_id").cast("string")))
         )
-    return mentions.withColumn("block_key", F.explode(keys))
+    return with_sig.withColumn("block_key", F.explode(keys)).drop("sig")
 
 
 def cap_blocks(

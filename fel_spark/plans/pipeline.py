@@ -22,9 +22,10 @@ from fel_spark.operators import blocking, cluster, mentions as M, scoring
 @dataclass
 class ERResult:
     mentions: DataFrame  # linked mentions incl. cluster_id
-    pairs: DataFrame  # scored candidate pairs
-    edges: DataFrame  # match edges
-    blocked: DataFrame  # mention x block_key
+    reps: DataFrame  # distinct (span, entity) representatives + cluster_id
+    pairs: DataFrame  # scored candidate pairs (representative level)
+    edges: DataFrame  # match edges (representative level)
+    blocked: DataFrame  # mention x block_key (for labeled-pair evaluation)
 
 
 def run_er(
@@ -35,15 +36,62 @@ def run_er(
     threshold: float = scoring.DEFAULT_THRESHOLD,
     max_block: int = blocking.DEFAULT_MAX_BLOCK,
 ) -> ERResult:
+    """transcripts -> linked mentions -> representative dedup -> blocked
+    self-join -> pairwise scoring -> connected components -> clusters.
+
+    **Dedup-before-pair** is the load-bearing scale decision: mentions
+    collapse to distinct (span, entity) representatives before the pair
+    self-join, so a Zipf-hot surface form ("clinton" x 10^8 at corpus scale)
+    contributes ONE node to the match graph instead of a quadratic block.
+    Identical mentions are matched by definition (they share the rep); this
+    is FEL's per-query memoization (`CandidatesInfo.maxScore`,
+    `w2v/CentroidEntityContext.java:91-99`) promoted to a plan shape —
+    dedup-then-score. Salted block caps remain as the backstop for residual
+    skew among *distinct* surfaces, and AQE skew-join handles the shuffle.
+    """
     linked = M.link_mentions(transcripts, alias_dict, entities, bc_emb=bc_emb)
-    # one physical pass over mentions feeds both blocking and clustering
     linked = linked.localCheckpoint(eager=False)
-    blocked = blocking.cap_blocks(blocking.blocking_keys(linked), max_block=max_block)
-    pairs = blocking.candidate_pairs(blocked)
+
+    reps = (
+        linked.select("span", "entity_id", "entity_key")
+        .dropDuplicates(["span", "entity_id"])
+        .withColumn(
+            "mention_id",
+            F.concat_ws("#e", "span", F.col("entity_id").cast("string")),
+        )
+    )
+    blocked_reps = blocking.cap_blocks(
+        blocking.blocking_keys(reps), max_block=max_block
+    )
+    pairs = blocking.candidate_pairs(
+        blocked_reps, payload_cols=("span", "entity_id", "entity_key")
+    )
     scored = scoring.score_pairs(pairs, bc_emb=bc_emb, threshold=threshold)
     edges = scoring.match_edges(scored)
-    clustered = cluster.cluster_mentions(linked, edges)
-    return ERResult(mentions=clustered, pairs=scored, edges=edges, blocked=blocked)
+
+    rep_cc = cluster.connected_components(
+        edges, vertices=reps.select(F.col("mention_id").alias("id"))
+    )
+    rep_map = reps.join(rep_cc, reps.mention_id == rep_cc.id, "left").select(
+        "span",
+        "entity_id",
+        F.coalesce("component", "mention_id").alias("cluster_id"),
+    )
+    # rep_map is dictionary-sized -> broadcast fan-out back to mentions
+    clustered = linked.join(F.broadcast(rep_map), ["span", "entity_id"], "left")
+
+    # mention-level block membership (labeled pairs share the blocking key)
+    blocked_m = linked.join(
+        F.broadcast(blocked_reps.select("block_key", "span", "entity_id")),
+        ["span", "entity_id"],
+    )
+    return ERResult(
+        mentions=clustered,
+        reps=rep_map,
+        pairs=scored,
+        edges=edges,
+        blocked=blocked_m,
+    )
 
 
 def validate_invariant(input_df: DataFrame, output_df: DataFrame) -> bool:
