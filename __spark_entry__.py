@@ -24,6 +24,10 @@ from fel_spark.functions.text import normalize_fast, normalize_tokens, token_ngr
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "for", "data", "value"]
 _SW = ",".join(f"'{w}'" for w in STOPWORDS)
 
+from fel_spark.operators.textstats import EN_STOPWORDS  # noqa: E402
+
+_SW_TS = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -456,6 +460,89 @@ def q_minhash_near_dup(spark, sf_dir):
     )
 
 
+def q_doc_quality(spark, sf_dir):
+    """Quality-score components (training-data pipeline filter)."""
+    from fel_spark.operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = normalize_tokens("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        # multiply BEFORE dividing so exact ratios floor identically to the
+        # DuckDB oracle (floor((a/b)*k) flips at representation boundaries)
+        F.floor(n_sw * 10000.0 / n).cast("long").alias("sw_4dp"),
+        F.floor(total_chars * 100.0 / n).cast("long").alias("mwl_2dp"),
+        TS.bpe_ish_token_count("text").alias("n_subwords"),
+    )
+
+
+def q_dict_build_counts(spark, sf_dir):
+    """Dictionary-build aggregation chain (datapack analogue) driven from
+    the orders table: alias=o_orderpriority, entity=o_orderstatus."""
+    from fel_spark.plans.dictionary import build_alias_dict
+
+    o = _t(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderpriority").alias("alias"),
+        F.col("o_orderstatus").alias("entity_name"),
+        (F.col("o_totalprice") > 100000).alias("clicked"),
+        (F.col("o_orderkey") % 2 == 0).alias("from_query"),
+    )
+    ad, _names = build_alias_dict(obs)
+    return ad.select("alias", "entity_id", "QAT", "QAF", "QAEF", "LAT", "LAET", "QEF")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (no SQL oracle — bit-sliced banding)."""
+    from fel_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH near-dup clusters over documents (rows-only check)."""
+    from fel_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate kNN via random-hyperplane LSH (rows-only: approximate
+    by design; the exact path is knn_bruteforce)."""
+    from fel_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, k=5)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Approximate kNN via IVF coarse quantization (rows-only)."""
+    from fel_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> deterministic feature vector
+    via mapInPandas (decode stubbed; rows-only)."""
+    from fel_spark.sources.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 64)).select(
+        "media_id", "kind", "feat_dim"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_project": q_filter_project,
@@ -486,6 +573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
+        "doc_quality": q_doc_quality,
+        "dict_build_counts": q_dict_build_counts,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "media_features": q_media_features,
     }
 
 
@@ -664,5 +758,55 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 3 AND e.vec_id != q.vec_id
             ) WHERE rk <= 5
         """,
-        # minhash_near_dup: intentionally no oracle (LSH banding not ANSI-SQL)
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(floor(len(list_filter({toks}, t -> list_contains([{_SW_TS}], t)))
+                        * 10000.0 / greatest(len({toks}), 1)) AS BIGINT) AS sw_4dp,
+                   CAST(floor(coalesce(list_sum(list_transform({toks}, t -> len(t))), 0)
+                        * 100.0 / greatest(len({toks}), 1)) AS BIGINT) AS mwl_2dp,
+                   CAST(coalesce(list_sum(list_transform({toks}, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS INT) AS n_subwords
+            FROM documents
+        """,
+        "dict_build_counts": """
+            WITH obs AS (
+                SELECT trim(regexp_replace(lower(o_orderpriority), '[^a-z0-9]+', ' ', 'g')) AS alias,
+                       o_orderstatus AS entity_name,
+                       (o_totalprice > 100000) AS clicked,
+                       (o_orderkey % 2 = 0) AS from_query
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND length(trim(regexp_replace(lower(o_orderpriority), '[^a-z0-9]+', ' ', 'g'))) > 0
+            ),
+            ids AS (
+                SELECT entity_name,
+                       CAST(row_number() OVER (ORDER BY entity_name) - 1 AS INT) AS entity_id
+                FROM (SELECT DISTINCT entity_name FROM obs)
+            ),
+            o2 AS (SELECT obs.*, ids.entity_id FROM obs JOIN ids USING (entity_name)),
+            pair AS (
+                SELECT alias, entity_id,
+                       CAST(sum(CASE WHEN from_query AND clicked THEN 1 ELSE 0 END) AS BIGINT) AS QAEF,
+                       CAST(sum(CASE WHEN (NOT from_query) AND clicked THEN 1 ELSE 0 END) AS BIGINT) AS LAET
+                FROM o2 GROUP BY 1, 2
+            ),
+            am AS (
+                SELECT alias,
+                       CAST(sum(CASE WHEN from_query THEN 1 ELSE 0 END) AS BIGINT) AS QAT,
+                       CAST(sum(CASE WHEN from_query AND clicked THEN 1 ELSE 0 END) AS BIGINT) AS QAF,
+                       CAST(sum(CASE WHEN NOT from_query THEN 1 ELSE 0 END) AS BIGINT) AS LAT
+                FROM o2 GROUP BY 1
+            ),
+            em AS (
+                SELECT entity_id,
+                       CAST(sum(CASE WHEN from_query AND clicked THEN 1 ELSE 0 END) AS BIGINT) AS QEF
+                FROM o2 GROUP BY 1
+            )
+            SELECT alias, entity_id, QAT, QAF, QAEF, LAT, LAET, QEF
+            FROM pair JOIN am USING (alias) JOIN em USING (entity_id)
+        """,
+        # no oracle (not ANSI-SQL-expressible): minhash_near_dup (LSH
+        # banding), simhash_pairs (bit-sliced banding), dedup_clusters
+        # (iterative connected components), ann_lsh / ann_ivf (approximate
+        # by design; exact twin = knn_bruteforce), media_features (binary
+        # decode via mapInPandas)
     }

@@ -24,22 +24,41 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iterations: int = 20,
+    target_partition_rows: int = 500_000,
 ) -> DataFrame:
     """-> (id, component) where component = min mention id reachable.
 
     ``edges`` must have columns (src, dst). ``vertices`` (optional) adds
     isolated vertices (they become singleton components).
+
+    Partition count adapts to graph size: a dictionary-scale rep graph
+    (thousands of nodes) runs in 1-2 partitions — per-iteration scheduling
+    cost is proportional to task count, and a fixed 32-partition loop on a
+    tiny graph is pure overhead; a billion-edge graph gets the session's
+    full shuffle parallelism.
     """
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # checkpoint FIRST: everything below (count, vertex derivation, the
+    # iteration loop) must read the materialized edges, never re-run the
+    # upstream blocking/scoring subtree (which contains pandas-UDF stages).
+    sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(1, min(max_parts, n_edges // target_partition_rows + 1))
+    sym = sym.repartition(n_parts, "src")
+
     verts = sym.select(F.col("src").alias(id_col)).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(id_col)).distinct()
 
-    labels = verts.withColumn("component", F.col(id_col))
-    sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    labels = (
+        verts.withColumn("component", F.col(id_col))
+        .repartition(n_parts, id_col)
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         # candidate labels flowing over edges: for each dst, min(label(src))

@@ -150,6 +150,7 @@ def span_context_scores(
     start_col: str = "start",
     length_col: str = "length",
     out_col: str = "context_score",
+    skip_col: str | None = None,
 ) -> DataFrame:
     """Localized context score: centroid of the tokens within ``window``
     positions of the span (span tokens excluded), dotted with the entity
@@ -159,14 +160,29 @@ def span_context_scores(
     (`view/EntityContext.java:31-40` — FEL's whole "query" is the window);
     per-turn multi-mention transcripts need the locality so one mention's
     topic words don't drown the other's.
+
+    ``skip_col``: optional int column; rows with value <= 1 short-circuit to
+    0.0 inside the UDF (nothing to disambiguate for a single-candidate
+    alias) — dynamic pruning without splitting the plan into two branches
+    (a plan split would recompute the whole upstream subtree per branch).
     """
     dim = bc_emb.value.matrix.shape[1]
 
     @F.pandas_udf("double")
-    def _score(keys: pd.Series, toks: pd.Series, starts: pd.Series, lengths: pd.Series) -> pd.Series:
+    def _score(
+        keys: pd.Series,
+        toks: pd.Series,
+        starts: pd.Series,
+        lengths: pd.Series,
+        skips: pd.Series,
+    ) -> pd.Series:
         emb = bc_emb.value
         out = np.zeros(len(keys), dtype=np.float64)
-        for i, (k, tk, s, ln) in enumerate(zip(keys, toks, starts, lengths)):
+        for i, (k, tk, s, ln, sk) in enumerate(
+            zip(keys, toks, starts, lengths, skips)
+        ):
+            if sk is not None and sk <= 1:
+                continue
             ei = emb.vocab.get(k)
             if ei is None or tk is None:
                 continue
@@ -185,9 +201,16 @@ def span_context_scores(
                 out[i] = float(emb.matrix[ei] @ acc) / nrm
         return pd.Series(out)
 
+    skip = F.col(skip_col) if skip_col else F.lit(2)
     return df.withColumn(
         out_col,
-        _score(F.col(entity_key_col), F.col(toks_col), F.col(start_col), F.col(length_col)),
+        _score(
+            F.col(entity_key_col),
+            F.col(toks_col),
+            F.col(start_col),
+            F.col(length_col),
+            skip.cast("int"),
+        ),
     )
 
 

@@ -33,107 +33,181 @@ MAX_SPAN_TOKENS = 4
 
 def enumerate_spans(transcripts: DataFrame, max_span: int = MAX_SPAN_TOKENS) -> DataFrame:
     """(conv_id, turn_idx, n_tokens, span, start, length) for every bounded
-    contiguous token span. Pure codegen — no UDF, no shuffle."""
+    contiguous token span.
+
+    Two flat explodes over integer sequences + slice/array_join — NOT a
+    nested higher-order-function build of struct arrays: HOF lambdas run
+    interpreted (no whole-stage codegen) and their allocation churn makes
+    the stage GC-bound at high thread counts.
+    """
     toks = transcripts.select(
         "conv_id",
         "turn_idx",
         normalize_tokens("text").alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
-    return (
-        toks.filter(F.col("n_tokens") > 0)
-        .select(
-            "conv_id",
-            "turn_idx",
-            "n_tokens",
-            F.explode(all_spans(F.col("toks"), max_span)).alias("sp"),
-        )
-        .select(
-            "conv_id",
-            "turn_idx",
-            "n_tokens",
-            F.col("sp.span").alias("span"),
-            F.col("sp.start").alias("start"),
-            F.col("sp.length").alias("length"),
-        )
+    starts = toks.filter(F.col("n_tokens") > 0).select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("start"),
+    )
+    lens = starts.select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        "toks",
+        "start",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_span), F.col("n_tokens") - F.col("start") + 1),
+            )
+        ).alias("length"),
+    )
+    return lens.select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        F.array_join(F.slice("toks", F.col("start"), F.col("length")), " ").alias(
+            "span"
+        ),
+        F.col("start").cast("int").alias("start"),
+        F.col("length").cast("int").alias("length"),
+    )
+
+
+def prepare_candidate_dict(
+    alias_dict: DataFrame,
+    entities: DataFrame,
+    top_k: int = 10,
+    mu: float = None,
+) -> DataFrame:
+    """Pre-score and prune the alias dictionary ONCE, dictionary-side.
+
+    FEL's phase-1 ranking (`ContextualRanker.firstPhaseRanking`) depends
+    only on alias-level + entity-level counts — never on the span or its
+    context. So the phase-1 score, the segmentation log-prob, the length
+    prior, and the top-K candidate pruning (survivingCandidates,
+    `ContextualRanker.java:30`) are all computable on the dictionary itself
+    — thousands of rows — instead of per joined span occurrence (millions).
+    This removes the dominant window-sort over the span x candidate table.
+
+    Output: (alias, entity_id, entity_key, phase1, seg_score, len_prior,
+    n_cands) — broadcastable (the <3 GB datapack invariant, README.md:10).
+    """
+    from fel_spark.operators import ranking as R
+
+    mu = R.MU_CONTEXTUAL if mu is None else mu
+    stats = R.global_stats(alias_dict)
+    scored = R.with_global_stats(alias_dict, stats).withColumn(
+        "phase1", R.phase1_score(mu)
+    )
+    w_rank = Window.partitionBy("alias").orderBy(F.desc("phase1"), F.asc("entity_id"))
+    w_alias = Window.partitionBy("alias")
+    pruned = (
+        scored.withColumn("p1_rank", F.row_number().over(w_rank))
+        .withColumn("n_cands", F.count("*").over(w_alias))
+        .filter(F.col("p1_rank") <= top_k)
+    )
+    named = pruned.join(
+        entities.select("entity_id", "name"), "entity_id", "left"
+    ).withColumn("entity_key", entity_key_expr("name"))
+    len_tokens = F.size(F.split(F.col("alias"), " "))
+    return named.select(
+        "alias",
+        "entity_id",
+        "entity_key",
+        "phase1",
+        F.log("phase1").alias("seg_score"),
+        (F.lit(1.0) / (1.0 + F.exp(-(len_tokens.cast("double") - 1.0)))).alias(
+            "len_prior"
+        ),
+        "n_cands",
     )
 
 
 def candidate_mentions(
     spans: DataFrame,
-    alias_dict: DataFrame,
-    entities: DataFrame,
+    cand_dict: DataFrame,
     broadcast_dict: bool = True,
 ) -> DataFrame:
-    """Probe every span against the alias dictionary (J8): span = alias key.
+    """Probe every span against the pre-scored dictionary (J8): span = alias.
 
     The dict is the small side by design -> broadcast hash join (the Spark
     analogue of shipping the datapack to every node with `-files`,
     `utils/RunFELOntheGrid.java:40-41`).
     """
-    dict_named = alias_dict.join(
-        entities.select("entity_id", "name"), "entity_id", "left"
-    ).withColumn("entity_key", entity_key_expr("name"))
-    if broadcast_dict:
-        dict_named = F.broadcast(dict_named)
-    # NB: bracket access — `dict_named.alias` is the DataFrame method.
-    return spans.join(dict_named, spans["span"] == dict_named["alias"], "inner")
+    d = F.broadcast(cand_dict) if broadcast_dict else cand_dict
+    # NB: bracket access — `d.alias` is the DataFrame method.
+    return spans.join(d, spans["span"] == d["alias"], "inner")
 
 
 def score_candidates(
     cands: DataFrame,
-    stats: DataFrame,
     transcripts: DataFrame | None = None,
     bc_emb=None,
 ) -> DataFrame:
-    """Phase-1 mixture score, then (optionally) the contextual second phase.
+    """Contextual phase-2 scoring on joined (span x candidate) rows.
 
-    Two-phase pruning (`ContextualRanker.java:51-87`): the expensive
-    embedding score only runs on the top-N phase-1 survivors per span —
-    a filter between two scoring stages, the plan shape Catalyst can't
-    invent on its own.
+    Two-phase pruning (`ContextualRanker.java:51-87`) already happened
+    dictionary-side (prepare_candidate_dict). Here only the span-dependent
+    part runs: the context-embedding score — and only for AMBIGUOUS aliases
+    (n_cands > 1); a single-candidate span has nothing to disambiguate, so
+    it skips the pandas UDF entirely (dynamic pruning as a plan split).
+
+    score  = ctx*corr + log(phase1) + len_prior   (phase-2, :127-133)
+    seg_score (for the DP) stays the phase-1 log-prob — the DP needs
+    negative sub-additive scores (see segment_mentions).
     """
-    scored = (
-        ranking.with_global_stats(cands, stats)
-        .withColumn("phase1", ranking.phase1_score())
-        # segmentation score: log-prob of the span's best candidate. The DP
-        # must see negative, sub-additive scores (FEL's getBestChunking runs
-        # on ProbabilityRanker log-probs) — the phase-2 context score is
-        # positive-valued and would bias the DP toward many short spans.
-        .withColumn("seg_score", F.log("phase1"))
-    )
     if bc_emb is None or transcripts is None:
-        return scored.withColumn("score", F.log("phase1")).drop("SQEF", "SLET", "NE")
-
-    # phase-2 pruning: keep top-N candidates per span by phase-1 score
-    w = Window.partitionBy("conv_id", "turn_idx", "start", "length").orderBy(
-        F.desc("phase1"), F.asc("entity_id")
-    )
-    survivors = scored.withColumn("p1_rank", F.row_number().over(w)).filter(
-        F.col("p1_rank") <= 10
-    )
+        return cands.withColumn("context_score", F.lit(0.0)).withColumn(
+            "score", F.col("seg_score") + F.col("len_prior")
+        )
 
     toks_tbl = transcripts.select(
         "conv_id", "turn_idx", normalize_tokens("text").alias("toks")
     )
-    with_ctx = survivors.join(toks_tbl, ["conv_id", "turn_idx"], "left")
-    with_ctx = span_context_scores(with_ctx, bc_emb)
-    return with_ctx.withColumn(
+    with_toks = cands.join(toks_tbl, ["conv_id", "turn_idx"], "left")
+    # single plan, no ambig/unambig branch split (a split would recompute
+    # the span-explode subtree per branch); the UDF short-circuits rows
+    # with n_cands <= 1 internally
+    scored = span_context_scores(with_toks, bc_emb, skip_col="n_cands").drop("toks")
+    return scored.withColumn(
         "score",
-        ranking.phase2_score(F.col("phase1"), F.col("context_score"), F.col("length")),
-    ).drop("SQEF", "SLET", "NE", "toks", "p1_rank")
+        F.greatest(F.col("context_score"), F.lit(ranking.MIN_CONTEXT))
+        + F.col("seg_score")
+        + F.col("len_prior"),
+    )
 
 
 def best_candidate_per_span(scored: DataFrame) -> DataFrame:
     """Argmax candidate per span (CandidateRanker.getHighestRankedEntity,
-    `entityranker/CandidateRanker.java:72-86`) — window top-1 with a
-    deterministic tiebreak."""
-    span_w = Window.partitionBy("conv_id", "turn_idx", "start", "length")
-    w = span_w.orderBy(F.desc("score"), F.asc("entity_id"))
+    `entityranker/CandidateRanker.java:72-86`) — one hash aggregate with
+    max_by (no sort window), deterministic entity_id tiebreak."""
+    ordering = F.struct(
+        F.col("score").alias("s"), (-F.col("entity_id")).alias("tb")
+    )
+    payload = F.struct("span", "entity_id", "entity_key", "score")
     return (
-        scored.withColumn("seg_score", F.max("seg_score").over(span_w))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("conv_id", "turn_idx", "start", "length")
+        .agg(
+            F.max_by(payload, ordering).alias("best"),
+            F.max("seg_score").alias("seg_score"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "start",
+            "length",
+            F.col("best.span").alias("span"),
+            F.col("best.entity_id").alias("entity_id"),
+            F.col("best.entity_key").alias("entity_key"),
+            F.col("best.score").alias("score"),
+            "seg_score",
+            "n_tokens",
+        )
     )
 
 
@@ -259,9 +333,9 @@ def link_mentions(
     score, mention_id.
     """
     spans = enumerate_spans(transcripts, max_span)
-    stats = ranking.global_stats(alias_dict)
-    cands = candidate_mentions(spans, alias_dict, entities)
-    scored = score_candidates(cands, stats, transcripts=transcripts, bc_emb=bc_emb)
+    cand_dict = prepare_candidate_dict(alias_dict, entities)
+    cands = candidate_mentions(spans, cand_dict)
+    scored = score_candidates(cands, transcripts=transcripts, bc_emb=bc_emb)
     best = best_candidate_per_span(scored)
     mentions = segment_mentions(best, max_span=max_span)
     return mentions.withColumn(

@@ -1,0 +1,160 @@
+"""Checkpointed, resumable multi-stage runs with per-partition lineage
+metrics (north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+The reference's pipeline is a bash driver with stage gating
+(`bash/mine-datapack.sh:18-236` — each stage writes files, re-runs skip
+completed stages). Spark-first restatement: every stage materializes to a
+Parquet dataset under a run directory with a `_STAGE_SUCCESS` manifest; a
+re-run skips stages whose manifest exists (resumability = storage snapshots,
+the Iceberg pattern — Parquet-with-manifest here because the sandbox has no
+Iceberg jars; the write/read surface is identical).
+
+Per-partition lineage: each stage logs a `_metrics` dataset with one row per
+output partition (partition id, row count, stage, wall time, input stage
+names) — the audit trail a 100 TB run needs to diagnose skew and data loss.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST = "_STAGE_SUCCESS"
+
+
+@dataclass
+class StageRunner:
+    spark: SparkSession
+    run_dir: str
+    metrics: list[dict] = field(default_factory=list)
+
+    def _stage_path(self, name: str) -> str:
+        return os.path.join(self.run_dir, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._stage_path(name), MANIFEST)
+
+    def is_done(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    def run_stage(
+        self,
+        name: str,
+        build: callable,
+        inputs: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Materialize ``build()`` to parquet once; later runs read the
+        snapshot. ``build`` receives this runner (to read input stages)."""
+        path = self._stage_path(name)
+        if self.is_done(name):
+            return self.spark.read.parquet(path)
+
+        t0 = time.time()
+        df = build(self)
+        writer = df.write.mode("overwrite").option("compression", "zstd")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        wall = time.time() - t0
+
+        out = self.spark.read.parquet(path)
+        part_stats = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        stage_metrics = {
+            "stage": name,
+            "inputs": list(inputs),
+            "wall_sec": round(wall, 3),
+            "rows": int(sum(r["rows"] for r in part_stats)),
+            "partitions": len(part_stats),
+            "max_partition_rows": int(max((r["rows"] for r in part_stats), default=0)),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self.metrics.append(stage_metrics)
+        self._write_metrics(name, part_stats, stage_metrics)
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(stage_metrics, f)
+        return out
+
+    def _write_metrics(self, name: str, part_stats, stage_metrics) -> None:
+        rows = [
+            (name, int(r["_pid"]), int(r["rows"]), stage_metrics["wall_sec"])
+            for r in part_stats
+        ]
+        mdf = self.spark.createDataFrame(
+            rows, "stage string, partition_id int, rows long, stage_wall_sec double"
+        )
+        mdf.write.mode("append").parquet(os.path.join(self.run_dir, "_metrics"))
+
+    def read_stage(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_path(name))
+
+    def metrics_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.run_dir, "_metrics"))
+
+
+def run_er_checkpointed(
+    spark: SparkSession,
+    run_dir: str,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    entities: DataFrame,
+    bc_emb=None,
+) -> DataFrame:
+    """The ER pipeline as resumable materialized stages.
+
+    Stages: linked_mentions -> rep_clusters -> clustered_mentions. A re-run
+    after a crash resumes from the last completed snapshot; per-partition
+    counts land in `_metrics`.
+    """
+    from fel_spark.operators import blocking, cluster, mentions as M, scoring
+
+    runner = StageRunner(spark, run_dir)
+
+    linked = runner.run_stage(
+        "linked_mentions",
+        lambda r: M.link_mentions(transcripts, alias_dict, entities, bc_emb=bc_emb),
+    )
+
+    def build_rep_clusters(r: StageRunner) -> DataFrame:
+        lm = r.read_stage("linked_mentions")
+        reps = (
+            lm.select("span", "entity_id", "entity_key")
+            .dropDuplicates(["span", "entity_id"])
+            .withColumn(
+                "mention_id",
+                F.concat_ws("#e", "span", F.col("entity_id").cast("string")),
+            )
+        )
+        blocked = blocking.cap_blocks(blocking.blocking_keys(reps))
+        pairs = blocking.candidate_pairs(
+            blocked, payload_cols=("span", "entity_id", "entity_key")
+        )
+        scored = scoring.score_pairs(pairs, bc_emb=bc_emb)
+        edges = scoring.match_edges(scored)
+        cc = cluster.connected_components(edges)
+        return reps.join(cc, reps.mention_id == cc.id, "left").select(
+            "span",
+            "entity_id",
+            F.coalesce("component", "mention_id").alias("cluster_id"),
+        )
+
+    runner.run_stage("rep_clusters", build_rep_clusters, inputs=("linked_mentions",))
+
+    def build_clustered(r: StageRunner) -> DataFrame:
+        lm = r.read_stage("linked_mentions")
+        rc = r.read_stage("rep_clusters")
+        return lm.join(F.broadcast(rc), ["span", "entity_id"], "left")
+
+    return runner.run_stage(
+        "clustered_mentions", build_clustered, inputs=("linked_mentions", "rep_clusters")
+    )

@@ -69,9 +69,10 @@ def run_er(
     scored = scoring.score_pairs(pairs, bc_emb=bc_emb, threshold=threshold)
     edges = scoring.match_edges(scored)
 
-    rep_cc = cluster.connected_components(
-        edges, vertices=reps.select(F.col("mention_id").alias("id"))
-    )
+    # no vertices pass: reps absent from the edge set keep cluster_id =
+    # their own rep id via the coalesce below (singleton semantics), which
+    # saves recomputing the rep dedup inside the CC vertex set
+    rep_cc = cluster.connected_components(edges)
     rep_map = reps.join(rep_cc, reps.mention_id == rep_cc.id, "left").select(
         "span",
         "entity_id",

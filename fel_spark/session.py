@@ -32,6 +32,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
 
+    # one BLAS thread per python worker: task parallelism comes from Spark;
+    # N workers x N BLAS threads thrashes the host (classic pandas-UDF trap)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,7 +54,7 @@ def get_spark(
         # 64m is a deliberate ceiling for dimension tables at sf-test scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("FEL_SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("FEL_SPARK_DRIVER_MEM", "48g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

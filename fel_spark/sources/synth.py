@@ -332,8 +332,12 @@ def synth_transcripts_df(
             )
             yield out
 
-    parts = num_partitions or max(8, n_rows // 50_000)
-    base = spark.range(0, n_rows, numPartitions=parts)
+    if num_partitions is None:
+        # enough splits to keep every core busy, bounded by ~25k rows/task
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism * 2, n_rows // 25_000 + 1
+        )
+    base = spark.range(0, n_rows, numPartitions=num_partitions)
     return base.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
 
 

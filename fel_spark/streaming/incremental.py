@@ -1,0 +1,93 @@
+"""Incremental (Structured Streaming) entity linking.
+
+The reference is batch-only (Hadoop MR / Pig); a production transcript store
+receives new conversations continuously, so the engine exposes a streaming
+path for the per-turn stages:
+
+- linking (normalize -> span explode -> broadcast dict join -> prior
+  ranking) is stateless per turn -> runs unchanged on a streaming DataFrame;
+- per-turn segmentation needs the whole turn (one row) -> still stateless;
+- watermarked windowed aggregation powers the ops metrics stream
+  (mentions/minute per entity);
+- clustering is transitive/global -> stays a periodic batch job over the
+  accumulated mention log (the standard lambda split: streaming attach of
+  the *current* cluster map via broadcast join, batch recompute of the map).
+
+All operators here accept either a batch or a streaming DataFrame — they
+use only streaming-compatible transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fel_spark.sources.synth import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (the Iceberg/object-
+    store landing pattern: writers append files, the stream tails them)."""
+    schema = TRANSCRIPT_SCHEMA.replace(
+        ", mentions array<struct<mention_idx:int, alias:string, entity_id:int, token_start:int>>",
+        "",
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def link_stream(transcript_stream: DataFrame, cand_dict: DataFrame) -> DataFrame:
+    """Stateless streaming linking: spans -> broadcast top-1 dict join.
+
+    The candidate argmax moves DICTIONARY-side (batch DF, window allowed):
+    the stream joins against the per-alias best-prior candidate, so every
+    streaming row is one stateless lookup — exact for unambiguous aliases,
+    top-prior for ambiguous ones (the contextual re-rank and segmentation
+    DP stay in the batch path).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("alias").orderBy(F.desc("phase1"), F.asc("entity_id"))
+    top1 = (
+        cand_dict.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    # span explode with ts carried through (a streaming self-join to
+    # re-attach ts would need watermark state; carrying the column is free)
+    from fel_spark.functions.text import all_spans, normalize_tokens
+
+    toks = transcript_stream.select(
+        "conv_id", "turn_idx", "ts", normalize_tokens("text").alias("toks")
+    )
+    spans = (
+        toks.filter(F.size("toks") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.explode(all_spans(F.col("toks"), 4)).alias("sp"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.col("sp.span").alias("span"),
+            F.col("sp.start").alias("start"),
+            F.col("sp.length").alias("length"),
+        )
+    )
+    return spans.join(F.broadcast(top1), spans["span"] == top1["alias"])
+
+
+def mention_rate_stream(linked: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Watermarked windowed aggregation: mentions per entity per window."""
+    return (
+        linked.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", window), "entity_id")
+        .agg(F.count("*").alias("n_mentions"))
+    )

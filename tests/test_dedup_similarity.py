@@ -1,0 +1,94 @@
+"""Dedup + similarity operators: planted duplicates found, ANN ⊆ exact."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fel_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Driver docs + planted near/exact duplicates."""
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    # near-dup: drop the first 2 tokens
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 3, 100000), " ").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup_finds_planted(spark, docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups)
+    dups = out.filter("dup_count > 1")
+    assert dups.count() == 10  # 5 groups x 2 members
+    assert out.count() == 60
+
+
+def test_minhash_lsh_clusters_near_dups(spark, docs_with_dups):
+    out = dedup.minhash_lsh_dedup(docs_with_dups, jaccard_threshold=0.6)
+    assert out.count() == 60
+    cl = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # each planted trio (base, exact dup, near dup) collapses to ONE cluster
+    for i in range(5):
+        assert cl[i] == cl[i + 100000] == cl[i + 200000], (i, cl[i], cl[i + 100000], cl[i + 200000])
+
+
+def test_simhash_pairs_near_dups(spark, docs_with_dups):
+    pairs = dedup.simhash_dedup(docs_with_dups, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exact_pairs = {(i, i + 100000) for i in range(5)}
+    assert exact_pairs <= got
+
+
+def test_ngram_jaccard_pairs(spark, docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(5)} <= got
+
+
+def test_embedding_cosine_pairs_planted(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    twin = emb.limit(5).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(twin)
+    pairs = dedup.embedding_cosine_pairs(both, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 50000) for i in range(5)} <= got
+
+
+def test_ann_supersets(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(emb, q, k=5)
+    assert bf.count() == 15
+    assert bf.filter("rank = 1").count() == 3
+    # approximate results are valid rows from the corpus with correct ranks
+    ls = similarity.lsh_topk(emb, q, k=5)
+    assert ls.filter("rank > 5").count() == 0
+    iv = similarity.ivf_topk(emb, q, k=5)
+    assert iv.filter("rank > 5").count() == 0
+    # exact top-1 is found by LSH for identical-vector probes
+    twin_q = emb.filter("vec_id = 7").select(
+        F.lit(999999).alias("query_id"), "embedding"
+    )
+    top = similarity.lsh_topk(emb, twin_q, k=1).collect()
+    assert top and top[0]["vec_id"] == 7

@@ -50,7 +50,14 @@ def test_queries_have_oracles_or_reason():
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # all but the explicitly non-SQL-expressible ops have oracles
-    assert set(qs) - set(oracles) == {"minhash_near_dup"}
+    assert set(qs) - set(oracles) == {
+        "minhash_near_dup",
+        "simhash_pairs",
+        "dedup_clusters",
+        "ann_lsh",
+        "ann_ivf",
+        "media_features",
+    }
 
 
 @pytest.mark.parametrize("name", SUBSET)

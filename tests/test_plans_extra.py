@@ -1,0 +1,142 @@
+"""Checkpointed resumable runs, dictionary build, coherence, streaming."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fel_spark.operators.coherence import coherent_assignments
+from fel_spark.plans import dictionary as D, metrics as MX
+from fel_spark.operators.context import EmbeddingMatrix, broadcast_embeddings
+from fel_spark.sources.synth import (
+    alias_dict_df,
+    embeddings_df,
+    entities_df,
+    gold_mentions,
+    transcripts,
+)
+
+
+def test_stage_runner_resumes(spark, tmp_path):
+    run_dir = str(tmp_path / "run1")
+    calls = {"n": 0}
+
+    def build(r):
+        calls["n"] += 1
+        return spark.range(10).withColumn("x", F.col("id") * 2)
+
+    runner = MX.StageRunner(spark, run_dir)
+    out1 = runner.run_stage("stage_a", build)
+    assert out1.count() == 10
+    assert calls["n"] == 1
+    # second run: snapshot hit, builder NOT called
+    runner2 = MX.StageRunner(spark, run_dir)
+    out2 = runner2.run_stage("stage_a", build)
+    assert out2.count() == 10
+    assert calls["n"] == 1
+    # per-partition lineage metrics written
+    m = runner2.metrics_df()
+    assert m.filter("stage = 'stage_a'").count() >= 1
+    assert os.path.exists(os.path.join(run_dir, "stage_a", MX.MANIFEST))
+
+
+def test_er_checkpointed_end_to_end(spark, dict_pack, tiny_corpus, tmp_path):
+    t = transcripts(tiny_corpus)
+    ad = alias_dict_df(spark, dict_pack)
+    ents = entities_df(spark, dict_pack)
+    bc = broadcast_embeddings(spark, EmbeddingMatrix.from_spark(embeddings_df(spark, dict_pack)))
+    run_dir = str(tmp_path / "er_run")
+    out = MX.run_er_checkpointed(spark, run_dir, t, ad, ents, bc_emb=bc)
+    n = out.count()
+    assert n == gold_mentions(tiny_corpus).count()
+    # resumable: second call reads snapshots only (fast path, same rows)
+    out2 = MX.run_er_checkpointed(spark, run_dir, t, ad, ents, bc_emb=bc)
+    assert out2.count() == n
+
+
+def test_build_alias_dict_counts(spark):
+    obs = spark.createDataFrame(
+        [
+            # (alias, entity_name, clicked, from_query)
+            ("acme corp", "Acme Corp", True, True),
+            ("acme corp", "Acme Corp", True, True),
+            ("acme corp", "Acme Corp", False, True),
+            ("acme", "Acme Corp", True, False),
+            ("acme", "Acme Labs", True, False),
+            ("", "Nobody", True, True),
+        ],
+        ["alias", "entity_name", "clicked", "from_query"],
+    )
+    ad, names = D.build_alias_dict(obs)
+    rows = {(r["alias"], r["entity_id"]): r for r in ad.collect()}
+    nm = {r["name"]: r["entity_id"] for r in names.collect()}
+    acme_corp = nm["Acme Corp"]
+    r = rows[("acme corp", acme_corp)]
+    assert r["QAT"] == 3 and r["QAEF"] == 2 and r["QAF"] == 2
+    r2 = rows[("acme", acme_corp)]
+    assert r2["LAT"] == 2 and r2["LAET"] == 1
+    # empty alias filtered
+    assert not any(a == "" for a, _ in rows)
+    packed = D.pack_candidates(ad)
+    p = {r["alias"]: r for r in packed.collect()}
+    assert p["acme"]["n_candidates"] == 2
+
+
+def test_coherence_prefers_consistent_entities(spark, dict_pack):
+    """FEL's canonical coherence case: an ambiguous mention resolves to the
+    entity coherent with its neighbors (test.txt semantics, FIXTURES.md §5)."""
+    bc = broadcast_embeddings(spark, EmbeddingMatrix.from_spark(embeddings_df(spark, dict_pack)))
+    ents = dict_pack.entities
+    # two entities sharing the last name token
+    name0 = ents.name[0]
+    shared = name0.split()[-1]
+    others = [i for i in range(1, dict_pack.n_entities) if ents.name[i].split()[-1] == shared]
+    if not others:
+        pytest.skip("no ambiguous last token in this pack")
+    other = others[0]
+    key = lambda i: "_wiki_" + ents.name[i].replace(" ", "_")  # noqa: E731
+    cands_both = [
+        {"entity_id": int(other), "entity_key": key(other), "name": ents.name[other]},
+        {"entity_id": 0, "entity_key": key(0), "name": name0},
+    ]
+    rows = [
+        # mention 1: unambiguous full name of entity 0
+        ("c1", "m1", 0, name0, [{"entity_id": 0, "entity_key": key(0), "name": name0}]),
+        # mention 2: ambiguous shared last token -> should pick entity 0
+        ("c1", "m2", 1, shared, cands_both),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, mention_id string, order_idx int, surface string, "
+        "candidates array<struct<entity_id:int, entity_key:string, name:string>>",
+    )
+    out = {r["mention_id"]: r["entity_id"] for r in coherent_assignments(df, bc).collect()}
+    assert out["m1"] == 0
+    assert out["m2"] == 0
+
+
+def test_streaming_linking(spark, dict_pack, tiny_corpus, tmp_path):
+    from fel_spark.operators.mentions import prepare_candidate_dict
+    from fel_spark.streaming.incremental import link_stream, read_transcript_stream
+
+    src = str(tmp_path / "stream_src")
+    transcripts(tiny_corpus).limit(200).write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    assert stream.isStreaming
+    cand_dict = prepare_candidate_dict(
+        alias_dict_df(spark, dict_pack), entities_df(spark, dict_pack)
+    )
+    linked = link_stream(stream, cand_dict)
+    q = (
+        linked.writeStream.format("memory")
+        .queryName("linked_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n from linked_stream_test").collect()[0]["n"]
+    assert got > 0

@@ -1,0 +1,59 @@
+"""Text analytics + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fel_spark.operators import textstats
+from fel_spark.sources import multimodal
+
+
+def test_doc_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "!!! ??? ..."),
+            (3, "a"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.doc_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["lang_pred"] == "en"
+    assert out[1]["quality"] > 0.8
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["punct_ratio"] > 0.5
+    assert out[3]["quality"] < 0.5
+
+
+def test_rolling_fingerprints(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    fps = docs.select(
+        textstats.rolling_fingerprints("text", window=5).alias("fps")
+    ).collect()[0]["fps"]
+    assert len(fps) == 2  # two 5-grams in 6 tokens
+    assert len(set(fps)) == 2
+
+
+def test_media_features_deterministic(spark):
+    media = multimodal.synth_media(spark, 12)
+    f1 = {r["media_id"]: r["feat"] for r in multimodal.extract_features(media).collect()}
+    f2 = {r["media_id"]: r["feat"] for r in multimodal.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 16 for v in f1.values())
+
+
+def test_media_decode_stub_raises(spark):
+    media = multimodal.synth_media(spark, 3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_frame_sampling_counts(spark):
+    media = multimodal.synth_media(spark, 9)
+    frames = multimodal.sample_frames(media, every_ms=500)
+    vids = media.filter(F.col("kind") == "video").collect()
+    want = sum(r["meta"]["duration_ms"] // 500 + 1 for r in vids)
+    assert frames.count() == want
