@@ -50,7 +50,11 @@ def run_er(
     skew among *distinct* surfaces, and AQE skew-join handles the shuffle.
     """
     linked = M.link_mentions(transcripts, alias_dict, entities, bc_emb=bc_emb)
-    linked = linked.localCheckpoint(eager=False)
+    # EAGER: three consumers (reps, blocked_m, the final fan-out join) plus
+    # AQE query-stage jobs each re-plan the DataFrame — a lazy checkpoint is
+    # not reliably reused across those jobs (observed 3x recomputation of
+    # the corpus-level map stage in the event log).
+    linked = linked.localCheckpoint(eager=True)
 
     reps = (
         linked.select("span", "entity_id", "entity_key")
