@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the plans we designed are the plans we get.
+
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema)
+- dictionary joins are broadcast hash joins, not shuffles
+- the pairwise self-join is a shuffle join on block_key (SMJ or AQE-chosen)
+- ranking is pure column arithmetic (no Python eval in the phase-1 plan)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,45" in plan
+    # column pruning: only the two selected columns in ReadSchema
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dict_join_is_broadcast(spark, dict_pack):
+    from fel_spark.operators.mentions import (
+        candidate_mentions,
+        enumerate_spans,
+        prepare_candidate_dict,
+    )
+    from fel_spark.sources.synth import alias_dict_df, entities_df, synth_transcripts_df, transcripts
+
+    t = transcripts(synth_transcripts_df(spark, dict_pack, n_conv=10, turns_per_conv=3))
+    cd = prepare_candidate_dict(
+        alias_dict_df(spark, dict_pack), entities_df(spark, dict_pack)
+    )
+    cands = candidate_mentions(enumerate_spans(t), cd)
+    plan = _plan(cands)
+    assert "BroadcastHashJoin" in plan
+    # the big side must NOT be exchanged for this join
+    assert "SortMergeJoin" not in plan
+
+
+def test_pair_join_shuffles_on_block_key(spark):
+    from fel_spark.operators import blocking
+
+    m = spark.createDataFrame(
+        [("m1", "alpha beta", 1, "_k", 0.0), ("m2", "alpha beta", 1, "_k", 0.0)],
+        ["mention_id", "span", "entity_id", "entity_key", "score"],
+    )
+    blocked = blocking.blocking_keys(m)
+    pairs = blocking.candidate_pairs(blocked)
+    plan = _plan(pairs)
+    assert "block_key" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "Exchange hashpartitioning(block_key" in plan
+    )
+
+
+def test_phase1_ranking_has_no_python_eval(spark, dict_pack):
+    from fel_spark.operators.mentions import prepare_candidate_dict
+    from fel_spark.sources.synth import alias_dict_df, entities_df
+
+    cd = prepare_candidate_dict(
+        alias_dict_df(spark, dict_pack), entities_df(spark, dict_pack)
+    )
+    plan = _plan(cd)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_on_scan_agg(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    q.collect()  # AQE finalizes the physical plan on execution
+    assert "WholeStageCodegen" in _plan(q)
