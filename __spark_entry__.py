@@ -435,17 +435,29 @@ def q_knn_bruteforce(spark, sf_dir):
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs over documents (no SQL oracle —
     LSH banding is not ANSI-expressible; rows-only check)."""
+    from fel_spark.operators.blocking import cap_blocks
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", normalize_fast("text").alias("tn")
     )
-    with_sig = minhash_signatures_df(
-        d, token_ngrams(F.split(F.col("tn"), " "), 3), ["doc_id", "tn"], 8
+    grams = token_ngrams(F.split(F.col("tn"), " "), 3)
+    with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
+    with_sig = minhash_signatures_df(with_g, F.col("_g"), ["doc_id", "tn"], 8)
+    blocked = cap_blocks(
+        with_sig.withColumn(
+            "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
+        ),
+        max_block=500,
+        salt_col="doc_id",
     )
-    blocked = with_sig.withColumn("bk", F.explode(lsh_band_keys(F.col("sig"), 4, 2)))
-    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "bk")
-    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b"), "bk")
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "block_key"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b"), "block_key"
+    )
     pairs = (
-        a.join(b, "bk")
+        a.join(b, "block_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -701,7 +713,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "union_merge": """
             SELECT nationkey, count(*) AS n_total,
-                   sum(CASE WHEN src = 'cust' THEN 1 ELSE 0 END) AS n_cust
+                   CAST(sum(CASE WHEN src = 'cust' THEN 1 ELSE 0 END) AS BIGINT) AS n_cust
             FROM (
                 SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
                 UNION ALL

@@ -12,9 +12,18 @@ converges in O(diameter) rounds (duplicate clusters are near-cliques, so
 diameter is small). Each round localCheckpoints to cut lineage (SURVEY §4
 custom-work item 3). Deterministic: labels are mention ids, min is total
 order, no randomness.
+Each iteration does a hash-min step (adopt the minimum neighbor label)
+followed by a pointer-jump (adopt the label of the current label's vertex
+— path halving), so convergence is O(log diameter) rounds instead of
+O(diameter): a 1000-node chain converges in ~10 rounds, not 1000. Each
+round costs exactly one driver action (the convergence count on the
+checkpointed labels), which bounds the serial Amdahl fraction of the
+whole ER job.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -60,31 +69,48 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    n_changed = 0
     for _ in range(max_iterations):
-        # candidate labels flowing over edges: for each dst, min(label(src))
+        # 1) hash-min step: for each dst, min(label(src)) over its neighbors
         msgs = (
             sym.join(labels, sym.src == F.col(id_col))
             .select(F.col("dst").alias(id_col), "component")
             .groupBy(id_col)
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, id_col, "left")
-            .select(
-                id_col,
-                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
-                    "component"
-                ),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "changed"
-                ),
-            )
+        stepped = labels.join(msgs, id_col, "left").select(
+            id_col,
+            F.col("component").alias("_old"),
+            F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
+                "_c1"
+            ),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
+        # 2) pointer-jump (path halving): component <- label(component).
+        # Labels are always vertex ids, so the self-join hits; this is what
+        # turns O(diameter) rounds into O(log diameter).
+        parent = stepped.select(
+            F.col(id_col).alias("_pid"), F.col("_c1").alias("_pcomp")
+        )
+        jumped = stepped.join(
+            parent, stepped["_c1"] == F.col("_pid"), "left"
+        ).select(
+            id_col,
+            F.least("_c1", F.coalesce("_pcomp", "_c1")).alias("component"),
+            "_old",
+        )
+        new_labels = jumped.repartition(n_parts, id_col).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("component") < F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        warnings.warn(
+            f"connected_components: not converged after {max_iterations} "
+            f"iterations ({n_changed} labels still changing); returned "
+            "components may be split — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

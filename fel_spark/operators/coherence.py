@@ -95,7 +95,10 @@ def _lattice(emb, surfaces, cand_lists, reverse: bool) -> np.ndarray:
         i, prev = idx[pos], idx[pos - 1]
         for j, cand in enumerate(cand_lists[i][:MAXNBEST]):
             node = _node_score(emb, cand["entity_key"], cand["name"], surfaces[i])
-            best = None
+            # floor, not None: a previous mention with an empty candidate
+            # list must degrade to the floor instead of raising (best + node
+            # on None) and killing the whole mapInPandas task.
+            best = DEFAULT_LOG_LIKELIHOOD
             for k, pcand in enumerate(cand_lists[prev][:MAXNBEST]):
                 e2e = _emb_cos(emb, pcand["entity_key"], cand["entity_key"])
                 lex = _lex_sim(pcand["name"], cand["name"])

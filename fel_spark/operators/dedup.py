@@ -10,19 +10,29 @@ embedding column), each returning DataFrames a pipeline can act on:
 - embedding_cosine_dedup: near-dup pairs by embedding cosine (LSH-bucketed)
 
 Design rules (100 TB posture): no driver-side loops, every signature is
-computed by codegen'd expressions or one explode+aggregate pass (map-side
-combined), every self-join is blocked and salt-capped, clusters come from
-the shared connected-components operator.
+computed by codegen'd expressions, one explode+aggregate pass (map-side
+combined), or a single Arrow-batched NumPy pass; exact duplicates collapse
+to one representative BEFORE any pair generation; every bucket self-join is
+routed through blocking.cap_blocks (hot buckets salt-split at
+DEDUP_MAX_BLOCK rows); heavy payloads (gram arrays, vectors) attach to
+pairs by id-join after pair dedup instead of riding the band-explode
+shuffle; clusters come from the shared connected-components operator.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
 from fel_spark.functions.hashing import lsh_band_keys, minhash_signatures_df
 from fel_spark.functions.sim import array_jaccard
 from fel_spark.functions.text import normalize_fast, normalize_tokens, token_ngrams
+from fel_spark.operators.blocking import cap_blocks
 from fel_spark.operators.cluster import connected_components
+
+DEDUP_MAX_BLOCK = 500
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -38,15 +48,38 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def _pairs_from_blocks(blocked: DataFrame, id_col: str, carry: list[str]) -> DataFrame:
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in carry], "bk"
+def _pairs_from_blocks(
+    blocked: DataFrame,
+    id_col: str,
+    carry: list[str],
+    max_block: int = DEDUP_MAX_BLOCK,
+) -> DataFrame:
+    """Bucket self-join with hot-bucket salting.
+
+    A corpus with k identical boilerplate docs puts all k in one band
+    bucket; an uncapped self-join is O(k^2) pairs. Blocks above
+    ``max_block`` rows are salt-split (blocking.cap_blocks) — intra-block
+    pairs across salt shards are lost by construction, but exact-dup runs
+    collapse through exact_dedup first and transitive closure reconnects
+    the rest (same mitigation as the ER path, blocking.py:59-81).
+    """
+    capped = cap_blocks(
+        blocked.withColumnRenamed("bk", "block_key"),
+        max_block=max_block,
+        salt_col=id_col,
     )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in carry], "bk"
+    a = capped.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+        "block_key",
+    )
+    b = capped.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+        "block_key",
     )
     return (
-        a.join(b, "bk")
+        a.join(b, "block_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -60,6 +93,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.7,
+    max_block: int = DEDUP_MAX_BLOCK,
 ) -> DataFrame:
     """MinHash-LSH near-dup clusters.
 
@@ -68,12 +102,29 @@ def minhash_lsh_dedup(
     connected components. Returns (doc_id, cluster_id).
     """
     d = docs.select(F.col(id_col), normalize_fast(text_col).alias("_tn"))
+    # dedup-before-pair: collapse exact duplicates to one representative
+    # FIRST. Identical texts produce identical signatures, hence identical
+    # band keys in EVERY band — an unfixable quadratic hot bucket (salting
+    # can't reconnect it: equal docs land in the same salt shard in every
+    # band). One hash-agg removes the problem at its root and shrinks the
+    # LSH input to distinct texts.
+    reps = d.groupBy("_tn").agg(F.min(id_col).alias("_rep"))
     grams = token_ngrams(F.split(F.col("_tn"), " "), shingle_n)
-    with_sig = minhash_signatures_df(d, grams, [id_col, "_tn"], bands * rows_per_band)
+    with_g = reps.withColumn("_grams", grams)
+    # docs shorter than shingle_n tokens have NO shingles — their minhash
+    # signature would be the constant xxhash64(null) vector, putting all of
+    # them in one giant bucket. They can't be near-dups by this measure;
+    # keep them out of banding (they remain singleton vertices in the CC).
+    with_sig = minhash_signatures_df(
+        with_g.filter(F.size("_grams") > 0),
+        F.col("_grams"),
+        ["_rep", "_tn"],
+        bands * rows_per_band,
+    )
     blocked = with_sig.withColumn(
         "bk", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
     )
-    pairs = _pairs_from_blocks(blocked, id_col, ["_tn"])
+    pairs = _pairs_from_blocks(blocked, "_rep", ["_tn"], max_block=max_block)
     verified = pairs.withColumn(
         "jaccard", array_jaccard(F.split("_tn_a", " "), F.split("_tn_b", " "))
     ).filter(F.col("jaccard") >= jaccard_threshold)
@@ -82,59 +133,98 @@ def minhash_lsh_dedup(
         F.col("id_b").cast("string").alias("dst"),
     )
     comp = connected_components(
-        edges, vertices=d.select(F.col(id_col).cast("string").alias("id"))
+        edges, vertices=reps.select(F.col("_rep").cast("string").alias("id"))
     )
-    return comp.select(
-        F.col("id").alias(f"{id_col}_str"), F.col("component").alias("cluster_id")
-    ).join(
-        d.withColumn(f"{id_col}_str", F.col(id_col).cast("string")).select(
-            id_col, f"{id_col}_str"
-        ),
-        f"{id_col}_str",
-    ).select(id_col, "cluster_id")
-
-
-def simhash_expr(tokens, bits: int = 64, seed: int = 7171):
-    """64-bit SimHash of a token array as a native column expression.
-
-    For each bit b: sum over tokens of +/-1 according to bit b of
-    xxhash64(token); sign of the sum -> bit. Expressed as an aggregate over
-    the token array per bit — stays in codegen, no UDF.
-    """
-    def bit(b: int):
-        contrib = F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.shiftright(F.xxhash64(t, F.lit(seed)), b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+    # fan the rep's component back out to every doc in its exact-dup group
+    return (
+        d.join(reps, "_tn")
+        .withColumn("_rep_str", F.col("_rep").cast("string"))
+        .join(
+            comp.select(
+                F.col("id").alias("_rep_str"), F.col("component").alias("cluster_id")
+            ),
+            "_rep_str",
         )
-        return F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        .select(id_col, "cluster_id")
+    )
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.shiftleft(bit(b), b)
-    return out
+
+def _simhash_fold(hashes: pd.Series) -> pd.Series:
+    """SimHash fold: array<long> per-token hashes -> 64-bit fingerprint.
+
+    One vectorized NumPy pass per Arrow batch: unpack the 64 bits of every
+    token hash, sum +/-1 contributions per row (np.add.reduceat over the
+    flattened batch), sign -> bit. Replaces the previous 64-separate-
+    interpreted-aggregate-passes column expression (~64x the scan work).
+    Bit rule matches the old expression exactly: bit set iff the
+    contribution sum is STRICTLY positive (ties -> 0).
+    """
+    n = len(hashes)
+    lens = np.fromiter(
+        ((len(h) if h is not None else 0) for h in hashes), dtype=np.int64, count=n
+    )
+    out = np.zeros(n, dtype=np.uint64)
+    nonzero = lens > 0
+    if nonzero.any():
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        ).view(np.uint64)
+        # bits: (total_tokens, 64) of {0,1}; contributions are 2*bit - 1
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int32
+        )
+        offsets = np.zeros(int(nonzero.sum()), dtype=np.int64)
+        np.cumsum(lens[nonzero][:-1], out=offsets[1:])
+        sums = np.add.reduceat(bits, offsets, axis=0)  # (rows_nonzero, 64)
+        counts = lens[nonzero][:, None]
+        contrib = 2 * sums - counts  # sum of +/-1 per bit
+        packed = ((contrib > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonzero] = packed
+    return pd.Series(out.view(np.int64))
+
+
+def simhash_fingerprint(tokens, seed: int = 7171):
+    """64-bit SimHash of a token array.
+
+    Token hashing stays JVM-side (ONE pass of xxhash64 per token via
+    F.transform); the 64-bit fold runs in a single Arrow-batched NumPy UDF.
+    Output is bit-identical to the former per-bit aggregate expression.
+    (UDF registered lazily — pandas_udf needs an active SparkSession.)
+    """
+    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    return F.pandas_udf(_simhash_fold, "long")(token_hashes)
 
 
 def simhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bands: int = 4,
+    bands: int | None = None,
     max_hamming: int = 3,
+    max_block: int = DEDUP_MAX_BLOCK,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs.
 
-    Banded blocking: split the 64-bit fingerprint into ``bands`` 16-bit
-    chunks; near-dups within Hamming distance < bands must agree on at least
-    one chunk (pigeonhole). Pairs verified by exact Hamming distance.
-    Returns (id_a, id_b, hamming).
+    Banded blocking: split the 64-bit fingerprint into ``bands`` chunks;
+    pairs within Hamming distance <= bands-1 must agree on at least one
+    chunk (pigeonhole), so ``bands`` defaults to ``max_hamming + 1`` —
+    a caller-supplied ``bands`` below that is rejected (it would silently
+    miss pairs at distance >= bands that differ in every chunk).
+    Pairs verified by exact Hamming distance. Returns (id_a, id_b, hamming).
     """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need bands >= max_hamming + 1 (pigeonhole)"
+        )
+    if bands > 64:
+        raise ValueError(f"bands={bands} > 64 bits")
     toks = normalize_tokens(text_col)
-    d = docs.select(F.col(id_col), simhash_expr(toks).alias("sh"))
+    d = docs.select(F.col(id_col), simhash_fingerprint(toks).alias("sh"))
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     keys = F.array(
@@ -150,7 +240,7 @@ def simhash_dedup(
         ]
     )
     blocked = d.withColumn("bk", F.explode(keys))
-    pairs = _pairs_from_blocks(blocked, id_col, ["sh"])
+    pairs = _pairs_from_blocks(blocked, id_col, ["sh"], max_block=max_block)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
@@ -165,6 +255,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     bands: int = 6,
     rows_per_band: int = 2,
+    max_block: int = DEDUP_MAX_BLOCK,
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: (id_a, id_b, jaccard_ngram).
 
@@ -173,16 +264,25 @@ def ngram_jaccard_pairs(
     """
     d = docs.select(F.col(id_col), normalize_fast(text_col).alias("_tn"))
     grams_expr = token_ngrams(F.split(F.col("_tn"), " "), ngram_n)
-    with_g = d.withColumn("_grams", grams_expr)
+    # empty gram arrays (docs shorter than n tokens) would all share the
+    # constant null-signature bucket — exclude from banding
+    with_g = d.withColumn("_grams", grams_expr).filter(F.size("_grams") > 0)
     with_sig = minhash_signatures_df(
-        with_g, F.col("_grams"), [id_col, "_grams"], bands * rows_per_band
+        with_g, F.col("_grams"), [id_col], bands * rows_per_band
     )
     blocked = with_sig.withColumn(
         "bk", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
     )
-    pairs = _pairs_from_blocks(blocked, id_col, ["_grams"])
+    # pairs carry only ids through the band-explode shuffle; the (heavy)
+    # gram arrays attach afterwards by one id-keyed join per side — each
+    # doc's grams cross the wire once, not once per band x salt shard
+    pairs = _pairs_from_blocks(blocked, id_col, [], max_block=max_block)
+    ga = with_g.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_grams_a"))
+    gb = with_g.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_grams_b"))
     return (
-        pairs.withColumn("jaccard_ngram", array_jaccard(F.col("_grams_a"), F.col("_grams_b")))
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard_ngram", array_jaccard(F.col("_grams_a"), F.col("_grams_b")))
         .filter(F.col("jaccard_ngram") >= threshold)
         .select("id_a", "id_b", "jaccard_ngram")
     )
@@ -196,6 +296,7 @@ def embedding_cosine_pairs(
     n_planes: int = 12,
     bands: int = 4,
     seed: int = 1234,
+    max_block: int = DEDUP_MAX_BLOCK,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH + exact cosine.
 
@@ -230,10 +331,15 @@ def embedding_cosine_pairs(
     d = docs.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bk", F.explode(F.array(*band_keys))
     )
-    pairs = _pairs_from_blocks(d, id_col, [vec_col])
+    # ids-only through the band shuffle; vectors attach post-dedup by id
+    pairs = _pairs_from_blocks(d, id_col, [], max_block=max_block)
+    va = docs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias(f"{vec_col}_a"))
+    vb = docs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias(f"{vec_col}_b"))
     cos = cosine_sim(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -92,3 +92,40 @@ def test_ann_supersets(spark):
     )
     top = similarity.lsh_topk(emb, twin_q, k=1).collect()
     assert top and top[0]["vec_id"] == 7
+
+
+def test_hot_bucket_bounded_and_clustered(spark):
+    """Planted hot bucket: many identical + near-identical docs must finish
+    with a bounded candidate-pair count (salt cap) while exact duplicates
+    still collapse to ONE cluster (dedup-before-pair + CC)."""
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    n_ident = 2000
+    ident = spark.range(n_ident).select(
+        F.col("id").alias("doc_id"), F.lit(base_text).alias("text")
+    )
+    # near-identical variants: one distinct token appended -> distinct reps
+    # sharing almost all shingles (a genuine hot LSH bucket post-dedup)
+    n_near = 300
+    near = spark.range(n_near).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(base_text + " variant "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    docs = ident.unionByName(near)
+
+    out = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.6, max_block=50)
+    assert out.count() == n_ident + n_near
+    # all identical docs in one cluster
+    n_clusters_ident = (
+        out.filter(F.col("doc_id") < n_ident).select("cluster_id").distinct().count()
+    )
+    assert n_clusters_ident == 1
+
+    # simhash on the same corpus: pair count bounded by the salt cap.
+    # 2300 docs with (near-)identical fingerprints uncapped would be
+    # ~2.6M pairs; shards of <=50 bound it to ~150k (50-row shards per
+    # band; near-variant fingerprints spread over a few buckets each).
+    pairs = dedup.simhash_dedup(docs, max_hamming=3, max_block=50)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 300_000, n_pairs
