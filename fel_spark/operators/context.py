@@ -43,6 +43,25 @@ class EmbeddingMatrix:
     def __init__(self, vocab: dict[str, int], matrix: np.ndarray):
         self.vocab = vocab
         self.matrix = matrix.astype(np.float32)
+        self._index: pd.Index | None = None  # built lazily per process
+        self._index_ids: np.ndarray | None = None
+
+    def ids_for(self, tokens) -> np.ndarray:
+        """Vectorized vocab lookup: array-like of str -> row ids (-1 = OOV).
+
+        Uses a cached pandas hash Index (C-level get_indexer) instead of a
+        per-token Python dict probe — this is what keeps the scoring UDFs
+        free of Python loops.
+        """
+        if self._index is None:
+            self._index = pd.Index(list(self.vocab.keys()))
+            self._index_ids = np.fromiter(
+                self.vocab.values(), dtype=np.int64, count=len(self.vocab)
+            )
+        if len(tokens) == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = self._index.get_indexer(np.asarray(tokens, dtype=object))
+        return np.where(pos >= 0, self._index_ids[pos], -1)
 
     @classmethod
     def from_quantized(cls, keys: list[str], rows: list[list[int]], q: float = QUANT_Q_DEFAULT):
@@ -79,21 +98,29 @@ def turn_centroids(transcripts: DataFrame, bc_emb, text_col: str = "text") -> Da
         emb = bc_emb.value
         dim = emb.matrix.shape[1]
         for pdf in batches:
-            cents, norms = [], []
-            for toks_row in pdf["toks"]:
-                acc = np.zeros(dim, dtype=np.float32)
-                for t in toks_row:
-                    i = emb.vocab.get(t)
-                    if i is not None:
-                        acc += emb.matrix[i]
-                nrm = float(np.linalg.norm(acc))
-                cents.append(acc.tolist())
-                norms.append(nrm)
+            n = len(pdf)
+            lens = np.fromiter(
+                ((len(t) if t is not None else 0) for t in pdf["toks"]),
+                dtype=np.int64,
+                count=n,
+            )
+            cents = np.zeros((n, dim), dtype=np.float32)
+            nz = np.flatnonzero(lens > 0)
+            if len(nz):
+                # one flattened id-map + gather + segment-sum for the batch
+                flat = np.concatenate([np.asarray(pdf["toks"].iat[i]) for i in nz])
+                ids = emb.ids_for(flat)
+                vecs = emb.matrix[np.clip(ids, 0, None)]
+                vecs[ids < 0] = 0.0
+                offsets = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=offsets[1:])
+                cents[nz] = np.add.reduceat(vecs, offsets, axis=0)
+            norms = np.linalg.norm(cents, axis=1).astype(np.float64)
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
                     "turn_idx": pdf["turn_idx"],
-                    "centroid": cents,
+                    "centroid": list(cents),
                     "centroid_norm": norms,
                 }
             )
@@ -176,29 +203,55 @@ def span_context_scores(
         lengths: pd.Series,
         skips: pd.Series,
     ) -> pd.Series:
+        # Fully batch-vectorized (this is the ER pipeline's hottest stage):
+        # 1. one hash-index id-map over the batch's flattened tokens,
+        # 2. window centroids via prefix sums (sum[lo:hi] minus the span),
+        # 3. one einsum for every row's <entity, centroid> dot.
+        # No per-row or per-token Python.
         emb = bc_emb.value
-        out = np.zeros(len(keys), dtype=np.float64)
-        for i, (k, tk, s, ln, sk) in enumerate(
-            zip(keys, toks, starts, lengths, skips)
-        ):
-            if sk is not None and sk <= 1:
-                continue
-            ei = emb.vocab.get(k)
-            if ei is None or tk is None:
-                continue
-            s0 = int(s) - 1  # 0-based span start
-            lo = max(0, s0 - window)
-            hi = min(len(tk), s0 + int(ln) + window)
-            acc = np.zeros(dim, dtype=np.float32)
-            for j in range(lo, hi):
-                if s0 <= j < s0 + int(ln):
-                    continue  # exclude the span itself
-                wi = emb.vocab.get(tk[j])
-                if wi is not None:
-                    acc += emb.matrix[wi]
-            nrm = float(np.linalg.norm(acc))
-            if nrm > 0:
-                out[i] = float(emb.matrix[ei] @ acc) / nrm
+        n = len(keys)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        sk = skips.to_numpy(dtype=np.float64, na_value=np.inf)
+        ent_ids = emb.ids_for(keys.to_numpy(dtype=object, na_value=None))
+        lens = np.fromiter(
+            ((len(t) if t is not None else 0) for t in toks),
+            dtype=np.int64,
+            count=n,
+        )
+        active = (sk > 1) & (ent_ids >= 0) & (lens > 0)
+        idx = np.flatnonzero(active)
+        if len(idx) == 0:
+            return pd.Series(out)
+
+        flat = np.concatenate([np.asarray(toks.iat[i]) for i in idx])
+        tok_ids = emb.ids_for(flat)
+        vecs = emb.matrix[np.clip(tok_ids, 0, None)]
+        vecs[tok_ids < 0] = 0.0
+        # float64 prefix sums: the windowed difference P[hi]-P[lo] must not
+        # lose the small window inside a long document's running total
+        pref = np.zeros((len(flat) + 1, dim), dtype=np.float64)
+        np.cumsum(vecs, axis=0, out=pref[1:])
+
+        rl = lens[idx]
+        base = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(rl[:-1], out=base[1:])
+        s0 = np.clip(starts.to_numpy(dtype=np.int64, na_value=0)[idx] - 1, 0, rl)
+        se = np.clip(s0 + lengths.to_numpy(dtype=np.int64, na_value=0)[idx], s0, rl)
+        lo = np.maximum(0, s0 - window)
+        hi = np.minimum(rl, se + window)
+        # centroid = sum[lo:hi) - sum[s0:se)  (window minus the span itself)
+        cents = (
+            pref[base + hi]
+            - pref[base + lo]
+            - (pref[base + se] - pref[base + s0])
+        )
+        norms = np.linalg.norm(cents, axis=1)
+        evecs = emb.matrix[ent_ids[idx]].astype(np.float64)
+        dots = np.einsum("ij,ij->i", evecs, cents)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[idx] = np.where(norms > 0, dots / norms, 0.0)
         return pd.Series(out)
 
     skip = F.col(skip_col) if skip_col else F.lit(2)
