@@ -545,6 +545,53 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=5)
 
 
+def q_entity_embeddings(spark, sf_dir):
+    """M3: per-entity LR embedding training (w2v/EntityEmbeddings.java:
+    151-282) over a deterministic description table built from the
+    embeddings vocabulary. No SQL oracle — iterative GD is not
+    ANSI-expressible; rows-only check. Output is deterministic (per-entity
+    seeded RNG), so row count + schema are stable."""
+    from fel_spark.operators.context import EmbeddingMatrix, broadcast_embeddings
+    from fel_spark.operators.embeddings import train_entity_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    pdf = e.select(F.concat(F.lit("w"), F.col("vec_id")).alias("key"), "embedding")
+    import numpy as np
+
+    rows = pdf.limit(512).collect()  # vocabulary artifact, broadcast-sized
+    emb = EmbeddingMatrix(
+        {r["key"]: i for i, r in enumerate(rows)},
+        np.array([r["embedding"] for r in rows], dtype=np.float32),
+    )
+    bc = broadcast_embeddings(spark, emb)
+    v = len(rows)
+    desc = spark.range(16).select(
+        F.concat(F.lit("e"), F.col("id")).alias("entity_key"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda j: F.concat(
+                    F.lit("w"), ((F.col("id") * 17 + j * 3) % v).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("description"),
+    )
+    out = train_entity_embeddings(desc, bc, max_iter=2000)
+    return out.select(
+        "entity_key",
+        F.size("vector").alias("dim"),
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    "vector", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+                )
+            )
+            * 10000
+        ).cast("long").alias("norm_4dp"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> deterministic feature vector
     via mapInPandas (decode stubbed; rows-only)."""
@@ -591,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
     }
 

@@ -168,6 +168,20 @@ def entity_context_scores(
     return pairs.withColumn(out_col, _score(F.col(entity_key_col), F.col(centroid_col)))
 
 
+def _ranges(starts: np.ndarray, stops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated np.arange(starts[i], stops[i]) + the owning row index."""
+    lens = np.maximum(stops - starts, 0)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    offs = np.cumsum(lens) - lens
+    flat = np.arange(total, dtype=np.int64) - np.repeat(offs, lens) + np.repeat(
+        starts, lens
+    )
+    return flat, rows
+
+
 def span_context_scores(
     df: DataFrame,
     bc_emb,
@@ -178,6 +192,8 @@ def span_context_scores(
     length_col: str = "length",
     out_col: str = "context_score",
     skip_col: str | None = None,
+    scorer: str = "centroid",
+    bc_entity_emb=None,
 ) -> DataFrame:
     """Localized context score: centroid of the tokens within ``window``
     positions of the span (span tokens excluded), dotted with the entity
@@ -192,7 +208,25 @@ def span_context_scores(
     0.0 inside the UDF (nothing to disambiguate for a single-candidate
     alias) — dynamic pruning without splitting the plan into two branches
     (a plan split would recompute the whole upstream subtree per branch).
+
+    ``scorer`` selects the reference's scorer family (all Arrow-batched,
+    loop-free):
+    - "centroid"  (`CentroidEntityScorer.java:30-55`): <entity, centroid of
+      window tokens>/||centroid||, via prefix sums.
+    - "lr"        (`it/cnr/isti/hpc/LREntityScorer.java:28-48`): the learned
+      LR scorer -sum_w log(1+exp(bias + <w, e>)); entity vectors (from
+      ``bc_entity_emb``, e.g. train_entity_embeddings output) are d+1 wide,
+      last dim = bias.
+    - "custom_lr" (`w2v/CustomLREntityScorer.java:33-61`): d-wide entity
+      vectors, no bias, negated dot — FEL's default contextual path
+      (`w2v/LREntityContext.java:26`).
+    ``bc_entity_emb``: broadcast EmbeddingMatrix for entity keys (defaults
+    to ``bc_emb``, the reference's single-file constructor).
     """
+    if scorer not in ("centroid", "lr", "custom_lr"):
+        raise ValueError(f"unknown scorer {scorer!r}")
+    if bc_entity_emb is None:
+        bc_entity_emb = bc_emb
     dim = bc_emb.value.matrix.shape[1]
 
     @F.pandas_udf("double")
@@ -209,12 +243,13 @@ def span_context_scores(
         # 3. one einsum for every row's <entity, centroid> dot.
         # No per-row or per-token Python.
         emb = bc_emb.value
+        eemb = bc_entity_emb.value
         n = len(keys)
         out = np.zeros(n, dtype=np.float64)
         if n == 0:
             return pd.Series(out)
         sk = skips.to_numpy(dtype=np.float64, na_value=np.inf)
-        ent_ids = emb.ids_for(keys.to_numpy(dtype=object, na_value=None))
+        ent_ids = eemb.ids_for(keys.to_numpy(dtype=object, na_value=None))
         lens = np.fromiter(
             ((len(t) if t is not None else 0) for t in toks),
             dtype=np.int64,
@@ -227,12 +262,6 @@ def span_context_scores(
 
         flat = np.concatenate([np.asarray(toks.iat[i]) for i in idx])
         tok_ids = emb.ids_for(flat)
-        vecs = emb.matrix[np.clip(tok_ids, 0, None)]
-        vecs[tok_ids < 0] = 0.0
-        # float64 prefix sums: the windowed difference P[hi]-P[lo] must not
-        # lose the small window inside a long document's running total
-        pref = np.zeros((len(flat) + 1, dim), dtype=np.float64)
-        np.cumsum(vecs, axis=0, out=pref[1:])
 
         rl = lens[idx]
         base = np.zeros(len(idx), dtype=np.int64)
@@ -241,17 +270,40 @@ def span_context_scores(
         se = np.clip(s0 + lengths.to_numpy(dtype=np.int64, na_value=0)[idx], s0, rl)
         lo = np.maximum(0, s0 - window)
         hi = np.minimum(rl, se + window)
-        # centroid = sum[lo:hi) - sum[s0:se)  (window minus the span itself)
-        cents = (
-            pref[base + hi]
-            - pref[base + lo]
-            - (pref[base + se] - pref[base + s0])
-        )
-        norms = np.linalg.norm(cents, axis=1)
-        evecs = emb.matrix[ent_ids[idx]].astype(np.float64)
-        dots = np.einsum("ij,ij->i", evecs, cents)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out[idx] = np.where(norms > 0, dots / norms, 0.0)
+
+        if scorer == "centroid":
+            vecs = emb.matrix[np.clip(tok_ids, 0, None)]
+            vecs[tok_ids < 0] = 0.0
+            # float64 prefix sums: the windowed difference P[hi]-P[lo] must
+            # not lose the small window inside a long running total
+            pref = np.zeros((len(flat) + 1, dim), dtype=np.float64)
+            np.cumsum(vecs, axis=0, out=pref[1:])
+            # centroid = sum[lo:hi) - sum[s0:se)  (window minus the span)
+            cents = (
+                pref[base + hi]
+                - pref[base + lo]
+                - (pref[base + se] - pref[base + s0])
+            )
+            norms = np.linalg.norm(cents, axis=1)
+            evecs = emb.matrix[ent_ids[idx]].astype(np.float64)
+            dots = np.einsum("ij,ij->i", evecs, cents)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = np.where(norms > 0, dots / norms, 0.0)
+        else:
+            from fel_spark.operators.embeddings import lr_score_batch
+
+            # window token positions excluding the span: [lo,s0) ++ [se,hi)
+            fl, rl_rows = _ranges(base + lo, base + s0)
+            fr, rr_rows = _ranges(base + se, base + hi)
+            flat_pos = np.concatenate([fl, fr])
+            rows = np.concatenate([rl_rows, rr_rows])
+            wt = tok_ids[flat_pos]
+            ok = wt >= 0
+            wv = emb.matrix[wt[ok]].astype(np.float64)
+            ev = eemb.matrix[ent_ids[idx]].astype(np.float64)
+            out[idx] = lr_score_batch(
+                wv, rows[ok], ev, len(idx), custom=(scorer == "custom_lr")
+            )
         return pd.Series(out)
 
     skip = F.col(skip_col) if skip_col else F.lit(2)

@@ -130,6 +130,8 @@ def score_candidates(
     cands: DataFrame,
     transcripts: DataFrame | None = None,
     bc_emb=None,
+    scorer: str = "centroid",
+    bc_entity_emb=None,
 ) -> DataFrame:
     """Contextual phase-2 scoring on joined (span x candidate) rows.
 
@@ -142,6 +144,13 @@ def score_candidates(
     score  = ctx*corr + log(phase1) + len_prior   (phase-2, :127-133)
     seg_score (for the DP) stays the phase-1 log-prob — the DP needs
     negative sub-additive scores (see segment_mentions).
+
+    ``scorer``: "centroid" (default, `CentroidEntityScorer`), "lr"
+    (`LREntityScorer`, d+1-wide entity vectors w/ bias) or "custom_lr"
+    (`CustomLREntityScorer` — FEL's default contextual path,
+    `w2v/LREntityContext.java:26`); ``bc_entity_emb`` supplies the learned
+    entity matrix (e.g. embeddings.train_entity_embeddings output),
+    defaulting to the word matrix.
     """
     if bc_emb is None or transcripts is None:
         return cands.withColumn("context_score", F.lit(0.0)).withColumn(
@@ -155,7 +164,13 @@ def score_candidates(
     # single plan, no ambig/unambig branch split (a split would recompute
     # the span-explode subtree per branch); the UDF short-circuits rows
     # with n_cands <= 1 internally
-    scored = span_context_scores(with_toks, bc_emb, skip_col="n_cands").drop("toks")
+    scored = span_context_scores(
+        with_toks,
+        bc_emb,
+        skip_col="n_cands",
+        scorer=scorer,
+        bc_entity_emb=bc_entity_emb,
+    ).drop("toks")
     return scored.withColumn(
         "score",
         F.greatest(F.col("context_score"), F.lit(ranking.MIN_CONTEXT))
