@@ -367,6 +367,30 @@ def q_doc_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_fast("text").alias("text_norm"))
 
 
+def q_doc_normalize_full(spark, sf_dir):
+    """P5: full punct+diacritics folding (PunctuationDiacriticsFolder.java:
+    28-36). Testdata is ASCII, so the oracle checks the punct/space/trim
+    semantics; unicode fidelity (NFD, Lm/Sk strip) is pytest-covered
+    (tests/test_normalize.py)."""
+    from fel_spark.functions.text import normalize_full
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_full("text").alias("text_folded"))
+
+
+def q_url_codec(spark, sf_dir):
+    """P6: URL form-encode/decode round trip (udf/NormalizeText.java:35-41)."""
+    from fel_spark.functions.text import url_decode, url_encode
+
+    p = _t(spark, sf_dir, "part")
+    enc = url_encode("p_name")
+    return p.select(
+        "p_partkey",
+        enc.alias("enc"),
+        url_decode(enc).alias("dec"),
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """Token counting + quality ratios (training-data pipeline ops)."""
     d = _t(spark, sf_dir, "documents")
@@ -626,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag_window": q_events_lag_window,
         "events_daily_rollup": q_events_daily_rollup,
         "doc_normalize": q_doc_normalize,
+        "doc_normalize_full": q_doc_normalize_full,
+        "url_codec": q_url_codec,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -783,6 +809,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "doc_normalize": f"SELECT doc_id, {_NORM.format(c='text')} AS text_norm FROM documents",
+        # PunctuationDiacriticsFolder: punct+ -> ' ', space/cntrl+ -> ' ',
+        # NFD accent strip (identity on this ASCII corpus), lower, trim
+        "doc_normalize_full": r"""
+            SELECT doc_id,
+                   trim(lower(strip_accents(
+                       regexp_replace(
+                           regexp_replace(text, '[!-/:-@\[-`{-~]+', ' ', 'g'),
+                           '[\s\x00-\x1f\x7f]+', ' ', 'g')))) AS text_folded
+            FROM documents
+        """,
+        # p_name is lowercase letters + spaces: form-encoding is exactly
+        # space -> '+'; decode round-trips to the original
+        "url_codec": """
+            SELECT p_partkey, replace(p_name, ' ', '+') AS enc, p_name AS dec
+            FROM part
+        """,
         "doc_token_stats": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,

@@ -80,6 +80,82 @@ def all_spans(tokens: Column, max_len: int) -> Column:
     )
 
 
+# --- P5: full punctuation + diacritics folding -----------------------------
+#
+# Mirrors `io/PunctuationDiacriticsFolder.normalize` (:28-36): ASCII
+# punctuation runs -> space, space/control runs -> space, NFD decomposition
+# with combining-diacritical-marks (U+0300-U+036F) + Lm + Sk stripped,
+# lowercase, trim. normalize_fast (above) stays the ASCII hot path — this is
+# the fidelity path for accented text ("café" == "cafe").
+
+_PUNCT_RE = r"[!-/:-@\[-`{-~]+"  # Java \p{Punct} = POSIX ASCII punctuation
+_SPACE_CNTRL_RE = r"[\s\x00-\x1f\x7f]+"
+
+_FOLD_STRIP_RE = None  # lazily built per process
+
+
+def _fold_strip_regex():
+    """Regex matching Java's [\\p{InCombiningDiacriticalMarks}\\p{IsLm}\\p{IsSk}]+:
+    the U+0300-U+036F block plus BMP chars of category Lm / Sk (supplementary
+    planes omitted — no Lm/Sk there that survive NFD in practice)."""
+    global _FOLD_STRIP_RE
+    if _FOLD_STRIP_RE is None:
+        import re
+        import unicodedata
+
+        chars = [
+            chr(c)
+            for c in range(0x10000)
+            if unicodedata.category(chr(c)) in ("Lm", "Sk")
+        ]
+        _FOLD_STRIP_RE = re.compile(
+            "[\\u0300-\\u036f" + re.escape("".join(chars)) + "]+"
+        )
+    return _FOLD_STRIP_RE
+
+
+def fold_punct_diacritics_series(s):
+    """pandas-Series implementation (shared by the UDF and the parity test)."""
+    import unicodedata
+
+    import pandas as pd
+
+    s = s.astype(object).where(s.notna(), None)
+    out = s.str.replace(_PUNCT_RE, " ", regex=True)
+    out = out.str.replace(_SPACE_CNTRL_RE, " ", regex=True)
+    out = out.map(
+        lambda x: None if x is None else unicodedata.normalize("NFD", x)
+    )
+    out = out.str.replace(_fold_strip_regex(), "", regex=True)
+    return out.str.lower().str.strip()
+
+
+def normalize_full(col: Column | str) -> Column:
+    """Full NFD/diacritics normalization (`PunctuationDiacriticsFolder.java:
+    28-36`) as an Arrow-batched pandas UDF (the JVM has no NFD expression).
+    Use :func:`normalize_fast` on the hot path; this one where accent
+    folding matters (alias dictionaries built from mixed-script text)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _udf(s):
+        return fold_punct_diacritics_series(s)
+
+    return F.pandas_udf(_udf, "string")(c)
+
+
+def url_decode(col: Column | str) -> Column:
+    """P6: URL form-decoding (`udf/NormalizeText.java:39-41`,
+    java.net.URLDecoder UTF-8 — '+' means space). Spark's built-in
+    url_decode implements exactly those semantics."""
+    return F.url_decode(F.col(col) if isinstance(col, str) else col)
+
+
+def url_encode(col: Column | str) -> Column:
+    """P6: URL form-encoding (`udf/NormalizeText.java:35-37`,
+    java.net.URLEncoder UTF-8 — space becomes '+')."""
+    return F.url_encode(F.col(col) if isinstance(col, str) else col)
+
+
 def char_bigrams(col: Column | str) -> Column:
     """Per-word adjacent character pairs, flattened over the string.
 

@@ -305,31 +305,15 @@ def embedding_cosine_pairs(
     Hyperplanes are deterministic (numpy seeded) and inlined as literals.
     Returns (id_a, id_b, cosine).
     """
-    import numpy as np
-
     from fel_spark.functions.sim import cosine_sim
+    from fel_spark.operators.similarity import _band_keys_expr
 
     first = docs.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
 
-    def bit(i: int):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-
-    bits_per_band = n_planes // bands
-    band_keys = []
-    for b in range(bands):
-        parts = [bit(b * bits_per_band + j).cast("string") for j in range(bits_per_band)]
-        band_keys.append(F.concat_ws("", F.lit(str(b) + ":"), *parts))
     d = docs.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bk", F.explode(F.array(*band_keys))
+        "bk", F.explode(_band_keys_expr(planes, bands, F.col(vec_col)))
     )
     # ids-only through the band shuffle; vectors attach post-dedup by id
     pairs = _pairs_from_blocks(d, id_col, [], max_block=max_block)

@@ -4,17 +4,23 @@
   window top-k per query. The correctness baseline.
 - lsh_topk: random-hyperplane-bucketed approximate top-k — the scale path:
   candidates only from shared LSH buckets, exact cosine re-rank inside.
-- ivf_topk: IVF-style coarse quantizer — assign every vector to its nearest
-  of k centroids (one broadcast join + argmin), probe the query's nearest
-  n_probe centroid cells only. Centroids are sampled deterministically.
+- kmeans_centroids: Lloyd iterations (C5, `w2v/WordVectorsUtils.java:
+  216-331`) with distributed partial sums; only the k x dim centroid
+  matrix ever reaches the driver.
+- ivf_topk: IVF coarse quantizer — every vector assigned to its nearest
+  centroid by ONE Arrow-batched matmul (no crossJoin, no shuffle, no window);
+  queries probe their n_probe nearest cells.
 
-All distance math is column arithmetic (zip_with/aggregate) or Arrow-batched
-NumPy — no row-at-a-time Python.
+All distance math is Arrow-batched NumPy matmuls or native column
+arithmetic — no per-row Python, no interpreted per-plane aggregate chains.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
@@ -48,17 +54,37 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_bits(vec_col: str, planes: np.ndarray) -> list:
-    bits = []
-    for p in planes:
-        lit_plane = F.array(*[F.lit(float(x)) for x in p])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def _stack(vs: pd.Series, dim: int) -> np.ndarray:
+    """Arrow list column -> (n, dim) float64 matrix (None/ragged -> zeros)."""
+    out = np.zeros((len(vs), dim), dtype=np.float64)
+    for i, v in enumerate(vs):
+        if v is not None and len(v) == dim:
+            out[i] = v
+    return out
+
+
+def _band_keys_expr(planes: np.ndarray, bands: int, vec_col):
+    """All LSH band keys for a vector in ONE pandas-UDF matmul.
+
+    (n, dim) @ (dim, n_planes) -> sign bits -> per-band packed ints ->
+    'band:int' strings. Replaces the former n_planes separate interpreted
+    aggregate(zip_with(...)) expression passes per vector.
+    """
+    n_planes, dim = planes.shape
+    bpb = n_planes // bands
+    pt = planes.T.astype(np.float64)
+    weights = (1 << np.arange(bpb, dtype=np.int64))
+
+    def _f(vs: pd.Series) -> pd.Series:
+        V = _stack(vs, dim)
+        bits = (V @ pt > 0).astype(np.int64)  # (n, n_planes)
+        packed = bits[:, : bands * bpb].reshape(len(vs), bands, bpb) @ weights
+        return pd.Series(
+            [[f"{b}:{int(packed[i, b])}" for b in range(bands)] for i in range(len(vs))],
+            dtype=object,
         )
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
+
+    return F.pandas_udf(_f, "array<string>")(vec_col)
 
 
 def lsh_topk(
@@ -78,25 +104,13 @@ def lsh_topk(
     first = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
     planes = np.random.RandomState(seed).randn(n_planes, dim)
-    bits_per_band = n_planes // bands
-
-    def band_keys(col: str):
-        bits = _hyperplane_bits(col, planes)
-        keys = []
-        for b in range(bands):
-            parts = [
-                bits[b * bits_per_band + j].cast("string")
-                for j in range(bits_per_band)
-            ]
-            keys.append(F.concat_ws("", F.lit(f"{b}:"), *parts))
-        return F.array(*keys)
 
     v = vectors.select(id_col, vec_col).withColumn(
-        "bk", F.explode(band_keys(vec_col))
+        "bk", F.explode(_band_keys_expr(planes, bands, F.col(vec_col)))
     )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
-    ).withColumn("bk", F.explode(band_keys("_qv")))
+    ).withColumn("bk", F.explode(_band_keys_expr(planes, bands, F.col("_qv"))))
     cand = (
         v.join(q, "bk")
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -111,6 +125,84 @@ def lsh_topk(
     )
 
 
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return np.where(n > 0, m / np.where(n == 0, 1, n), 0.0)
+
+
+def _cell_assign_expr(cents: np.ndarray, n_probe: int, vec_col):
+    """Nearest-centroid cell ids (cosine, top n_probe) via one matmul —
+    no crossJoin, no shuffle, no window (the former window-over-crossjoin
+    shuffled V x n_cells rows just to take an argmax)."""
+    cn = _normalize_rows(cents.astype(np.float64)).T  # (dim, k)
+    dim = cents.shape[1]
+
+    def _f(vs: pd.Series) -> pd.Series:
+        V = _normalize_rows(_stack(vs, dim))
+        sims = V @ cn  # (n, k)
+        # top n_probe cells, ties toward the smaller cell id (sort on
+        # (-sim, id) via stable argsort over id-ordered columns)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() for row in order], dtype=object)
+
+    return F.pandas_udf(_f, "array<int>")(vec_col)
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 99,
+) -> np.ndarray:
+    """C5: k-means (Lloyd) over an embedding column
+    (`w2v/WordVectorsUtils.java:216-331`, cosine assignment + mean update).
+
+    Initial centroids are a deterministic hash-ordered sample; each Lloyd
+    iteration assigns every vector with one Arrow matmul (no shuffle) and
+    reduces per-cell sums in two steps: per-Arrow-batch partial sums
+    executor-side (mapInPandas), then the tiny (batches x k) partial table
+    is finished on the driver — only k x dim state ever leaves the
+    executors, never corpus rows.
+    """
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    init = (
+        vectors.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10**9)))
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r[vec_col] for r in init], dtype=np.float64)
+    k_eff = len(cents)
+
+    for _ in range(n_iters):
+        cn = _normalize_rows(cents).T
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                V = _stack(pdf[vec_col], dim)
+                cells = np.argmax(_normalize_rows(V) @ cn, axis=1)
+                rows = []
+                for c in np.unique(cells):
+                    sel = V[cells == c]
+                    rows.append((int(c), sel.sum(axis=0).tolist(), int(len(sel))))
+                yield pd.DataFrame(rows, columns=["cell", "vsum", "cnt"])
+
+        parts = vectors.select(vec_col).mapInPandas(
+            partial, schema="cell int, vsum array<double>, cnt long"
+        ).collect()
+        sums = np.zeros((k_eff, dim), dtype=np.float64)
+        cnts = np.zeros(k_eff, dtype=np.int64)
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            cnts[r["cell"]] += r["cnt"]
+        nonempty = cnts > 0
+        cents[nonempty] = sums[nonempty] / cnts[nonempty, None]
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -121,35 +213,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 99,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF coarse quantization: centroids = deterministic sample of the
-    vectors; every vector assigned to its max-cosine centroid (broadcast
-    cross + argmin — one pass); queries probe their ``n_probe`` nearest
-    cells. Exact cosine re-rank within the probed cells."""
-    cents = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10**9)))
-        .limit(n_cells)
-        .select(
-            F.row_number().over(W.orderBy(id_col)).alias("cell_id"),
-            F.col(vec_col).alias("_cv"),
-        )
+    """IVF coarse quantization: Lloyd-refined centroids (C5); every vector
+    assigned to its max-cosine cell via one Arrow matmul; queries probe
+    their ``n_probe`` nearest cells; exact cosine re-rank inside the
+    probed cells."""
+    cents = kmeans_centroids(
+        vectors, k=n_cells, n_iters=kmeans_iters, id_col=id_col,
+        vec_col=vec_col, seed=seed,
     )
 
-    def assign(df: DataFrame, key_cols: list[str], vcol: str, n: int) -> DataFrame:
-        j = df.crossJoin(F.broadcast(cents)).withColumn(
-            "_csim", cosine_sim(F.col(vcol), F.col("_cv"))
-        )
-        w = W.partitionBy(*key_cols).orderBy(F.desc("_csim"), F.asc("cell_id"))
-        return (
-            j.withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= n)
-            .drop("_cv", "_csim", "_crk")
-        )
-
-    v_cells = assign(vectors.select(id_col, vec_col), [id_col], vec_col, 1)
+    v_cells = vectors.select(id_col, vec_col).withColumn(
+        "cell_id", _cell_assign_expr(cents, 1, F.col(vec_col))[0]
+    )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-    q_cells = assign(q, [query_id_col], "_qv", n_probe)
+    q_cells = q.withColumn(
+        "cell_id", F.explode(_cell_assign_expr(cents, n_probe, F.col("_qv")))
+    )
     cand = v_cells.join(q_cells, "cell_id").filter(
         F.col(id_col) != F.col(query_id_col)
     )

@@ -129,3 +129,34 @@ def test_hot_bucket_bounded_and_clustered(spark):
     pairs = dedup.simhash_dedup(docs, max_hamming=3, max_block=50)
     n_pairs = pairs.count()
     assert 0 < n_pairs < 300_000, n_pairs
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with Lloyd centroids: recall@5 vs the exact baseline reported and
+    bounded below."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 8").select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = {(r["query_id"], r["neighbor" if False else "vec_id"])
+          for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    iv = {(r["query_id"], r["vec_id"]) for r in similarity.ivf_topk(emb, q, k=5, n_probe=6).collect()}
+    recall = len(bf & iv) / len(bf)
+    print(f"ivf recall@5 = {recall:.3f}")
+    # synthetic embeddings have weak cluster structure; probing 6/16 cells
+    # on near-uniform data bounds recall well below 1.0 by construction
+    assert recall >= 0.45, recall
+
+
+def test_kmeans_centroids_reduce_inertia(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+
+    def inertia(cents):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return float((1 - (vn @ cn.T).max(axis=1)).sum())
+
+    c0 = similarity.kmeans_centroids(emb, k=8, n_iters=0)
+    c2 = similarity.kmeans_centroids(emb, k=8, n_iters=2)
+    assert inertia(c2) <= inertia(c0) + 1e-9, (inertia(c0), inertia(c2))

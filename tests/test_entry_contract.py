@@ -56,6 +56,7 @@ def test_queries_have_oracles_or_reason():
         "dedup_clusters",
         "ann_lsh",
         "ann_ivf",
+        "entity_embeddings",
         "media_features",
     }
 

@@ -70,3 +70,64 @@ def test_char_bigrams(spark):
     df = spark.createDataFrame([("ab cde x",)], ["text"])
     got = df.select(char_bigrams("text").alias("b")).collect()[0]["b"]
     assert got == ["ab", "cd", "de"]
+
+
+# --- P5: full punctuation + diacritics folding ------------------------------
+
+
+def _java_fold_reference(s: str) -> str:
+    """Character-level transcription of PunctuationDiacriticsFolder.normalize
+    (`io/PunctuationDiacriticsFolder.java:28-36`)."""
+    import re
+    import unicodedata
+
+    s = re.sub(r"[!-/:-@\[-`{-~]+", " ", s)  # \p{Punct}+ -> " "
+    s = re.sub(r"[\s\x00-\x1f\x7f]+", " ", s)  # [\p{Space}\p{Cntrl}]+ -> " "
+    s = unicodedata.normalize("NFD", s)
+    s = "".join(
+        ch
+        for ch in s
+        if not (
+            0x0300 <= ord(ch) <= 0x036F
+            or unicodedata.category(ch) in ("Lm", "Sk")
+        )
+    )
+    return s.lower().strip()
+
+
+FOLD_FIXTURE = [
+    "café au lait",
+    "naïve RÉSUMÉ",
+    "Dvořák's 9th—Symphony!!",
+    "  tabs\tand\nnewlines  ",
+    "日本語はそのまま",  # CJK passthrough (no decomposition, no marks)
+    "ʰsuperscript modifier",  # Lm stripped
+    "a^b~c",  # ASCII Sk/punct -> spaces
+    "ħ stays (no decomposition)",
+    "",
+    "ñõç đã Ω ω",
+]
+
+
+def test_fold_punct_diacritics_series_parity():
+    import pandas as pd
+
+    from fel_spark.functions.text import fold_punct_diacritics_series
+
+    got = fold_punct_diacritics_series(pd.Series(FOLD_FIXTURE)).tolist()
+    want = [_java_fold_reference(s) for s in FOLD_FIXTURE]
+    assert got == want
+    # spot-check the headline semantics
+    assert got[0] == "cafe au lait"
+    assert got[1] == "naive resume"
+    assert "dvorak" in got[2]
+    assert got[4] == "日本語はそのまま"
+
+
+def test_normalize_full_spark(spark):
+    from fel_spark.functions.text import normalize_full
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(FOLD_FIXTURE)], "i int, s string")
+    rows = df.select("i", normalize_full("s").alias("n")).orderBy("i").collect()
+    want = [_java_fold_reference(s) for s in FOLD_FIXTURE]
+    assert [r["n"] for r in rows] == want
