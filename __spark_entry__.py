@@ -532,6 +532,25 @@ def q_dict_build_counts(spark, sf_dir):
     return ad.select("alias", "entity_id", "QAT", "QAF", "QAEF", "LAT", "LAET", "QEF")
 
 
+def q_subngram_qat(spark, sf_dir):
+    """A12: alias-QAT propagated to contained sub-n-grams
+    (hash/CountNGramsFromQueries.java:96-115). Aliases of varying token
+    length derived from part names, so shorter aliases genuinely absorb
+    QAT from longer containing aliases."""
+    from fel_spark.plans.dictionary import propagate_qat_to_subngrams
+
+    p = _t(spark, sf_dir, "part")
+    toks = F.split(normalize_fast("p_name"), " ")
+    alias = F.array_join(
+        F.slice(toks, 1, (F.col("p_partkey") % 3 + 1).cast("int")), " "
+    )
+    aliases = p.select(alias.alias("alias")).groupBy("alias").agg(
+        F.count("*").alias("QAT")
+    )
+    out = propagate_qat_to_subngrams(aliases)
+    return out.select("alias", "QAT", F.col("QAT_sub").cast("long").alias("qat_sub"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (no SQL oracle — bit-sliced banding)."""
     from fel_spark.operators.dedup import simhash_dedup
@@ -660,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "doc_quality": q_doc_quality,
         "dict_build_counts": q_dict_build_counts,
+        "subngram_qat": q_subngram_qat,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh": q_ann_lsh,
@@ -905,6 +925,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT alias, entity_id, QAT, QAF, QAEF, LAT, LAET, QEF
             FROM pair JOIN am USING (alias) JOIN em USING (entity_id)
+        """,
+        "subngram_qat": """
+            WITH aliases AS (
+                SELECT array_to_string(
+                           list_slice(
+                               string_split(trim(regexp_replace(lower(p_name),
+                                   '[^a-z0-9]+', ' ', 'g')), ' '),
+                               1, CAST(p_partkey % 3 + 1 AS INT)),
+                           ' ') AS alias
+                FROM part
+            ),
+            d AS (SELECT alias, count(*) AS QAT FROM aliases GROUP BY 1),
+            toks AS (SELECT alias, QAT, string_split(alias, ' ') AS t FROM d),
+            spans AS (
+                SELECT array_to_string(t[i:j], ' ') AS sub, QAT
+                FROM toks,
+                     UNNEST(generate_series(1, len(t))) AS s(i),
+                     UNNEST(generate_series(1, len(t))) AS e(j)
+                WHERE j >= i AND j - i < 8
+            ),
+            agg AS (SELECT sub, CAST(sum(QAT) AS BIGINT) AS qat_sub
+                    FROM spans GROUP BY 1)
+            SELECT d.alias, d.QAT, agg.qat_sub
+            FROM d JOIN agg ON agg.sub = d.alias
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup (LSH
         # banding), simhash_pairs (bit-sliced banding), dedup_clusters

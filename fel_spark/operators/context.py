@@ -194,6 +194,7 @@ def span_context_scores(
     skip_col: str | None = None,
     scorer: str = "centroid",
     bc_entity_emb=None,
+    use_bigrams: bool = False,
 ) -> DataFrame:
     """Localized context score: centroid of the tokens within ``window``
     positions of the span (span tokens excluded), dotted with the entity
@@ -222,6 +223,13 @@ def span_context_scores(
       (`w2v/LREntityContext.java:26`).
     ``bc_entity_emb``: broadcast EmbeddingMatrix for entity keys (defaults
     to ``bc_emb``, the reference's single-file constructor).
+
+    ``use_bigrams`` (M8): expand the window context with ``w_{i-1}_w_i``
+    pseudo-words over consecutive window tokens, exactly like
+    `view/EntityContext.setContextWords` (:31-40) — bigrams that miss the
+    vocabulary contribute nothing. The span gap counts as adjacency (the
+    reference builds the filtered word list first, so words flanking an
+    excluded segment become neighbors).
     """
     if scorer not in ("centroid", "lr", "custom_lr"):
         raise ValueError(f"unknown scorer {scorer!r}")
@@ -271,7 +279,7 @@ def span_context_scores(
         lo = np.maximum(0, s0 - window)
         hi = np.minimum(rl, se + window)
 
-        if scorer == "centroid":
+        if scorer == "centroid" and not use_bigrams:
             vecs = emb.matrix[np.clip(tok_ids, 0, None)]
             vecs[tok_ids < 0] = 0.0
             # float64 prefix sums: the windowed difference P[hi]-P[lo] must
@@ -289,20 +297,52 @@ def span_context_scores(
             dots = np.einsum("ij,ij->i", evecs, cents)
             with np.errstate(divide="ignore", invalid="ignore"):
                 out[idx] = np.where(norms > 0, dots / norms, 0.0)
+            return pd.Series(out)
+
+        # gather path (LR scorers / bigram mode): materialize the window
+        # token list per row in logical order — [lo,s0) ++ [se,hi) — via
+        # vectorized range construction (no per-row Python)
+        wl = s0 - lo
+        wtot = wl + (hi - se)
+        p, rows = _ranges(np.zeros_like(wtot), wtot)
+        actual = np.where(
+            p < wl[rows],
+            base[rows] + lo[rows] + p,
+            base[rows] + se[rows] + (p - wl[rows]),
+        )
+        ctx_ids = tok_ids[actual]
+        ctx_rows = rows
+        if use_bigrams:
+            # w_{i-1}_w_i pseudo-words over logically adjacent window tokens
+            # (EntityContext.setContextWords, view/EntityContext.java:31-40)
+            adj = rows[1:] == rows[:-1]
+            if adj.any():
+                wtoks = flat[actual]
+                bg = (
+                    pd.Series(wtoks[:-1][adj]).astype(str)
+                    + "_"
+                    + pd.Series(wtoks[1:][adj]).astype(str)
+                )
+                bg_ids = emb.ids_for(bg.to_numpy(dtype=object))
+                ctx_ids = np.concatenate([ctx_ids, bg_ids])
+                ctx_rows = np.concatenate([rows, rows[:-1][adj]])
+
+        ok = ctx_ids >= 0
+        wv = emb.matrix[ctx_ids[ok]].astype(np.float64)
+        wrows = ctx_rows[ok]
+        ev = eemb.matrix[ent_ids[idx]].astype(np.float64)
+        if scorer == "centroid":
+            cents = np.zeros((len(idx), dim), dtype=np.float64)
+            np.add.at(cents, wrows, wv)
+            norms = np.linalg.norm(cents, axis=1)
+            dots = np.einsum("ij,ij->i", ev, cents)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = np.where(norms > 0, dots / norms, 0.0)
         else:
             from fel_spark.operators.embeddings import lr_score_batch
 
-            # window token positions excluding the span: [lo,s0) ++ [se,hi)
-            fl, rl_rows = _ranges(base + lo, base + s0)
-            fr, rr_rows = _ranges(base + se, base + hi)
-            flat_pos = np.concatenate([fl, fr])
-            rows = np.concatenate([rl_rows, rr_rows])
-            wt = tok_ids[flat_pos]
-            ok = wt >= 0
-            wv = emb.matrix[wt[ok]].astype(np.float64)
-            ev = eemb.matrix[ent_ids[idx]].astype(np.float64)
             out[idx] = lr_score_batch(
-                wv, rows[ok], ev, len(idx), custom=(scorer == "custom_lr")
+                wv, wrows, ev, len(idx), custom=(scorer == "custom_lr")
             )
         return pd.Series(out)
 

@@ -97,6 +97,37 @@ def build_alias_dict(observations: DataFrame) -> tuple[DataFrame, DataFrame]:
     return out, entity_names
 
 
+def propagate_qat_to_subngrams(
+    aliases: DataFrame,
+    alias_col: str = "alias",
+    qat_col: str = "QAT",
+    out_col: str = "QAT_sub",
+    max_len: int = 8,
+) -> DataFrame:
+    """A12: alias-QAT propagation to contained sub-n-grams
+    (`hash/CountNGramsFromQueries.java:96-115`): every alias receives the
+    summed QAT of ALL dictionary aliases whose token sequence contains it as
+    a contiguous sub-n-gram (including itself).
+
+    Plan: explode each alias into its contiguous token spans (the reference
+    enumerates all i..j spans; dictionary aliases are short — ``max_len``
+    caps the span enumeration), hash-aggregate the emitted QAT per span,
+    join back on the alias set. Two shuffles at dictionary scale, never
+    corpus scale.
+    """
+    from fel_spark.functions.text import all_spans
+
+    toks = F.split(F.col(alias_col), " ")
+    subs = aliases.select(
+        F.col(qat_col).alias("_q"),
+        F.explode(all_spans(toks, max_len)).alias("_sp"),
+    ).select(F.col("_sp.span").alias("_sub"), "_q")
+    agg = subs.groupBy("_sub").agg(F.sum("_q").alias(out_col))
+    return aliases.join(
+        agg, aliases[alias_col] == agg["_sub"], "inner"
+    ).drop("_sub")
+
+
 def global_totals(alias_dict: DataFrame) -> DataFrame:
     """A5/J4: the 1-row GROUP ALL totals attached back via broadcast cross
     (pig/compute-graph-alias-entity-counts.pig:97-139)."""

@@ -213,3 +213,35 @@ def test_span_context_scores_custom_lr(spark):
         for i in (0, 1, 3, 4)  # window, span excluded
     )
     np.testing.assert_allclose(out["context_score"], want, rtol=1e-6)
+
+
+def test_span_context_scores_bigrams(spark):
+    """M8: w_{i-1}_w_i bigram pseudo-words join the context exactly like
+    EntityContext.setContextWords (view/EntityContext.java:31-40)."""
+    import numpy as np
+
+    from fel_spark.operators.context import span_context_scores
+
+    rng = np.random.default_rng(4)
+    keys = ["w0", "w1", "w2", "w3", "w4", "ENT", "w0_w1", "w3_w4"]
+    mat = rng.normal(size=(len(keys), 5)).astype(np.float32)
+    emb = EmbeddingMatrix({k: i for i, k in enumerate(keys)}, mat)
+    bc = broadcast_embeddings(spark, emb)
+
+    # toks = w0 w1 [w2=span] w3 w4, window=2 -> context w0 w1 w3 w4;
+    # bigrams over the filtered list: w0_w1 (hit), w1_w3 (OOV), w3_w4 (hit)
+    rows = [("ENT", ["w0", "w1", "w2", "w3", "w4"], 3, 1, 2)]
+    df = spark.createDataFrame(
+        rows, "entity_key string, toks array<string>, start int, length int, n_cands int"
+    )
+
+    def score(use_bigrams):
+        return span_context_scores(
+            df, bc, window=2, skip_col="n_cands", use_bigrams=use_bigrams
+        ).collect()[0]["context_score"]
+
+    e = mat[5].astype(np.float64)
+    uni = mat[[0, 1, 3, 4]].astype(np.float64).sum(axis=0)
+    both = uni + mat[6].astype(np.float64) + mat[7].astype(np.float64)
+    np.testing.assert_allclose(score(False), float(e @ uni) / np.linalg.norm(uni), rtol=1e-6)
+    np.testing.assert_allclose(score(True), float(e @ both) / np.linalg.norm(both), rtol=1e-6)
