@@ -565,6 +565,18 @@ def q_dedup_clusters(spark, sf_dir):
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
+def q_dedup_clusters_exact(spark, sf_dir):
+    """Value-checked transitive closure (J9/C7): exact prefix-filter Jaccard
+    pair join + connected components, oracled by an all-pairs join + a
+    recursive CTE in DuckDB. This is the hash-checked twin of the LSH
+    `dedup_clusters` path — it proves the CC operator itself."""
+    from fel_spark.operators.dedup import jaccard_exact_clusters
+
+    return jaccard_exact_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate kNN via random-hyperplane LSH (rows-only: approximate
     by design; the exact path is knn_bruteforce)."""
@@ -682,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subngram_qat": q_subngram_qat,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_exact": q_dedup_clusters_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "entity_embeddings": q_entity_embeddings,
@@ -925,6 +938,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT alias, entity_id, QAT, QAF, QAEF, LAT, LAET, QEF
             FROM pair JOIN am USING (alias) JOIN em USING (entity_id)
+        """,
+        # exact Jaccard>=0.5 graph + transitive closure: all-pairs join +
+        # recursive min-label propagation (the Spark side uses prefix-filter
+        # blocking, which is exact by construction)
+        "dedup_clusters_exact": f"""
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, list_distinct({_TOKS.format(c='text')}) AS t
+                FROM documents
+                WHERE len({_TOKS.format(c='text')}) > 0
+            ),
+            p AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.t, b.t)) * 1.0
+                      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+                      >= 0.5
+            ),
+            e AS (
+                SELECT src, dst FROM p
+                UNION ALL
+                SELECT dst, src FROM p
+            ),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM d
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+            )
+            SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "subngram_qat": """
             WITH aliases AS (

@@ -288,6 +288,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT (100%-recall) Jaccard similarity self-join via prefix filtering
+    (PPJoin family): two token SETS with Jaccard >= t must share a token
+    within each side's first ``|T| - ceil(t*|T|) + 1`` tokens under a global
+    ordering — we order rarest-first (token frequency ascending) so prefix
+    blocks stay small. Unlike MinHash-LSH this misses NO qualifying pair,
+    which makes it oracle-checkable against an all-pairs SQL join.
+
+    Plan: global token counts (hash agg) -> per-doc frequency-sorted token
+    array (one shuffle by id) -> prefix explode -> capped token-block
+    self-join -> exact verify. Returns (id_a, id_b, jaccard).
+    """
+    d = docs.select(
+        F.col(id_col), F.array_distinct(normalize_tokens(text_col)).alias("_t")
+    ).filter(F.size("_t") > 0)
+    tf = d.select(F.explode("_t").alias("_tok")).groupBy("_tok").agg(
+        F.count("*").alias("_tc")
+    )
+    ex = d.select(F.col(id_col), F.explode("_t").alias("_tok")).join(tf, "_tok")
+    st = ex.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("_tc", "_tok"))).alias("_st")
+    )
+    sz = F.size("_st")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    pref = st.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.slice("_st", F.lit(1), plen), lambda x: x["_tok"])
+        ).alias("bk"),
+    )
+    # NO salt cap here: capping drops intra-block pairs, which would break
+    # this operator's exactness contract (it exists to be oracle-equal to
+    # an all-pairs join). Rarest-first prefixes keep blocks small on
+    # natural corpora; collapse exact duplicates upstream (exact_dedup)
+    # before running this on adversarial inputs.
+    a = pref.select(F.col(id_col).alias("id_a"), "bk")
+    b = pref.select(F.col(id_col).alias("id_b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = d.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_t_a"))
+    tb = d.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_t_b"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", array_jaccard(F.col("_t_a"), F.col("_t_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_exact_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-recall near-dup clusters: prefix-filter pair join + connected
+    components. The value-checkable twin of minhash_lsh_dedup (the SQL
+    oracle can replicate both the all-pairs Jaccard graph and the
+    transitive closure). Returns (doc_id, cluster_id=min reachable id)."""
+    pairs = jaccard_prefix_pairs(docs, id_col, text_col, threshold)
+    # keep numeric ids numeric: hash-min over STRING ids would compute the
+    # lexicographic minimum ("100" < "99"), not the numeric one the SQL
+    # oracle computes
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    verts = docs.select(F.col(id_col).cast("long").alias("id"))
+    comp = connected_components(edges, vertices=verts)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
 def embedding_cosine_pairs(
     docs: DataFrame,
     id_col: str = "vec_id",
