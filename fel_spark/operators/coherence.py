@@ -51,15 +51,6 @@ def _lex_sim(a: str, b: str) -> float:
     return 2.0 * len(pa & pb) / denom if denom else 0.0
 
 
-def _emb_cos(emb, key_a: str, key_b: str) -> float:
-    ia, ib = emb.vocab.get(key_a), emb.vocab.get(key_b)
-    if ia is None or ib is None:
-        return 0.0
-    va, vb = emb.matrix[ia], emb.matrix[ib]
-    na, nb = np.linalg.norm(va), np.linalg.norm(vb)
-    return float(va @ vb / (na * nb)) if na > 0 and nb > 0 else 0.0
-
-
 def _surface_vec(emb, surface: str) -> np.ndarray | None:
     acc = None
     for t in surface.split():
@@ -83,6 +74,34 @@ def _node_score(emb, cand_key: str, cand_name: str, surface: str) -> float:
     return max(np.log(blend) if blend > 0 else DEFAULT_LOG_LIKELIHOOD, DEFAULT_LOG_LIKELIHOOD)
 
 
+def _pair_trans_matrix(emb, prev_cands, cands) -> np.ndarray:
+    """Transition score matrix (len(prev) x len(cands)): log of the blend of
+    entity-entity embedding cosine and lexical char-bigram Dice, floored.
+    Embedding cosines come from ONE gather + matmul; only the (cached)
+    lexical Dice stays per-pair Python (string set ops, MAXNBEST^2 <= 100
+    pairs per transition)."""
+    kp = [c["entity_key"] for c in prev_cands]
+    kc = [c["entity_key"] for c in cands]
+    ip = emb.ids_for(np.asarray(kp, dtype=object))
+    ic = emb.ids_for(np.asarray(kc, dtype=object))
+    vp = emb.matrix[np.clip(ip, 0, None)].astype(np.float64)
+    vp[ip < 0] = 0.0
+    vc = emb.matrix[np.clip(ic, 0, None)].astype(np.float64)
+    vc[ic < 0] = 0.0
+    np_n = np.linalg.norm(vp, axis=1)
+    nc_n = np.linalg.norm(vc, axis=1)
+    denom = np.outer(np_n, nc_n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e2e = np.where(denom > 0, (vp @ vc.T) / np.where(denom == 0, 1, denom), 0.0)
+    lex = np.array(
+        [[_lex_sim(p["name"], c["name"]) for c in cands] for p in prev_cands]
+    )
+    blend = (1 - LEXSIM_LAMBDA) * e2e + LEXSIM_LAMBDA * lex
+    with np.errstate(divide="ignore"):
+        trans = np.where(blend > 0, np.log(np.where(blend <= 0, 1, blend)), DEFAULT_LOG_LIKELIHOOD)
+    return trans
+
+
 def _lattice(emb, surfaces, cand_lists, reverse: bool) -> np.ndarray:
     n = len(surfaces)
     order = range(n - 1, -1, -1) if reverse else range(n)
@@ -93,21 +112,21 @@ def _lattice(emb, surfaces, cand_lists, reverse: bool) -> np.ndarray:
         lat[first][j] = _node_score(emb, cand["entity_key"], cand["name"], surfaces[first])
     for pos in range(1, n):
         i, prev = idx[pos], idx[pos - 1]
-        for j, cand in enumerate(cand_lists[i][:MAXNBEST]):
-            node = _node_score(emb, cand["entity_key"], cand["name"], surfaces[i])
-            # floor, not None: a previous mention with an empty candidate
-            # list must degrade to the floor instead of raising (best + node
-            # on None) and killing the whole mapInPandas task.
-            best = DEFAULT_LOG_LIKELIHOOD
-            for k, pcand in enumerate(cand_lists[prev][:MAXNBEST]):
-                e2e = _emb_cos(emb, pcand["entity_key"], cand["entity_key"])
-                lex = _lex_sim(pcand["name"], cand["name"])
-                blend = (1 - LEXSIM_LAMBDA) * e2e + LEXSIM_LAMBDA * lex
-                trans = np.log(blend) if blend > 0 else DEFAULT_LOG_LIKELIHOOD
-                cand_score = trans + lat[prev][k]
-                if best is None or cand_score > best:
-                    best = cand_score
-            lat[i][j] = max(best + node, DEFAULT_LOG_LIKELIHOOD)
+        cands = cand_lists[i][:MAXNBEST]
+        pcands = cand_lists[prev][:MAXNBEST]
+        if not cands:
+            continue
+        nodes = np.array(
+            [_node_score(emb, c["entity_key"], c["name"], surfaces[i]) for c in cands]
+        )
+        if pcands:
+            trans = _pair_trans_matrix(emb, pcands, cands)  # (|prev|, |cands|)
+            best = (trans + lat[prev][: len(pcands), None]).max(axis=0)
+        else:
+            # floor, not None/NaN: a previous mention with an empty candidate
+            # list degrades to the floor instead of killing the task
+            best = np.full(len(cands), DEFAULT_LOG_LIKELIHOOD)
+        lat[i][: len(cands)] = np.maximum(best + nodes, DEFAULT_LOG_LIKELIHOOD)
     return lat
 
 
