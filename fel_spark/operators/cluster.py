@@ -85,6 +85,10 @@ def connected_components(
                 "_c1"
             ),
         )
+        # materialize BEFORE the self-join: without this the jump join
+        # evaluates the hash-min subtree (an edge-set scan) twice per
+        # iteration — a genuine 2x on corpus-scale dedup graphs
+        stepped = stepped.localCheckpoint(eager=True)
         # 2) pointer-jump (path halving): component <- label(component).
         # Labels are always vertex ids, so the self-join hits; this is what
         # turns O(diameter) rounds into O(log diameter).

@@ -169,13 +169,15 @@ def _simhash_fold(hashes: pd.Series) -> pd.Series:
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
         ).view(np.uint64)
-        # bits: (total_tokens, 64) of {0,1}; contributions are 2*bit - 1
+        # bits: (total_tokens, 64) of {0,1}; contributions are 2*bit - 1.
+        # uint8 keeps the peak batch footprint at 64 B/token; the reduceat
+        # accumulates in int64 so long rows can't overflow.
         bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int32
+            np.uint8
         )
         offsets = np.zeros(int(nonzero.sum()), dtype=np.int64)
         np.cumsum(lens[nonzero][:-1], out=offsets[1:])
-        sums = np.add.reduceat(bits, offsets, axis=0)  # (rows_nonzero, 64)
+        sums = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
         counts = lens[nonzero][:, None]
         contrib = 2 * sums - counts  # sum of +/-1 per bit
         packed = ((contrib > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(

@@ -318,6 +318,98 @@ def segment_mentions(
     return grouped.mapInPandas(run_dp, schema=_SEGMENT_SCHEMA)
 
 
+def segment_mentions_max_iterative(
+    best_spans: DataFrame,
+    nil_score: float = ranking.NIL_SCORE,
+    max_span: int = MAX_SPAN_TOKENS,
+) -> DataFrame:
+    """L8: the reference's ALTERNATIVE segmentation policy
+    (`FastEntityLinker.getBestChunkingMaxIterativeV2`, :302-398): instead of
+    maximizing the SUM of chunk scores (segment_mentions), maximize the MAX —
+    maxScores[i][j] = best over splits k of max(score(chunk), maxScores of
+    the rest), then follow the split trail left to right. Same input/output
+    contract as segment_mentions; spans longer than ``max_span`` score nil
+    (the reference scores all lengths; our span enumeration is bounded, so
+    the table is nil beyond the bound).
+
+    Spark shape identical to L7: one shuffle to group spans per turn, DP
+    row-wise inside mapInPandas.
+    """
+    grouped = best_spans.groupBy("conv_id", "turn_idx").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.collect_list(
+            F.struct(
+                "start", "length", "span", "entity_id", "entity_key", "score",
+                "seg_score",
+            )
+        ).alias("spans"),
+    )
+
+    def run_dp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for conv_id, turn_idx, n_tokens, spans in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["n_tokens"], pdf["spans"]
+            ):
+                n = int(n_tokens)
+                table: dict[tuple[int, int], tuple] = {}
+                for sp in spans:
+                    key = (int(sp["start"]) - 1, int(sp["length"]))
+                    cur = table.get(key)
+                    if cur is None or sp["seg_score"] > cur[0]:
+                        table[key] = (
+                            float(sp["seg_score"]),
+                            sp["span"],
+                            int(sp["entity_id"]),
+                            sp["entity_key"],
+                            float(sp["score"]),
+                        )
+
+                def s(i: int, j: int) -> float:
+                    # score of chunk starting at j spanning i+1 tokens
+                    ent = table.get((j, i + 1))
+                    return ent[0] if ent is not None else nil_score
+
+                # maxScores[i][j]: best achievable max-chunk-score over the
+                # subsequence of length i+1 starting at j (:349-376)
+                m = [[nil_score] * n for _ in range(n)]
+                splits = [[1] * n for _ in range(n)]
+                for j in range(n):
+                    m[0][j] = s(0, j)
+                for i in range(1, n):
+                    for j in range(0, n - i):
+                        max_s = s(i, j)
+                        best_split = i + 1
+                        for k in range(i):
+                            sc = max(s(k, j), m[i - k - 1][j + k + 1])
+                            if sc > max_s:
+                                max_s = sc
+                                best_split = k + 1
+                        m[i][j] = max_s
+                        splits[i][j] = best_split
+                # follow the trail (:379-398)
+                i, j = n - 1, 0
+                while j <= n - 1 and i >= 0:
+                    jump = splits[i][j]
+                    ent = table.get((j, jump))
+                    if ent is not None and ent[0] > nil_score:
+                        out_rows.append(
+                            (conv_id, int(turn_idx), j + 1, jump,
+                             ent[1], ent[2], ent[3], ent[4])
+                        )
+                    j += jump
+                    i -= jump
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "conv_id", "turn_idx", "start", "length",
+                    "span", "entity_id", "entity_key", "score",
+                ],
+            )
+
+    return grouped.mapInPandas(run_dp, schema=_SEGMENT_SCHEMA)
+
+
 def link_mentions(
     transcripts: DataFrame,
     alias_dict: DataFrame,

@@ -56,6 +56,11 @@ def run_er(
     # the corpus-level map stage in the event log).
     linked = linked.localCheckpoint(eager=True)
 
+    # the rep chain is dictionary-scale (distinct (span, entity)) — eager
+    # snapshots cost nothing to materialize and pin each stage to ONE
+    # evaluation: cap_blocks' size probe and the pair self-join's two sides
+    # would otherwise re-evaluate their upstream subtree (incl. the minhash
+    # signature agg) per consumer, which measured minutes at low parallelism
     reps = (
         linked.select("span", "entity_id", "entity_key")
         .dropDuplicates(["span", "entity_id"])
@@ -63,10 +68,11 @@ def run_er(
             "mention_id",
             F.concat_ws("#e", "span", F.col("entity_id").cast("string")),
         )
+        .localCheckpoint(eager=True)
     )
     blocked_reps = blocking.cap_blocks(
         blocking.blocking_keys(reps), max_block=max_block
-    )
+    ).localCheckpoint(eager=True)
     pairs = blocking.candidate_pairs(
         blocked_reps, payload_cols=("span", "entity_id", "entity_key")
     )

@@ -1,0 +1,52 @@
+"""L7 vs L8: the two segmentation policies diverge exactly as specified.
+
+Fixture: 4 tokens with candidate spans
+  (1,2) "a b"  seg_score -1.0
+  (2,2) "b c"  seg_score -0.5   <- single best span, overlaps both others
+  (3,2) "c d"  seg_score -3.0
+NIL = -5.
+
+- sum policy (L7, getBestChunking): picks "a b"+"c d" (sum -4 beats
+  "b c" + two NILs = -10.5)
+- max-iterative policy (L8, getBestChunkingMaxIterativeV2): picks the
+  segmentation whose MAX chunk score is highest -> "b c" alone.
+"""
+
+from __future__ import annotations
+
+from fel_spark.operators import mentions as M
+
+
+def _best_spans(spark):
+    rows = [
+        ("c1", 0, 4, "a b", 1, 2, -1.0),
+        ("c1", 0, 4, "b c", 2, 2, -0.5),
+        ("c1", 0, 4, "c d", 3, 2, -3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, n_tokens int, span string, "
+        "start int, length int, seg_score double",
+    )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.lit(7).alias("entity_id"),
+        F.lit("_wiki_X").alias("entity_key"),
+        F.col("seg_score").alias("score"),
+    )
+
+
+def test_sum_policy_picks_cover(spark):
+    out = M.segment_mentions(_best_spans(spark), nil_score=-5.0).collect()
+    got = {(r["start"], r["length"], r["span"]) for r in out}
+    assert got == {(1, 2, "a b"), (3, 2, "c d")}
+
+
+def test_max_iterative_policy_picks_peak(spark):
+    out = M.segment_mentions_max_iterative(
+        _best_spans(spark), nil_score=-5.0
+    ).collect()
+    got = {(r["start"], r["length"], r["span"]) for r in out}
+    assert got == {(2, 2, "b c")}
