@@ -390,6 +390,66 @@ def entity_entity_cosine(
     return pairs.withColumn(out_col, _cos(F.col(key_a), F.col(key_b)))
 
 
+def entity_phrase_similarity(
+    pairs: DataFrame,
+    bc_emb,
+    entity_key_col: str = "entity_key",
+    phrase_col: str = "phrase",
+    out_col: str = "entity_phrase_sim",
+) -> DataFrame:
+    """C4: mean cosine between the entity vector and every vocab-hit among
+    the phrase's unigrams AND adjacent "_"-joined bigrams
+    (`w2v/CompressedSingleFileEntitySimilarityUtil.entity2WordSimilarity`,
+    :57-79). 0 when the entity is OOV or no word hits.
+
+    Batched: per Arrow batch the phrase tokens+bigrams flatten to one
+    id-map + gather; cosines via one einsum; per-row mean via bincount.
+    """
+    dim = bc_emb.value.matrix.shape[1]
+
+    @F.pandas_udf("double")
+    def _sim(keys: pd.Series, phrases: pd.Series) -> pd.Series:
+        emb = bc_emb.value
+        n = len(keys)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        ent_ids = emb.ids_for(keys.to_numpy(dtype=object, na_value=None))
+        words: list[str] = []
+        rows: list[int] = []
+        for i, p in enumerate(phrases):
+            if ent_ids[i] < 0 or p is None:
+                continue
+            parts = p.split()
+            for j, w in enumerate(parts):
+                words.append(w)
+                rows.append(i)
+                if j > 0:
+                    words.append(parts[j - 1] + "_" + w)
+                    rows.append(i)
+        if not words:
+            return pd.Series(out)
+        wid = emb.ids_for(np.asarray(words, dtype=object))
+        ok = wid >= 0
+        if not ok.any():
+            return pd.Series(out)
+        rid = np.asarray(rows, dtype=np.int64)[ok]
+        wv = emb.matrix[wid[ok]].astype(np.float64)
+        ev = emb.matrix[np.clip(ent_ids, 0, None)].astype(np.float64)
+        wn = np.linalg.norm(wv, axis=1)
+        en = np.linalg.norm(ev, axis=1)[rid]
+        dots = np.einsum("ij,ij->i", wv, ev[rid])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where((wn > 0) & (en > 0), dots / (wn * en), 0.0)
+        sums = np.bincount(rid, weights=cos, minlength=n)
+        cnts = np.bincount(rid, minlength=n)
+        nz = cnts > 0
+        out[nz] = sums[nz] / cnts[nz]
+        return pd.Series(out)
+
+    return pairs.withColumn(out_col, _sim(F.col(entity_key_col), F.col(phrase_col)))
+
+
 def entity_key_expr(name_col: str) -> F.Column:
     """Entity embedding key: '_wiki_' + name with spaces -> underscores
     (`CoherentEntityLinker.java:322-324` key convention)."""

@@ -245,3 +245,33 @@ def test_span_context_scores_bigrams(spark):
     both = uni + mat[6].astype(np.float64) + mat[7].astype(np.float64)
     np.testing.assert_allclose(score(False), float(e @ uni) / np.linalg.norm(uni), rtol=1e-6)
     np.testing.assert_allclose(score(True), float(e @ both) / np.linalg.norm(both), rtol=1e-6)
+
+
+def test_entity_phrase_similarity(spark):
+    """C4 parity: mean cosine over unigram+bigram vocab hits
+    (entity2WordSimilarity, CompressedSingleFileEntitySimilarityUtil.java:57-79)."""
+    import numpy as np
+
+    from fel_spark.operators.context import entity_phrase_similarity
+
+    rng = np.random.default_rng(9)
+    keys = ["w0", "w1", "w0_w1", "ENT"]
+    mat = rng.normal(size=(4, 5)).astype(np.float32)
+    emb = EmbeddingMatrix({k: i for i, k in enumerate(keys)}, mat)
+    bc = broadcast_embeddings(spark, emb)
+    df = spark.createDataFrame(
+        [("ENT", "w0 w1 oov"), ("ENT", "oov1 oov2"), ("MISSING", "w0")],
+        "entity_key string, phrase string",
+    )
+    got = [r["entity_phrase_sim"] for r in entity_phrase_similarity(df, bc).collect()]
+
+    def cos(a, b):
+        a, b = a.astype(np.float64), b.astype(np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    e = mat[3]
+    # hits: w0, w1, w0_w1 (bigram); oov contributes nothing
+    want0 = (cos(e, mat[0]) + cos(e, mat[1]) + cos(e, mat[2])) / 3
+    np.testing.assert_allclose(got[0], want0, rtol=1e-6)
+    assert got[1] == 0.0  # no word hits
+    assert got[2] == 0.0  # entity OOV
