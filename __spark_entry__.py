@@ -551,6 +551,29 @@ def q_subngram_qat(spark, sf_dir):
     return out.select("alias", "QAT", F.col("QAT_sub").cast("long").alias("qat_sub"))
 
 
+def q_type_lm_scores(spark, sf_dir):
+    """M9: per-type n-gram LM build + Dirichlet-smoothed scoring
+    (view/LMLREntityContext.java:66-83, mu=1000 default -50). Model built
+    from (o_orderstatus, o_orderpriority) observations; every distinct
+    (type, alias) pair scored against it."""
+    from fel_spark.operators.typelm import broadcast_type_lm, build_type_lm, type_lm_scores
+
+    o = _t(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderstatus").alias("type_name"),
+        normalize_tokens("o_orderpriority").alias("toks"),
+        F.lit(1).alias("freq"),
+    )
+    model = build_type_lm(obs)
+    bc = broadcast_type_lm(spark, model)
+    distinct = obs.select("type_name", "toks").distinct()
+    return type_lm_scores(distinct, bc).select(
+        "type_name",
+        F.array_join("toks", " ").alias("alias"),
+        F.floor(F.col("type_lm_score") * 1000).cast("long").alias("score_3dp"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (no SQL oracle — bit-sliced banding)."""
     from fel_spark.operators.dedup import simhash_dedup
@@ -692,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dict_build_counts": q_dict_build_counts,
         "subngram_qat": q_subngram_qat,
+        "type_lm_scores": q_type_lm_scores,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
@@ -992,6 +1016,62 @@ def oracle_sql() -> dict[str, str]:
                     FROM spans GROUP BY 1)
             SELECT d.alias, d.QAT, agg.qat_sub
             FROM d JOIN agg ON agg.sub = d.alias
+        """,
+        # M9 type LM: the reference's lopsided n-gram enumeration
+        # (TypeLanguageModel.getTrigrams) is, as a MULTISET, exactly all
+        # unigrams + adjacent bigrams + adjacent trigrams — order never
+        # affects counts or the score sum
+        "type_lm_scores": """
+            WITH obs AS (
+                SELECT o_orderstatus AS ty,
+                       list_filter(string_split(trim(regexp_replace(lower(o_orderpriority),
+                           '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS t,
+                       1 AS f
+                FROM orders
+            ),
+            ng AS (
+                SELECT ty, f, unnest(list_concat(list_concat(
+                           t,
+                           list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || '_' || t[i+1])),
+                           list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || '_' || t[i+1] || '_' || t[i+2])
+                       )) AS g
+                FROM obs
+            ),
+            lm AS (SELECT ty, g, sum(f) AS fq FROM ng GROUP BY 1, 2),
+            tf AS (SELECT ty, sum(fq) AS tfq FROM lm GROUP BY 1),
+            bg AS (SELECT g, sum(fq) AS bfq FROM lm GROUP BY 1),
+            tot AS (SELECT sum(fq) AS total FROM lm),
+            probe AS (SELECT DISTINCT ty, t FROM obs),
+            probe_ng AS (
+                SELECT ty, array_to_string(t, ' ') AS alias,
+                       unnest(list_concat(list_concat(
+                           t,
+                           list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || '_' || t[i+1])),
+                           list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || '_' || t[i+1] || '_' || t[i+2])
+                       )) AS g
+                FROM probe
+            ),
+            hits AS (
+                SELECT p.ty, p.alias,
+                       ln((lm.fq + 1000.0 * bg.bfq / tot.total) / (tf.tfq + 1000.0)) AS term
+                FROM probe_ng p
+                JOIN lm ON lm.ty = p.ty AND lm.g = p.g
+                JOIN tf ON tf.ty = p.ty
+                JOIN bg ON bg.g = p.g
+                CROSS JOIN tot
+            ),
+            scored AS (
+                SELECT ty, alias, sum(term) AS s FROM hits GROUP BY 1, 2
+            )
+            SELECT p.ty AS type_name, p.alias,
+                   CAST(floor(CASE WHEN s.s IS NULL OR s.s = 0 THEN -50.0
+                                   ELSE s.s END * 1000) AS BIGINT) AS score_3dp
+            FROM (SELECT DISTINCT ty, array_to_string(t, ' ') AS alias FROM probe) p
+            LEFT JOIN scored s ON s.ty = p.ty AND s.alias = p.alias
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup (LSH
         # banding), simhash_pairs (bit-sliced banding), dedup_clusters
