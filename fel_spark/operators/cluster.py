@@ -6,7 +6,15 @@ in-memory map) and the coherence pass that forces consistent entity
 assignments per document (`CoherentEntityLinker.java:152-255`). At ER scale
 both become connected components over the match graph.
 
-Implementation: iterative hash-min label propagation on DataFrames —
+Two execution strategies, chosen by measured edge count (same output,
+equality-tested):
+
+1. **Driver union-find fast path** (graph fits the broadcast-size gate):
+   one collect + in-memory min-label union-find + broadcast label map.
+   The rep-level match graph is dictionary-scale, and the distributed
+   loop's 10-20 tiny jobs are pure driver-latency serial fraction there.
+2. **Distributed hash-min + pointer-jump** (corpus-scale graphs):
+   iterative label propagation on DataFrames —
 each round every vertex adopts the minimum label in its neighborhood;
 converges in O(diameter) rounds (duplicate clusters are near-cliques, so
 diameter is small). Each round localCheckpoints to cut lineage (SURVEY §4
@@ -27,6 +35,42 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+# Edge-count gate for the driver-side union-find fast path. Rationale: the
+# rep-level match graph is dictionary-scale (distinct (span, entity) pairs),
+# the same size class as the broadcast side of a dim join — when it fits in
+# driver memory, a single collect + union-find replaces 10-20 tiny
+# shuffle/checkpoint jobs whose per-job scheduling latency is pure Amdahl
+# serial fraction (it does not shrink with executor count). 2M edges of
+# string ids is ~100 MB heap — the same order as Spark's own
+# autoBroadcastJoinThreshold reasoning. Corpus-scale graphs (document
+# near-dup at 100 TB) exceed the gate and take the distributed hash-min +
+# pointer-jump path below.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(pairs: list[tuple], ids: list) -> dict:
+    """Min-label union-find with path compression; deterministic: the
+    component label is the minimum vertex id reachable (total order on ids),
+    independent of edge order."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: smaller id becomes the root => root IS the label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {v: find(v) for v in ids}
+
 
 def connected_components(
     edges: DataFrame,
@@ -34,6 +78,7 @@ def connected_components(
     id_col: str = "id",
     max_iterations: int = 20,
     target_partition_rows: int = 500_000,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """-> (id, component) where component = min mention id reachable.
 
@@ -55,6 +100,32 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
     spark = edges.sparkSession
+
+    if n_edges <= driver_cc_max_edges:
+        # Small-graph fast path: ONE collect (the graph is broadcast-sized by
+        # the gate above) + in-memory union-find + a broadcast-able label map
+        # back out. Identical output to the distributed loop (component = min
+        # reachable id; tested for equality in test_cluster.py). `vertices`
+        # stays distributed — it can be corpus-scale — and singletons are
+        # restored by the left-join + coalesce below.
+        rows = sym.collect()
+        pairs = [(r["src"], r["dst"]) for r in rows if r["src"] < r["dst"]]
+        ids = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        label = _driver_union_find(pairs, ids)
+        id_type = dict(edges.dtypes)["src"]
+        comp_df = spark.createDataFrame(
+            [(v, label[v]) for v in ids],
+            schema=f"{id_col} {id_type}, component {id_type}",
+        )
+        if vertices is None:
+            return comp_df
+        return (
+            vertices.select(id_col)
+            .distinct()
+            .join(comp_df, id_col, "left")
+            .withColumn("component", F.coalesce("component", F.col(id_col)))
+        )
+
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(1, min(max_parts, n_edges // target_partition_rows + 1))
     sym = sym.repartition(n_parts, "src")

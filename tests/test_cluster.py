@@ -24,6 +24,37 @@ def test_long_chain_converges(spark):
     assert {r["component"] for r in got} == {"v00"}
 
 
+def test_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path and the hash-min loop must be byte-identical
+    on the same graph (components labeled by min reachable id)."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    edges_py = [
+        (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+        for _ in range(150)
+    ]
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    fast = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_cc_max_edges=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
+
+
+def test_driver_path_self_loop_vertex_survives(spark):
+    edges = spark.createDataFrame([("a", "b"), ("z", "z")], ["src", "dst"])
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
 def test_isolated_vertices_become_singletons(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     mentions = spark.createDataFrame(
