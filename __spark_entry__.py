@@ -581,6 +581,79 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_simhash_pairs_md5(spark, sf_dir):
+    """Value-checked SimHash: identical algorithm to `simhash_pairs` but the
+    token hash is the DuckDB-reproducible md5-based 60-bit hash, so the
+    WHOLE chain (normalize -> token hash -> sign-fold -> banded blocking ->
+    exact Hamming verify) has a SQL oracle. bands = max_hamming+1 makes the
+    banding complete (pigeonhole), so the output equals the brute-force
+    all-pairs answer the oracle computes. The parity probe disables the
+    hot-bucket salt cap (the cap drops pairs by design at corpus scale;
+    the oracle is exact)."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.dedup import simhash_dedup
+
+    out = simhash_dedup(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=8,
+        hash_fn=md5_hash60,
+        max_block=1_000_000_000,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_minhash_pairs_md5(spark, sf_dir):
+    """Value-checked MinHash-LSH candidate generation: md5-based gram hash
+    (DuckDB-reproducible) -> explode+min-agg signatures -> banded keys ->
+    bucket self-join -> exact token-set Jaccard. The oracle replays the
+    exact same banding in SQL (signature minima per seed, band-key string,
+    bucket join), so this value-checks the LSH *candidate set*, not just
+    the verifier. Salt cap disabled for the parity probe (see
+    simhash_pairs_md5)."""
+    from fel_spark.functions.hashing import lsh_band_keys, md5_hash60, minhash_signatures_df
+    from fel_spark.operators.blocking import cap_blocks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_fast("text").alias("tn")
+    )
+    grams = token_ngrams(F.split(F.col("tn"), " "), 3)
+    with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
+    with_sig = minhash_signatures_df(
+        with_g, F.col("_g"), ["doc_id", "tn"], 8, hash_fn=md5_hash60
+    )
+    blocked = cap_blocks(
+        with_sig.withColumn(
+            "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
+        ),
+        max_block=1_000_000_000,
+        salt_col="doc_id",
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "block_key"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b"), "block_key"
+    )
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = F.array_distinct(F.split("tn_a", " "))
+    sb = F.array_distinct(F.split("tn_b", " "))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    # multiply BEFORE dividing: floor((a*k)/b) is stable across engines,
+    # floor((a/b)*k) flips at representation boundaries
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(inter * 10000.0 / union).cast("long").alias("jaccard_4dp"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash-LSH near-dup clusters over documents (rows-only check)."""
     from fel_spark.operators.dedup import minhash_lsh_dedup
@@ -717,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subngram_qat": q_subngram_qat,
         "type_lm_scores": q_type_lm_scores,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "ann_lsh": q_ann_lsh,
@@ -1073,9 +1148,112 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT ty, array_to_string(t, ' ') AS alias FROM probe) p
             LEFT JOIN scored s ON s.ty = p.ty AND s.alias = p.alias
         """,
-        # no oracle (not ANSI-SQL-expressible): minhash_near_dup (LSH
-        # banding), simhash_pairs (bit-sliced banding), dedup_clusters
-        # (iterative connected components), ann_lsh / ann_ivf (approximate
-        # by design; exact twin = knn_bruteforce), media_features (binary
-        # decode via mapInPandas)
+        # simhash value-check: same md5-based 60-bit token hash as the Spark
+        # side (CAST('0x'||substr(md5(...),1,15) AS BIGINT)), sign-fold per
+        # bit (set iff contribution sum STRICTLY > 0 — parity with
+        # _simhash_fold), then brute-force all-pairs Hamming: with
+        # bands = max_hamming+1 the Spark banding is complete (pigeonhole),
+        # so banded output == brute-force output
+        "simhash_pairs_md5": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+            th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('7171:' || t), 1, 15)) AS BIGINT) AS h
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, i,
+                       CASE WHEN sum(2 * ((h >> i) & 1) - 1) > 0
+                            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+                FROM th, generate_series(0, 59) g(i)
+                GROUP BY doc_id, i
+            ),
+            sh0 AS (
+                SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS sh
+                FROM bits GROUP BY doc_id
+            ),
+            sh AS (
+                SELECT d.doc_id, COALESCE(sh0.sh, 0) AS sh
+                FROM d LEFT JOIN sh0 ON d.doc_id = sh0.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        """,
+        # minhash value-check: replay the exact banding — per-seed minima
+        # over md5-hashed token 3-grams, band key = '_'-joined slot values,
+        # bucket join, then exact token-set Jaccard on the candidates
+        "minhash_pairs_md5": """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS tn
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, tn,
+                       list_filter(string_split(tn, ' '), x -> len(x) > 0) AS toks
+                FROM d
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gr
+                FROM t WHERE len(toks) >= 3
+            ),
+            hs AS (
+                SELECT doc_id, s,
+                       min(CAST(('0x' || substr(md5((4242 + s) || ':' || gr), 1, 15))
+                           AS BIGINT)) AS mh
+                FROM g, generate_series(0, 7) ss(s)
+                GROUP BY doc_id, s
+            ),
+            bk AS (
+                SELECT doc_id, s // 2 AS band,
+                       string_agg(CAST(mh AS VARCHAR), '_' ORDER BY s) AS key
+                FROM hs GROUP BY doc_id, s // 2
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            ts AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(string_split(tn, ' '),
+                                                 x -> len(x) > 0)) AS toks
+                FROM d
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(floor(len(list_intersect(ta.toks, tb.toks)) * 10000.0 /
+                        (len(ta.toks) + len(tb.toks)
+                         - len(list_intersect(ta.toks, tb.toks)))) AS BIGINT)
+                       AS jaccard_4dp
+            FROM cand c
+            JOIN ts ta ON ta.doc_id = c.id_a
+            JOIN ts tb ON tb.doc_id = c.id_b
+        """,
+        # media_features: the feature VECTOR is the stubbed fake decode, but
+        # the query's projection (id/kind passthrough + constant dim through
+        # the mapInPandas Arrow plumbing) is fully deterministic from
+        # synth_media's generator — reproduced here from generate_series
+        "media_features": """
+            SELECT printf('m%05d', i) AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(16 AS INT) AS feat_dim
+            FROM generate_series(0, 63) t(i)
+        """,
+        # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
+        # simhash_pairs (xxhash64 banding — their md5 twins above ARE
+        # value-checked; these remain as the scale path), dedup_clusters
+        # (iterative connected components; exact twin = dedup_clusters_exact),
+        # ann_lsh / ann_ivf (approximate by design; exact twin =
+        # knn_bruteforce), entity_embeddings (iterative GD)
     }

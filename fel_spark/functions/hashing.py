@@ -16,6 +16,18 @@ from pyspark.sql import Column, functions as F
 _TWO_63 = float(2**63)
 
 
+def md5_hash60(col: Column, seed: int = 0) -> Column:
+    """DuckDB-reproducible 60-bit hash: first 15 hex digits of
+    md5('<seed>:' || col) parsed base-16.
+
+    Exists ONLY so oracle-parity query variants can be value-checked against
+    ANSI SQL (`CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)` in DuckDB).
+    The scale path stays on xxhash64 (codegen'd, no hex round-trip).
+    """
+    s = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def uniform_hash(col: Column, seed: int) -> Column:
     """Deterministic U[0,1) double derived from xxhash64(col, seed)."""
     h = F.xxhash64(col, F.lit(seed))
@@ -47,6 +59,7 @@ def minhash_signatures_df(
     num_hashes: int,
     seed: int = 4242,
     out_col: str = "sig",
+    hash_fn=None,
 ):
     """Scalable MinHash: explode grams once, hash with ``num_hashes``
     codegen'd xxhash64 columns, min-aggregate per key (map-side partial
@@ -61,9 +74,11 @@ def minhash_signatures_df(
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
+    if hash_fn is None:
+        hash_fn = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
     g = df.select(*key_cols, F.explode_outer(grams).alias("_gram"))
     aggs = [
-        F.min(F.xxhash64(F.col("_gram"), F.lit(seed + i))).alias(f"_mh{i}")
+        F.min(hash_fn(F.col("_gram"), seed + i)).alias(f"_mh{i}")
         for i in range(num_hashes)
     ]
     sig = g.groupBy(*key_cols).agg(*aggs)

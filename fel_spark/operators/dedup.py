@@ -187,15 +187,19 @@ def _simhash_fold(hashes: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
-def simhash_fingerprint(tokens, seed: int = 7171):
+def simhash_fingerprint(tokens, seed: int = 7171, hash_fn=None):
     """64-bit SimHash of a token array.
 
     Token hashing stays JVM-side (ONE pass of xxhash64 per token via
     F.transform); the 64-bit fold runs in a single Arrow-batched NumPy UDF.
     Output is bit-identical to the former per-bit aggregate expression.
     (UDF registered lazily — pandas_udf needs an active SparkSession.)
+    ``hash_fn(col, seed) -> int64 Column`` swaps the token hash (the
+    md5-based variant makes the whole fingerprint DuckDB-reproducible).
     """
-    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    if hash_fn is None:
+        hash_fn = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
+    token_hashes = F.transform(tokens, lambda t: hash_fn(t, seed))
     return F.pandas_udf(_simhash_fold, "long")(token_hashes)
 
 
@@ -206,6 +210,7 @@ def simhash_dedup(
     bands: int | None = None,
     max_hamming: int = 3,
     max_block: int = DEDUP_MAX_BLOCK,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs.
 
@@ -226,7 +231,9 @@ def simhash_dedup(
     if bands > 64:
         raise ValueError(f"bands={bands} > 64 bits")
     toks = normalize_tokens(text_col)
-    d = docs.select(F.col(id_col), simhash_fingerprint(toks).alias("sh"))
+    d = docs.select(
+        F.col(id_col), simhash_fingerprint(toks, hash_fn=hash_fn).alias("sh")
+    )
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     keys = F.array(

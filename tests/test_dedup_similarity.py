@@ -160,3 +160,38 @@ def test_kmeans_centroids_reduce_inertia(spark):
     c0 = similarity.kmeans_centroids(emb, k=8, n_iters=0)
     c2 = similarity.kmeans_centroids(emb, k=8, n_iters=2)
     assert inertia(c2) <= inertia(c0) + 1e-9, (inertia(c0), inertia(c2))
+
+
+def test_md5_hash60_duckdb_parity(spark):
+    """md5_hash60 must equal DuckDB's CAST('0x'||substr(md5(...),1,15) AS
+    BIGINT) — the contract the simhash/minhash oracle-parity queries rely
+    on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fel_spark.functions.hashing import md5_hash60
+
+    vals = ["hello", "a b c", "café", "", "7171:trap"]
+    df = spark.createDataFrame([(v,) for v in vals], ["t"])
+    got = [r[0] for r in df.select(md5_hash60(F.col("t"), 7171)).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(('0x' || substr(md5('7171:' || ?), 1, 15)) AS BIGINT)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_simhash_md5_variant_same_pair_semantics(spark, docs_with_dups):
+    """Swapping the token hash changes fingerprints but not the operator
+    semantics: planted near-dup pairs are still found."""
+    from fel_spark.functions.hashing import md5_hash60
+
+    out = dedup.simhash_dedup(
+        docs_with_dups, max_hamming=8, hash_fn=md5_hash60
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    assert any(a != b for a, b in found), "no near-dup pairs found"
