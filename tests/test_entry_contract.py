@@ -57,7 +57,6 @@ def test_queries_have_oracles_or_reason():
         "ann_lsh",
         "ann_ivf",
         "entity_embeddings",
-        "media_features",
     }
 
 
