@@ -14,6 +14,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs every deployment wants, local[N] or 1000 executors. Kept as data so
+# the spark-submit entry (scripts/submit_er.py) applies the identical tuning
+# to a cluster session it did not build itself.
+TUNED_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
 def get_spark(
     app_name: str = "fel_spark",
     master: str | None = None,
@@ -41,21 +55,15 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # AQE: runtime partition coalescing, skew-join splitting, SMJ->BHJ.
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for every pandas UDF / createDataFrame(pandas) path.
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.session.timeZone", "UTC")
-        # Broadcast threshold: the alias dict / embedding matrix must stay
-        # broadcastable (reference datapack <3GB per node, README.md:8-10);
-        # 64m is a deliberate ceiling for dimension tables at sf-test scale.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("FEL_SPARK_DRIVER_MEM", "48g"))
     )
+    # AQE (runtime coalescing, skew-join splitting, SMJ->BHJ), Arrow for
+    # every pandas-UDF path, and a 64m broadcast ceiling — the alias dict /
+    # embedding matrix must stay broadcastable (reference datapack <3GB per
+    # node, README.md:8-10).
+    for k, v in TUNED_CONF.items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
