@@ -654,6 +654,30 @@ def q_minhash_pairs_md5(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_md5(spark, sf_dir):
+    """Value-checked n-gram Jaccard dedup: the real operator
+    (`dedup.ngram_jaccard_pairs`) with the DuckDB-reproducible md5 gram
+    hash, so signature minima, banding, bucket join, AND the thresholded
+    exact verification are all replayed by the SQL oracle. Completes the
+    dedup family's value-checked coverage (exact / prefix-filter / minhash
+    / simhash / ngram-jaccard)."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        ngram_n=2,
+        threshold=0.5,
+        hash_fn=md5_hash60,
+        max_block=1_000_000_000,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard_ngram") * 10000).cast("long").alias("jac_4dp"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash-LSH near-dup clusters over documents (rows-only check)."""
     from fel_spark.operators.dedup import minhash_lsh_dedup
@@ -792,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "ngram_jaccard_md5": q_ngram_jaccard_md5,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "ann_lsh": q_ann_lsh,
@@ -1238,6 +1263,55 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN ts ta ON ta.doc_id = c.id_a
             JOIN ts tb ON tb.doc_id = c.id_b
+        """,
+        # ngram-jaccard: same banding replay as minhash_pairs_md5 but over
+        # token 2-grams with 12 seeds / 6 bands, then the exact SET Jaccard
+        # of the gram arrays with the >= 0.5 threshold. Score op order
+        # mirrors Spark exactly ((inter/union)*10000 in doubles).
+        "ngram_jaccard_md5": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1]) AS grams
+                FROM d WHERE len(toks) >= 2
+            ),
+            gg AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+            hs AS (
+                SELECT doc_id, s,
+                       min(CAST(('0x' || substr(md5((4242 + s) || ':' || gr), 1, 15))
+                           AS BIGINT)) AS mh
+                FROM gg, generate_series(0, 11) ss(s)
+                GROUP BY doc_id, s
+            ),
+            bk AS (
+                SELECT doc_id, s // 2 AS band,
+                       string_agg(CAST(mh AS VARCHAR), '_' ORDER BY s) AS key
+                FROM hs GROUP BY doc_id, s // 2
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            gs AS (SELECT doc_id, list_distinct(grams) AS dg FROM g),
+            scored AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(ga.dg, gb.dg)) AS DOUBLE) /
+                       (len(ga.dg) + len(gb.dg)
+                        - len(list_intersect(ga.dg, gb.dg))) AS j
+                FROM cand c
+                JOIN gs ga ON ga.doc_id = c.id_a
+                JOIN gs gb ON gb.doc_id = c.id_b
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(j * 10000) AS BIGINT) AS jac_4dp
+            FROM scored WHERE j >= 0.5
         """,
         # media_features: the feature VECTOR is the stubbed fake decode, but
         # the query's projection (id/kind passthrough + constant dim through

@@ -265,6 +265,7 @@ def ngram_jaccard_pairs(
     bands: int = 6,
     rows_per_band: int = 2,
     max_block: int = DEDUP_MAX_BLOCK,
+    hash_fn=None,
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: (id_a, id_b, jaccard_ngram).
 
@@ -277,7 +278,7 @@ def ngram_jaccard_pairs(
     # constant null-signature bucket — exclude from banding
     with_g = d.withColumn("_grams", grams_expr).filter(F.size("_grams") > 0)
     with_sig = minhash_signatures_df(
-        with_g, F.col("_grams"), [id_col], bands * rows_per_band
+        with_g, F.col("_grams"), [id_col], bands * rows_per_band, hash_fn=hash_fn
     )
     blocked = with_sig.withColumn(
         "bk", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))

@@ -91,3 +91,96 @@ def mention_rate_stream(linked: DataFrame, window: str = "1 minute") -> DataFram
         .groupBy(F.window("ts", window), "entity_id")
         .agg(F.count("*").alias("n_mentions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental per-block cluster assignment
+# ---------------------------------------------------------------------------
+
+INCR_CLUSTER_OUT = "block_key string, rep_id string, cluster_id string"
+_INCR_STATE = (
+    "rep_ids array<string>, rep_toks array<string>, cluster_ids array<string>"
+)
+
+
+def incremental_cluster_stream(
+    reps_stream: DataFrame,
+    threshold: float = 0.5,
+    max_registry: int = 500,
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Streaming incremental near-dup cluster assignment
+    (``applyInPandasWithState``): the stateful analogue of the batch
+    blocking -> pair -> CC chain for the *attach* side of the lambda split.
+
+    Input: a streaming DataFrame of (block_key, rep_id, toks:array<string>)
+    — new mention representatives with their blocking key. Per block key
+    the operator keeps a bounded registry of seen representatives; each new
+    rep adopts the cluster of the first stored rep within token-set Jaccard
+    >= ``threshold``, else opens a new cluster (cluster_id = own rep_id —
+    the same min-id-is-label determinism as batch CC). Global transitive
+    closure across block keys remains the periodic batch job; this operator
+    gives streaming rows a stable, immediately-usable cluster id with
+    single-key state locality (state shuffles once by block_key, exactly
+    like the batch pair join).
+
+    Scale posture: state per key is capped at ``max_registry`` entries
+    (same bound as blocking.cap_blocks — a hot key degrades to
+    first-``max_registry`` representatives instead of unbounded state), and
+    idle keys expire after ``timeout_minutes`` of processing time. The
+    registry comparison is small-times-small per micro-batch (new reps x
+    capped registry), never corpus-scale.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    def assign(key, pdfs, state: GroupState):
+        if state.exists:
+            rep_ids, rep_toks, cluster_ids = state.get
+            rep_ids, rep_toks, cluster_ids = (
+                list(rep_ids),
+                list(rep_toks),
+                list(cluster_ids),
+            )
+        else:
+            rep_ids, rep_toks, cluster_ids = [], [], []
+        tok_sets = [set(t.split()) for t in rep_toks]
+
+        out_ids, out_cids = [], []
+        for pdf in pdfs:
+            for rid, toks in zip(pdf["rep_id"], pdf["toks"]):
+                tset = set(toks)
+                cid = None
+                for i, stored in enumerate(tok_sets):
+                    union = len(tset | stored)
+                    if union and len(tset & stored) / union >= threshold:
+                        cid = cluster_ids[i]
+                        break
+                if cid is None:
+                    cid = rid
+                if len(rep_ids) < max_registry:
+                    rep_ids.append(rid)
+                    rep_toks.append(" ".join(sorted(tset)))
+                    cluster_ids.append(cid)
+                    tok_sets.append(tset)
+                out_ids.append(rid)
+                out_cids.append(cid)
+
+        state.update((rep_ids, rep_toks, cluster_ids))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "block_key": [key[0]] * len(out_ids),
+                "rep_id": out_ids,
+                "cluster_id": out_cids,
+            }
+        )
+
+    return reps_stream.groupBy("block_key").applyInPandasWithState(
+        assign,
+        outputStructType=INCR_CLUSTER_OUT,
+        stateStructType=_INCR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -140,3 +140,56 @@ def test_streaming_linking(spark, dict_pack, tiny_corpus, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select count(*) n from linked_stream_test").collect()[0]["n"]
     assert got > 0
+
+
+def test_incremental_cluster_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-block registries across micro-batches:
+    a near-dup arriving in batch 2 adopts the cluster opened in batch 1."""
+    from fel_spark.streaming.incremental import incremental_cluster_stream
+
+    src = tmp_path / "reps_src"
+    src.mkdir()
+    schema = "block_key string, rep_id string, toks array<string>"
+    b1 = spark.createDataFrame(
+        [
+            ("blk1", "r001", ["alpha", "beta", "gamma", "delta"]),
+            ("blk1", "r002", ["zeta", "eta", "theta", "iota"]),
+            ("blk2", "r003", ["solo", "tokens", "here"]),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2 = spark.createDataFrame(
+        [
+            # 3/5 overlap with r001 -> jaccard 0.6 >= 0.5 -> adopts r001
+            ("blk1", "r010", ["alpha", "beta", "gamma", "epsilon"]),
+            # no overlap -> new cluster
+            ("blk1", "r011", ["mu", "nu", "xi", "omicron"]),
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = incremental_cluster_stream(stream, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("incr_cluster_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["rep_id"]: r["cluster_id"]
+        for r in spark.sql("select * from incr_cluster_test").collect()
+    }
+    assert rows["r001"] == "r001"
+    assert rows["r002"] == "r002"
+    assert rows["r003"] == "r003"
+    assert rows["r010"] == "r001", rows  # cross-micro-batch state adoption
+    assert rows["r011"] == "r011"
