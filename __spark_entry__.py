@@ -391,6 +391,26 @@ def q_url_codec(spark, sf_dir):
     )
 
 
+def q_intent_part(spark, sf_dir):
+    """P7 intent-part extraction (utils/Normalize.java:131-140): the query
+    is the normalized part name, the linked entity's canonical form is its
+    first two tokens underscore-joined with a URL-encoded disambiguation
+    suffix — getIntentPart must peel the suffix, normalize, and remove the
+    canonical form, leaving the trailing tokens as the 'intent'."""
+    from fel_spark.functions.text import intent_part
+
+    p = _t(spark, sf_dir, "part")
+    q = normalize_fast("p_name")
+    toks = F.split(q, " ")
+    result = F.concat(
+        F.array_join(F.slice(toks, 1, 2), "_"),
+        F.lit("%3A%28disambiguation%29"),
+    )
+    return p.select(
+        "p_partkey", intent_part(q, result).alias("intent")
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """Token counting + quality ratios (training-data pipeline ops)."""
     d = _t(spark, sf_dir, "documents")
@@ -804,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize_full": q_doc_normalize_full,
         "url_codec": q_url_codec,
         "doc_token_stats": q_doc_token_stats,
+        "intent_part": q_intent_part,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
@@ -1263,6 +1284,45 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN ts ta ON ta.doc_id = c.id_a
             JOIN ts tb ON tb.doc_id = c.id_b
+        """,
+        # P7 getIntentPart replayed step-for-step (regex suffix peel, %3A
+        # removal, normalize, id-stopword strip on both strings, literal
+        # substring removal; no final trim — reference semantics)
+        "intent_part": """
+            WITH d AS (
+                SELECT p_partkey,
+                       trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS q
+                FROM part
+            ),
+            c AS (
+                SELECT p_partkey, q,
+                       array_to_string(list_slice(string_split(q, ' '), 1, 2), '_')
+                           || '%3A%28disambiguation%29' AS result
+                FROM d
+            ),
+            s1 AS (
+                SELECT p_partkey, q,
+                       replace(regexp_replace(result, '(.*?)(%28)(.*?)(%29.*)', '\\1'),
+                               '%3A', '') AS nid
+                FROM c
+            ),
+            s2 AS (
+                SELECT p_partkey, q,
+                       trim(regexp_replace(lower(regexp_replace(nid, '[^A-Za-z0-9]', ' ', 'g')),
+                            '[^a-z0-9]+', ' ', 'g')) AS nid
+                FROM s1
+            ),
+            s3 AS (
+                SELECT p_partkey,
+                       replace(replace(replace(replace(replace(q,
+                           ' the ', ' '), ' of ', ' '), ' a ', ' '), ' at ', ' '), ' in ', ' ') AS q,
+                       replace(replace(replace(replace(replace(nid,
+                           ' the ', ' '), ' of ', ' '), ' a ', ' '), ' at ', ' '), ' in ', ' ') AS nid
+                FROM s2
+            )
+            SELECT p_partkey,
+                   CASE WHEN len(nid) > 0 THEN replace(q, nid, '') ELSE q END AS intent
+            FROM s3
         """,
         # ngram-jaccard: same banding replay as minhash_pairs_md5 but over
         # token 2-grams with 12 seeds / 6 bands, then the exact SET Jaccard

@@ -28,6 +28,29 @@ def normalize_fast(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
 
+# utils/Normalize.java:30 — the stopwords getIntentPart strips from both
+# the canonical entity form and the query before substring removal
+ID_STOPWORDS = [" the ", " of ", " a ", " at ", " in "]
+
+
+def intent_part(query: Column, entity_result: Column) -> Column:
+    """P7 intent-part extraction (`utils/Normalize.java:131-140`): strip the
+    linked entity's canonical form from the query; what survives is the
+    query's "modifier" (intent). Steps mirror the reference exactly:
+    drop a URL-encoded parenthetical suffix (``%28...%29``), remove
+    ``%3A``, normalize, strip ID_STOPWORDS from both strings, then remove
+    the canonical form from the query as a literal substring. Output keeps
+    the reference's raw-removal semantics (no re-trim)."""
+    nid = F.regexp_replace(entity_result, r"(.*?)(%28)(.*?)(%29.*)", r"$1")
+    nid = F.replace(nid, F.lit("%3A"), F.lit(""))
+    nid = normalize_fast(F.regexp_replace(nid, "[^A-Za-z0-9]", " "))
+    q = query
+    for sw in ID_STOPWORDS:
+        nid = F.replace(nid, F.lit(sw), F.lit(" "))
+        q = F.replace(q, F.lit(sw), F.lit(" "))
+    return F.when(F.length(nid) > 0, F.replace(q, nid, F.lit(""))).otherwise(q)
+
+
 def normalize_tokens(col: Column | str) -> Column:
     """Normalized token array (empty tokens removed)."""
     toks = F.split(normalize_fast(col), " ")
