@@ -193,3 +193,47 @@ def test_incremental_cluster_stream_stateful(spark, tmp_path):
     assert rows["r003"] == "r003"
     assert rows["r010"] == "r001", rows  # cross-micro-batch state adoption
     assert rows["r011"] == "r011"
+
+
+def test_eval_xml_reader(spark, tmp_path):
+    """S8: distributed eval-XML parse (WebscopeXmlReader semantics:
+    flag defaults, duplicate-target drop, empty-target drop)."""
+    from fel_spark.sources.evalxml import eval_annotations, read_eval_xml
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<sessions>
+  <session id="s1">
+    <query assessor="19" starttime="37.94" ambiguous="true">
+      <text>brad pitt movies</text>
+      <annotation main="true"><span>brad pitt</span><target>Brad_Pitt</target></annotation>
+      <annotation><span>brad pitt</span><target>Brad_Pitt</target></annotation>
+      <annotation><span>x</span><target>  </target></annotation>
+    </query>
+    <query navigational="true"><text>imdb</text></query>
+  </session>
+  <session id="s2">
+    <query><text>paris hotels</text>
+      <annotation><span>paris</span><target>Paris</target></annotation>
+    </query>
+  </session>
+</sessions>"""
+    p = tmp_path / "eval"
+    p.mkdir()
+    (p / "part1.xml").write_text(xml)
+
+    df = read_eval_xml(spark, str(p))
+    rows = {r["text"]: r for r in df.collect()}
+    assert len(rows) == 3
+    q1 = rows["brad pitt movies"]
+    assert q1["session_id"] == "s1" and q1["ambiguous"] and not q1["adult"]
+    assert q1["assessor"] == "19"
+    # duplicate + empty targets dropped -> exactly one annotation survives
+    assert len(q1["annotations"]) == 1
+    assert q1["annotations"][0]["target"] == "Brad_Pitt"
+    assert q1["annotations"][0]["main"] is True
+    assert rows["imdb"]["navigational"] and rows["imdb"]["annotations"] == []
+
+    gold = eval_annotations(df)
+    g = {r["entity_id"]: r for r in gold.collect()}
+    assert set(g) == {"Brad_Pitt", "Paris"}
+    assert g["Paris"]["session_id"] == "s2"
