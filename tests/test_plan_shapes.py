@@ -86,3 +86,34 @@ def test_whole_stage_codegen_on_scan_agg(spark):
     q.collect()  # AQE finalizes the physical plan on execution
     # "*(n)" prefixes mark WholeStageCodegen spans in the simple plan string
     assert "*(" in _plan(q)
+
+
+def test_minhash_signature_agg_is_partial(spark):
+    """The explode+min-agg MinHash signature must map-side combine: the
+    shuffle carries num_hashes longs per key, not one row per gram."""
+    from fel_spark.functions.hashing import minhash_signatures_df
+
+    docs = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["x y z"])], ["doc_id", "grams"]
+    )
+    sig = minhash_signatures_df(docs, F.col("grams"), ["doc_id"], 4)
+    plan = _plan(sig)
+    # partial_min before the exchange = map-side combine
+    assert "partial_min" in plan or "partial min" in plan, plan
+    assert "Exchange" in plan
+
+
+def test_intent_part_is_pure_column_math(spark):
+    """P7 must stay inside codegen: no Python eval, no shuffle."""
+    from fel_spark.functions.text import intent_part, normalize_fast
+
+    df = spark.createDataFrame([("brad pitt movies",)], ["q"])
+    out = df.select(
+        intent_part(
+            normalize_fast("q"), F.lit("Brad_Pitt%3A%28actor%29")
+        ).alias("intent")
+    )
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert out.collect()[0]["intent"].strip() == "movies"
