@@ -487,13 +487,12 @@ def q_minhash_near_dup(spark, sf_dir):
     grams = token_ngrams(F.split(F.col("tn"), " "), 3)
     with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
     with_sig = minhash_signatures_df(with_g, F.col("_g"), ["doc_id", "tn"], 8)
-    blocked = cap_blocks(
-        with_sig.withColumn(
-            "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
-        ),
-        max_block=500,
-        salt_col="doc_id",
-    )
+    # persist the banded set: 4 consumers (cap size agg, salt join, both
+    # self-join sides) would otherwise re-run the signature agg each
+    banded = with_sig.withColumn(
+        "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
+    ).persist()
+    blocked = cap_blocks(banded, max_block=500, salt_col="doc_id")
     a = blocked.select(
         F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "block_key"
     )
@@ -643,13 +642,10 @@ def q_minhash_pairs_md5(spark, sf_dir):
     with_sig = minhash_signatures_df(
         with_g, F.col("_g"), ["doc_id", "tn"], 8, hash_fn=md5_hash60
     )
-    blocked = cap_blocks(
-        with_sig.withColumn(
-            "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
-        ),
-        max_block=1_000_000_000,
-        salt_col="doc_id",
-    )
+    banded = with_sig.withColumn(
+        "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
+    ).persist()
+    blocked = cap_blocks(banded, max_block=1_000_000_000, salt_col="doc_id")
     a = blocked.select(
         F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "block_key"
     )

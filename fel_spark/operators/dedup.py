@@ -63,6 +63,11 @@ def _pairs_from_blocks(
     collapse through exact_dedup first and transitive closure reconnects
     the rest (same mitigation as the ER path, blocking.py:59-81).
     """
+    # FOUR consumers read this subtree (cap_blocks' size agg, its salt
+    # join, and both self-join sides); without a persist the (expensive)
+    # signature computation upstream re-evaluates per consumer — measured
+    # 2.3x on the bench query. MEMORY_AND_DISK: spills, LRU-evicted.
+    blocked = blocked.persist()
     capped = cap_blocks(
         blocked.withColumnRenamed("bk", "block_key"),
         max_block=max_block,
