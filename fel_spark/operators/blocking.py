@@ -81,6 +81,36 @@ def cap_blocks(
     return out.withColumn("block_key", salted).drop("block_size")
 
 
+def capped_block_stats(
+    blocked: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
+) -> DataFrame:
+    """Quantify what :func:`cap_blocks` drops — the audit row a 100 TB run
+    logs next to its lineage metrics (the "log dropped volume" half of the
+    salting contract; the ER ops path records it per stage in
+    `plans/metrics.py`).
+
+    One-row DataFrame: hot-block count, rows inside hot blocks, exact
+    intra-block pair count before salting, and the estimated pairs
+    surviving after the salt split (shards of ~max_block rows) — the
+    difference is the recall the cap trades for boundedness, recoverable
+    via multi-key blocking + transitive closure.
+    """
+    sizes = blocked.groupBy("block_key").agg(F.count("*").alias("s"))
+    hot = sizes.filter(F.col("s") > max_block)
+    n_shards = F.ceil(F.col("s") / max_block)
+    pairs_before = (F.col("s") * (F.col("s") - 1) / 2).cast("long")
+    per_shard = F.col("s") / n_shards
+    pairs_after = (
+        n_shards * (per_shard * (per_shard - 1) / 2)
+    ).cast("long")
+    return hot.agg(
+        F.count("*").alias("n_hot_blocks"),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("rows_in_hot_blocks"),
+        F.coalesce(F.sum(pairs_before), F.lit(0)).cast("long").alias("pairs_before_cap"),
+        F.coalesce(F.sum(pairs_after), F.lit(0)).cast("long").alias("est_pairs_after_cap"),
+    )
+
+
 def candidate_pairs(
     blocked: DataFrame,
     id_col: str = "mention_id",

@@ -95,6 +95,12 @@ class StageRunner:
         )
         mdf.write.mode("append").parquet(os.path.join(self.run_dir, "_metrics"))
 
+    def log_aux(self, name: str, df: DataFrame) -> None:
+        """Append a small auxiliary metrics DataFrame (e.g. dropped-block
+        volume from `blocking.capped_block_stats`) to the run's audit
+        trail."""
+        df.write.mode("append").parquet(os.path.join(self.run_dir, "_aux", name))
+
     def read_stage(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._stage_path(name))
 
@@ -135,7 +141,11 @@ def run_er_checkpointed(
                 F.concat_ws("#e", "span", F.col("entity_id").cast("string")),
             )
         )
-        blocked = blocking.cap_blocks(blocking.blocking_keys(reps))
+        keys = blocking.blocking_keys(reps)
+        # audit the salting trade: how many hot blocks, how many intra-block
+        # pairs the cap drops (recoverable via multi-key + closure)
+        r.log_aux("capped_blocks", blocking.capped_block_stats(keys))
+        blocked = blocking.cap_blocks(keys)
         pairs = blocking.candidate_pairs(
             blocked, payload_cols=("span", "entity_id", "entity_key")
         )

@@ -57,3 +57,18 @@ def test_candidate_pairs_order_and_dedup(spark):
     # identical spans share several keys -> still exactly one pair, a < b
     assert len(pairs) == 1
     assert pairs[0]["mention_id_a"] == "m1" and pairs[0]["mention_id_b"] == "m2"
+
+
+def test_capped_block_stats_quantifies_drop(spark):
+    """The audit row matches hand-computed hot-block volume."""
+    from fel_spark.operators import blocking
+    from pyspark.sql import functions as F
+
+    rows = [("hot", f"m{i}") for i in range(10)] + [("cold", "x"), ("cold", "y")]
+    blocked = spark.createDataFrame(rows, ["block_key", "mention_id"])
+    got = blocking.capped_block_stats(blocked, max_block=4).collect()[0]
+    assert got["n_hot_blocks"] == 1
+    assert got["rows_in_hot_blocks"] == 10
+    assert got["pairs_before_cap"] == 45  # C(10,2)
+    # 3 shards of ~3.33 rows -> well under 45
+    assert 0 < got["est_pairs_after_cap"] < 45
