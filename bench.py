@@ -91,10 +91,11 @@ def run_er_bench(spark, n_conv: int, turns_per_conv: int, n_entities: int) -> di
     run_er(warm, ad, ents, bc_emb=bc).mentions.count()
 
     turns = n_conv * turns_per_conv
-    # default 2 reps, best-of: the first measured rep still pays residual
-    # JIT/codegen warmup (and this host's CPU-steal bursts); the best of two
-    # tracks engine capacity, and rep_secs exposes the spread either way
-    reps = max(1, int(os.environ.get("FEL_BENCH_ER_REPS", "2")))
+    # default 3 reps, best-of: the first measured rep still pays residual
+    # JIT/codegen warmup, and this host's CPU-steal storms slow identical
+    # runs 1.5-4x for minutes (observed 197s/44s back-to-back); the minimum
+    # tracks engine capacity, and rep_secs exposes the full spread
+    reps = max(1, int(os.environ.get("FEL_BENCH_ER_REPS", "3")))
     # materialize the corpus once — the production input is an Iceberg/
     # Parquet table, not an on-the-fly generator; the measured job starts
     # from stored rows
