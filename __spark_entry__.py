@@ -701,6 +701,25 @@ def q_dedup_clusters(spark, sf_dir):
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
+def q_dedup_clusters_md5(spark, sf_dir):
+    """Value-checked FULL LSH clustering: the real `minhash_lsh_dedup`
+    operator (exact-dup collapse -> md5-hash minhash signatures -> banding
+    -> bucket join -> exact Jaccard verify -> connected components -> fan
+    back out to all docs) with every stage replayed by the SQL oracle
+    (banding replay + recursive-CTE closure). This makes the flagship's
+    algorithm family value-checked end-to-end, not just its exact twin.
+    Salt cap disabled for the parity probe (see simhash_pairs_md5)."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        hash_fn=md5_hash60,
+        max_block=1_000_000_000,
+    )
+
+
 def q_dedup_clusters_exact(spark, sf_dir):
     """Value-checked transitive closure (J9/C7): exact prefix-filter Jaccard
     pair join + connected components, oracled by an all-pairs join + a
@@ -835,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "ngram_jaccard_md5": q_ngram_jaccard_md5,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_md5": q_dedup_clusters_md5,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1280,6 +1300,73 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN ts ta ON ta.doc_id = c.id_a
             JOIN ts tb ON tb.doc_id = c.id_b
+        """,
+        # FULL LSH clustering replay: exact-dup collapse to min-id reps,
+        # md5-hash signature minima (16 seeds), 8-band keys, bucket join,
+        # exact token-set Jaccard >= 0.5 edges, recursive-CTE transitive
+        # closure with STRING min labels (the Spark CC labels rep ids as
+        # strings, so min is lexicographic on both sides), then fan-out to
+        # all docs through their normalized-text group
+        "dedup_clusters_md5": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS tn
+                FROM documents
+            ),
+            reps AS (SELECT tn, min(doc_id) AS rep FROM d GROUP BY tn),
+            t AS (
+                SELECT rep, tn,
+                       list_filter(string_split(tn, ' '), x -> len(x) > 0) AS toks
+                FROM reps
+            ),
+            g AS (
+                SELECT rep,
+                       unnest(list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gr
+                FROM t WHERE len(toks) >= 3
+            ),
+            hs AS (
+                SELECT rep, s,
+                       min(CAST(('0x' || substr(md5((4242 + s) || ':' || gr), 1, 15))
+                           AS BIGINT)) AS mh
+                FROM g, generate_series(0, 15) ss(s)
+                GROUP BY rep, s
+            ),
+            bk AS (
+                SELECT rep, s // 2 AS band,
+                       string_agg(CAST(mh AS VARCHAR), '_' ORDER BY s) AS key
+                FROM hs GROUP BY rep, s // 2
+            ),
+            cand AS (
+                SELECT DISTINCT a.rep AS ra, b.rep AS rb
+                FROM bk a JOIN bk b
+                  ON a.band = b.band AND a.key = b.key AND a.rep < b.rep
+            ),
+            ts AS (SELECT rep, list_distinct(toks) AS toks FROM t),
+            edges AS (
+                SELECT c.ra, c.rb
+                FROM cand c
+                JOIN ts ta ON ta.rep = c.ra
+                JOIN ts tb ON tb.rep = c.rb
+                WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                      (len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks))) >= 0.5
+            ),
+            e AS (
+                SELECT CAST(ra AS VARCHAR) AS src, CAST(rb AS VARCHAR) AS dst FROM edges
+                UNION ALL
+                SELECT CAST(rb AS VARCHAR), CAST(ra AS VARCHAR) FROM edges
+            ),
+            reach(id, comp) AS (
+                SELECT CAST(rep AS VARCHAR), CAST(rep AS VARCHAR) FROM reps
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+            ),
+            cl AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+            SELECT d.doc_id, cl.cluster_id
+            FROM d
+            JOIN reps ON reps.tn = d.tn
+            JOIN cl ON cl.id = CAST(reps.rep AS VARCHAR)
         """,
         # P7 getIntentPart replayed step-for-step (regex suffix peel, %3A
         # removal, normalize, id-stopword strip on both strings, literal

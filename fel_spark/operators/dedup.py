@@ -99,6 +99,7 @@ def minhash_lsh_dedup(
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.7,
     max_block: int = DEDUP_MAX_BLOCK,
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup clusters.
 
@@ -125,6 +126,7 @@ def minhash_lsh_dedup(
         F.col("_grams"),
         ["_rep", "_tn"],
         bands * rows_per_band,
+        hash_fn=hash_fn,
     )
     blocked = with_sig.withColumn(
         "bk", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
