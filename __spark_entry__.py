@@ -478,7 +478,13 @@ def q_knn_bruteforce(spark, sf_dir):
 
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs over documents (no SQL oracle —
-    LSH banding is not ANSI-expressible; rows-only check)."""
+    LSH banding is not ANSI-expressible; rows-only check).
+
+    Scale shape: ONLY (doc_id, block_key) rides the band explode, the
+    persist, the cap's size agg, and the self-join shuffle — the normalized
+    text (the heavy payload) attaches by id-join AFTER pair dedup, so the
+    banded working set is two narrow columns instead of full documents
+    (the r2 regression was exactly this payload riding 4 consumers)."""
     from fel_spark.operators.blocking import cap_blocks
 
     d = _t(spark, sf_dir, "documents").select(
@@ -486,19 +492,17 @@ def q_minhash_near_dup(spark, sf_dir):
     )
     grams = token_ngrams(F.split(F.col("tn"), " "), 3)
     with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
-    with_sig = minhash_signatures_df(with_g, F.col("_g"), ["doc_id", "tn"], 8)
-    # persist the banded set: 4 consumers (cap size agg, salt join, both
+    with_sig = minhash_signatures_df(with_g, F.col("_g"), ["doc_id"], 8)
+    # persist the banded ids: 4 consumers (cap size agg, salt join, both
     # self-join sides) would otherwise re-run the signature agg each
-    banded = with_sig.withColumn(
-        "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
+    banded = (
+        with_sig.select(
+            "doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 2)).alias("block_key")
+        )
     ).persist()
     blocked = cap_blocks(banded, max_block=500, salt_col="doc_id")
-    a = blocked.select(
-        F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a"), "block_key"
-    )
-    b = blocked.select(
-        F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b"), "block_key"
-    )
+    a = blocked.select(F.col("doc_id").alias("id_a"), "block_key")
+    b = blocked.select(F.col("doc_id").alias("id_b"), "block_key")
     pairs = (
         a.join(b, "block_key")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -506,7 +510,11 @@ def q_minhash_near_dup(spark, sf_dir):
     )
     from fel_spark.functions.sim import array_jaccard
 
-    return pairs.select(
+    verified = (
+        pairs.join(d.select(F.col("doc_id").alias("id_a"), F.col("tn").alias("tn_a")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"), F.col("tn").alias("tn_b")), "id_b")
+    )
+    return verified.select(
         "id_a",
         "id_b",
         F.floor(

@@ -33,6 +33,9 @@ from __future__ import annotations
 
 import warnings
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 # Edge-count gate for the driver-side union-find fast path. Rationale: the
@@ -102,19 +105,29 @@ def connected_components(
     spark = edges.sparkSession
 
     if n_edges <= driver_cc_max_edges:
-        # Small-graph fast path: ONE collect (the graph is broadcast-sized by
-        # the gate above) + in-memory union-find + a broadcast-able label map
-        # back out. Identical output to the distributed loop (component = min
-        # reachable id; tested for equality in test_cluster.py). `vertices`
-        # stays distributed — it can be corpus-scale — and singletons are
-        # restored by the left-join + coalesce below.
-        rows = sym.collect()
-        pairs = [(r["src"], r["dst"]) for r in rows if r["src"] < r["dst"]]
-        ids = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
-        label = _driver_union_find(pairs, ids)
+        # Small-graph fast path: ONE Arrow collect (the graph is
+        # broadcast-sized by the gate above) + in-memory union-find + a
+        # broadcast-able label map back out. Identical output to the
+        # distributed loop (component = min reachable id; tested for equality
+        # in test_cluster.py). toPandas (Arrow batches -> numpy columns)
+        # instead of collect(): 2M edges as pyspark Row objects cost several
+        # hundred bytes of Python heap each (~5x the raw data); two numpy
+        # columns hold the same graph in ~2 bytes-per-char / 8 bytes-per-int,
+        # which is what makes the 2M-edge gate's ~100 MB sizing honest.
+        # `vertices` stays distributed — it can be corpus-scale — and
+        # singletons are restored by the left-join + coalesce below.
+        epdf = sym.toPandas()
+        src = epdf["src"].to_numpy()
+        dst = epdf["dst"].to_numpy()
+        keep = src < dst
+        ids_arr = np.unique(np.concatenate([src, dst]))
+        label = _driver_union_find(
+            zip(src[keep].tolist(), dst[keep].tolist()), ids_arr.tolist()
+        )
+        ids = ids_arr.tolist()
         id_type = dict(edges.dtypes)["src"]
         comp_df = spark.createDataFrame(
-            [(v, label[v]) for v in ids],
+            pd.DataFrame({id_col: ids, "component": [label[v] for v in ids]}),
             schema=f"{id_col} {id_type}, component {id_type}",
         )
         if vertices is None:

@@ -35,20 +35,30 @@ LEXSIM_LAMBDA = 0.5  # :58
 DEFAULT_LOG_LIKELIHOOD = -10000.0  # :70
 
 
-def _bigrams(s: str) -> set[str]:
-    out = set()
-    for w in s.split():
-        out.update(w[i : i + 2] for i in range(len(w) - 1))
-    return out
+class _DiceTable:
+    """Per-conversation lexical cache: ONE batched multiset char-bigram Dice
+    matrix over the conversation's distinct strings (candidate names +
+    surfaces), computed with the vectorized kernel
+    (`sim.bigram_multiset_dice_matrix` — binary-level matmuls, faithful to
+    `CompressedSingleFileEntitySimilarityUtil.lexicalSimilarity`, :147-164).
+    Transition/node loops then do O(1) matrix lookups — no per-pair Python
+    string ops inside the lattice."""
 
+    def __init__(self, strings):
+        from fel_spark.functions.sim import bigram_multiset_dice_matrix
 
-def _lex_sim(a: str, b: str) -> float:
-    """Char-bigram Dice (CompressedSingleFileEntitySimilarityUtil.java:147-164)."""
-    pa, pb = _bigrams(a), _bigrams(b)
-    if not pa and not pb:
-        return 1.0 if a == b else 0.0
-    denom = len(pa) + len(pb)
-    return 2.0 * len(pa & pb) / denom if denom else 0.0
+        self.idx = {}
+        for s in strings:
+            if s not in self.idx:
+                self.idx[s] = len(self.idx)
+        uniq = list(self.idx)
+        self.D = bigram_multiset_dice_matrix(uniq, uniq)
+
+    def rows(self, strs: list[str]) -> np.ndarray:
+        return np.asarray([self.idx[s] for s in strs], dtype=np.int64)
+
+    def sim(self, a: str, b: str) -> float:
+        return float(self.D[self.idx[a], self.idx[b]])
 
 
 def _surface_vec(emb, surface: str) -> np.ndarray | None:
@@ -60,7 +70,7 @@ def _surface_vec(emb, surface: str) -> np.ndarray | None:
     return acc
 
 
-def _node_score(emb, cand_key: str, cand_name: str, surface: str) -> float:
+def _node_score(emb, dice: _DiceTable, cand_key: str, cand_name: str, surface: str) -> float:
     ci = emb.vocab.get(cand_key)
     e2w = 0.0
     if ci is not None:
@@ -69,17 +79,17 @@ def _node_score(emb, cand_key: str, cand_name: str, surface: str) -> float:
             cv = emb.matrix[ci]
             denom = np.linalg.norm(cv) * np.linalg.norm(sv)
             e2w = float(cv @ sv / denom) if denom > 0 else 0.0
-    lex = _lex_sim(cand_name, surface)
+    lex = dice.sim(cand_name, surface)
     blend = (1 - LEXSIM_LAMBDA) * e2w + LEXSIM_LAMBDA * lex
     return max(np.log(blend) if blend > 0 else DEFAULT_LOG_LIKELIHOOD, DEFAULT_LOG_LIKELIHOOD)
 
 
-def _pair_trans_matrix(emb, prev_cands, cands) -> np.ndarray:
+def _pair_trans_matrix(emb, dice: _DiceTable, prev_cands, cands) -> np.ndarray:
     """Transition score matrix (len(prev) x len(cands)): log of the blend of
     entity-entity embedding cosine and lexical char-bigram Dice, floored.
-    Embedding cosines come from ONE gather + matmul; only the (cached)
-    lexical Dice stays per-pair Python (string set ops, MAXNBEST^2 <= 100
-    pairs per transition)."""
+    Embedding cosines come from ONE gather + matmul; lexical Dice is a
+    sub-matrix gather from the conversation's precomputed _DiceTable —
+    nothing per-pair in Python."""
     kp = [c["entity_key"] for c in prev_cands]
     kc = [c["entity_key"] for c in cands]
     ip = emb.ids_for(np.asarray(kp, dtype=object))
@@ -93,23 +103,26 @@ def _pair_trans_matrix(emb, prev_cands, cands) -> np.ndarray:
     denom = np.outer(np_n, nc_n)
     with np.errstate(divide="ignore", invalid="ignore"):
         e2e = np.where(denom > 0, (vp @ vc.T) / np.where(denom == 0, 1, denom), 0.0)
-    lex = np.array(
-        [[_lex_sim(p["name"], c["name"]) for c in cands] for p in prev_cands]
-    )
+    lex = dice.D[
+        np.ix_(
+            dice.rows([p["name"] for p in prev_cands]),
+            dice.rows([c["name"] for c in cands]),
+        )
+    ]
     blend = (1 - LEXSIM_LAMBDA) * e2e + LEXSIM_LAMBDA * lex
     with np.errstate(divide="ignore"):
         trans = np.where(blend > 0, np.log(np.where(blend <= 0, 1, blend)), DEFAULT_LOG_LIKELIHOOD)
     return trans
 
 
-def _lattice(emb, surfaces, cand_lists, reverse: bool) -> np.ndarray:
+def _lattice(emb, dice: _DiceTable, surfaces, cand_lists, reverse: bool) -> np.ndarray:
     n = len(surfaces)
     order = range(n - 1, -1, -1) if reverse else range(n)
     idx = list(order)
     lat = np.full((n, MAXNBEST), DEFAULT_LOG_LIKELIHOOD)
     first = idx[0]
     for j, cand in enumerate(cand_lists[first][:MAXNBEST]):
-        lat[first][j] = _node_score(emb, cand["entity_key"], cand["name"], surfaces[first])
+        lat[first][j] = _node_score(emb, dice, cand["entity_key"], cand["name"], surfaces[first])
     for pos in range(1, n):
         i, prev = idx[pos], idx[pos - 1]
         cands = cand_lists[i][:MAXNBEST]
@@ -117,10 +130,10 @@ def _lattice(emb, surfaces, cand_lists, reverse: bool) -> np.ndarray:
         if not cands:
             continue
         nodes = np.array(
-            [_node_score(emb, c["entity_key"], c["name"], surfaces[i]) for c in cands]
+            [_node_score(emb, dice, c["entity_key"], c["name"], surfaces[i]) for c in cands]
         )
         if pcands:
-            trans = _pair_trans_matrix(emb, pcands, cands)  # (|prev|, |cands|)
+            trans = _pair_trans_matrix(emb, dice, pcands, cands)  # (|prev|, |cands|)
             best = (trans + lat[prev][: len(pcands), None]).max(axis=0)
         else:
             # floor, not None/NaN: a previous mention with an empty candidate
@@ -158,8 +171,12 @@ def coherent_assignments(mentions_nbest: DataFrame, bc_emb) -> DataFrame:
                 cand_lists = [list(m["candidates"]) for m in ms]
                 if not surfaces:
                     continue
-                fwd = _lattice(emb, surfaces, cand_lists, reverse=False)
-                bwd = _lattice(emb, surfaces, cand_lists, reverse=True)
+                dice = _DiceTable(
+                    surfaces
+                    + [c["name"] for cl in cand_lists for c in cl[:MAXNBEST]]
+                )
+                fwd = _lattice(emb, dice, surfaces, cand_lists, reverse=False)
+                bwd = _lattice(emb, dice, surfaces, cand_lists, reverse=True)
                 merged = fwd + bwd
                 for i, m in enumerate(ms):
                     cl = cand_lists[i][:MAXNBEST]

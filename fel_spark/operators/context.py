@@ -415,25 +415,24 @@ def entity_phrase_similarity(
         if n == 0:
             return pd.Series(out)
         ent_ids = emb.ids_for(keys.to_numpy(dtype=object, na_value=None))
-        words: list[str] = []
-        rows: list[int] = []
-        for i, p in enumerate(phrases):
-            if ent_ids[i] < 0 or p is None:
-                continue
-            parts = p.split()
-            for j, w in enumerate(parts):
-                words.append(w)
-                rows.append(i)
-                if j > 0:
-                    words.append(parts[j - 1] + "_" + w)
-                    rows.append(i)
-        if not words:
+        # vectorized token + "_"-bigram extraction: split -> explode; bigram
+        # where consecutive exploded tokens share a row (no per-row Python)
+        ps = phrases.reset_index(drop=True)
+        ps = ps.where(pd.Series(ent_ids >= 0, index=ps.index), None)
+        ex = ps.str.split().explode().dropna()
+        rid0 = ex.index.to_numpy(np.int64)
+        uni = ex.to_numpy(dtype=object)
+        adj = np.nonzero(rid0[1:] == rid0[:-1])[0] + 1
+        big = uni[adj - 1] + "_" + uni[adj] if len(adj) else uni[:0]
+        words = np.concatenate([uni, big])
+        rows = np.concatenate([rid0, rid0[adj]])
+        if not len(words):
             return pd.Series(out)
-        wid = emb.ids_for(np.asarray(words, dtype=object))
+        wid = emb.ids_for(words)
         ok = wid >= 0
         if not ok.any():
             return pd.Series(out)
-        rid = np.asarray(rows, dtype=np.int64)[ok]
+        rid = rows[ok]
         wv = emb.matrix[wid[ok]].astype(np.float64)
         ev = emb.matrix[np.clip(ent_ids, 0, None)].astype(np.float64)
         wn = np.linalg.norm(wv, axis=1)

@@ -128,10 +128,17 @@ def minhash_lsh_dedup(
         bands * rows_per_band,
         hash_fn=hash_fn,
     )
-    blocked = with_sig.withColumn(
-        "bk", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
+    # ids-only through the band explode / cap / self-join shuffle; the
+    # normalized text (heavy payload) attaches by id-join AFTER pair dedup
+    blocked = with_sig.select(
+        "_rep", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
-    pairs = _pairs_from_blocks(blocked, "_rep", ["_tn"], max_block=max_block)
+    pairs = _pairs_from_blocks(blocked, "_rep", [], max_block=max_block)
+    pairs = pairs.join(
+        reps.select(F.col("_rep").alias("id_a"), F.col("_tn").alias("_tn_a")), "id_a"
+    ).join(
+        reps.select(F.col("_rep").alias("id_b"), F.col("_tn").alias("_tn_b")), "id_b"
+    )
     verified = pairs.withColumn(
         "jaccard", array_jaccard(F.split("_tn_a", " "), F.split("_tn_b", " "))
     ).filter(F.col("jaccard") >= jaccard_threshold)

@@ -8,6 +8,9 @@ operators a 100 TB corpus needs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from fel_spark.functions.text import normalize_fast, normalize_tokens
@@ -66,13 +69,58 @@ def quality_score(text_col: str = "text") -> Column:
     return (len_ok * sw_ok * punct_ok * mwl_ok).alias("quality")
 
 
-def language_id(text_col: str = "text") -> Column:
-    """Cheap n-gram/stopword language heuristic -> 'en' | 'other'.
+class LangIdModel:
+    """Broadcast-able token -> per-language weight table (the fastText-style
+    hook: a real model drops in as {lang: {token: weight}} without changing
+    the operator). Lookup structures are plain pandas/NumPy so scoring stays
+    one get_indexer probe + one scatter-add per Arrow batch."""
 
-    (The container has no langid model; the heuristic is the deterministic
-    stand-in with the same operator shape: per-row scoring, no shuffle.)
+    def __init__(self, lang_token_weights: dict[str, dict[str, float]]):
+        self.langs = sorted(lang_token_weights)
+        vocab: dict[str, int] = {}
+        for tw in lang_token_weights.values():
+            for t in tw:
+                vocab.setdefault(t, len(vocab))
+        self.token_index = pd.Index(list(vocab))
+        self.weights = np.zeros((max(len(vocab), 1), len(self.langs)))
+        for li, lang in enumerate(self.langs):
+            for t, w in lang_token_weights[lang].items():
+                self.weights[vocab[t], li] = w
+
+
+def language_id(
+    text_col: str = "text", bc_model=None, default_lang: str = "other"
+) -> Column:
+    """Language ID over normalized tokens.
+
+    Default (no model): cheap stopword-share heuristic -> 'en' | 'other' —
+    the deterministic container stand-in, same operator shape as a
+    model-backed scorer (per-row, no shuffle). With ``bc_model`` (a
+    broadcast :class:`LangIdModel`): vectorized token-weight voting — sum
+    each language's token weights per document, argmax; documents with no
+    vocabulary hits fall back to ``default_lang``. The heuristic is no
+    longer load-bearing once a real model table is supplied.
     """
-    return F.when(stopword_ratio(text_col) >= 0.05, "en").otherwise("other")
+    if bc_model is None:
+        return F.when(stopword_ratio(text_col) >= 0.05, "en").otherwise("other")
+
+    @F.pandas_udf("string")
+    def _lid(toks: pd.Series) -> pd.Series:
+        model = bc_model.value
+        n = len(toks)
+        ex = toks.reset_index(drop=True).explode().dropna()
+        rows = ex.index.to_numpy(np.int64)
+        pos = model.token_index.get_indexer(pd.Index(ex.to_numpy(dtype=object)))
+        ok = pos >= 0
+        scores = np.zeros((n, len(model.langs)))
+        np.add.at(scores, rows[ok], model.weights[pos[ok]])
+        langs = np.asarray(model.langs, dtype=object)
+        out = np.where(
+            scores.max(axis=1) > 0, langs[scores.argmax(axis=1)], default_lang
+        )
+        return pd.Series(out, index=toks.index, dtype=object)
+
+    return _lid(normalize_tokens(text_col))
 
 
 def fingerprint(text_col: str = "text") -> Column:

@@ -114,6 +114,62 @@ class TypeLM:
                 )
         return s if s != 0.0 else DEFAULT_SCORE
 
+    def _indexes(self):
+        """Lazy vectorized lookup structures (built once per executor after
+        broadcast unpickle; excluded from the pickled payload)."""
+        idx = getattr(self, "_idx_cache", None)
+        if idx is None:
+            keys = pd.Index(["\x1f".join(k) for k in self.lm])
+            vals = np.fromiter(self.lm.values(), dtype=np.float64, count=len(self.lm))
+            bg_idx = pd.Index(list(self.background))
+            bg_vals = np.fromiter(
+                self.background.values(), dtype=np.float64, count=len(self.background)
+            )
+            tf_idx = pd.Index(list(self.type_freqs))
+            tf_vals = np.fromiter(
+                self.type_freqs.values(), dtype=np.float64, count=len(self.type_freqs)
+            )
+            idx = self._idx_cache = (keys, vals, bg_idx, bg_vals, tf_idx, tf_vals)
+        return idx
+
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items() if k != "_idx_cache"}
+
+    def score_batch(
+        self, types: np.ndarray, grams: np.ndarray, rows: np.ndarray, n: int
+    ) -> np.ndarray:
+        """Vectorized :meth:`score` over a flattened batch: ``grams[i]``
+        belongs to output row ``rows[i]``; ``types`` is per-output-row.
+        Same contract: unknown/None type or zero hit-sum -> DEFAULT_SCORE.
+        One get_indexer probe against the (type, ngram) index + one bincount
+        — no per-row Python (the `ids_for` hash-index pattern)."""
+        keys, vals, bg_idx, bg_vals, tf_idx, tf_vals = self._indexes()
+        out = np.full(n, DEFAULT_SCORE, dtype=np.float64)
+        t_pos = tf_idx.get_indexer(pd.Index(types))  # -1: unknown/None type
+        if len(grams) == 0:
+            return out
+        keep = t_pos[rows] >= 0
+        g_rows = rows[keep]
+        g_grams = pd.Series(grams[keep], dtype=object)
+        if len(g_grams) == 0:
+            return out
+        t_per_gram = pd.Series(types[g_rows], dtype=object)
+        hit = keys.get_indexer(pd.Index(t_per_gram.str.cat(g_grams, sep="\x1f")))
+        ok = hit >= 0
+        if ok.any():
+            f = vals[hit[ok]]
+            bg = bg_vals[bg_idx.get_indexer(pd.Index(g_grams[ok]))]
+            denom = tf_vals[t_pos[g_rows[ok]]] + MU_LM
+            contrib = np.log((f + MU_LM * (bg / self.total_freq)) / denom)
+            sums = np.bincount(g_rows[ok], weights=contrib, minlength=n)
+            hit_rows = np.zeros(n, dtype=bool)
+            hit_rows[g_rows[ok]] = True
+            # a row whose contributions sum to exactly 0.0 scores DEFAULT
+            # (reference's `s != 0.0` guard) — preserved by the mask below
+            nz = hit_rows & (sums != 0.0)
+            out[nz] = sums[nz]
+        return out
+
 
 def build_type_lm(
     observations: DataFrame,
@@ -156,15 +212,36 @@ def type_lm_scores(
     """Score each row's (type, context tokens) against the broadcast LM.
     The per-query score cache of the reference (scoreCache, :57) is
     subsumed by Spark-side dedup: score distinct (type, context) upstream
-    when contexts repeat."""
+    when contexts repeat.
+
+    Fully vectorized (no per-row Python): scoring SUMS over n-gram
+    instances, so only the MULTISET of :func:`ngram_mix` matters — and that
+    multiset is exactly {all unigrams} + {all adjacent bigrams} + {all
+    trigrams} (the reference's enumeration is an ordering quirk; equality
+    asserted in tests). The flat gram list is built with explode + shifted
+    object-array concatenation, then scored by one hash-index probe + one
+    bincount (:meth:`TypeLM.score_batch`)."""
 
     @F.pandas_udf("double")
     def _score(types: pd.Series, toks: pd.Series) -> pd.Series:
         model = bc_model.value
-        out = np.empty(len(types), dtype=np.float64)
-        for i, (t, tk) in enumerate(zip(types, toks)):
-            grams = ngram_mix(list(tk)) if tk is not None else []
-            out[i] = model.score(t, grams)
-        return pd.Series(out)
+        n = len(types)
+        ex = toks.reset_index(drop=True).explode().dropna()
+        rows = ex.index.to_numpy(np.int64)
+        words = ex.to_numpy(dtype=object)
+        adj2 = np.nonzero(rows[1:] == rows[:-1])[0] + 1
+        adj3 = np.nonzero(rows[2:] == rows[:-2])[0] + 2
+        bi = words[adj2 - 1] + "_" + words[adj2] if len(adj2) else words[:0]
+        tri = (
+            words[adj3 - 2] + "_" + words[adj3 - 1] + "_" + words[adj3]
+            if len(adj3)
+            else words[:0]
+        )
+        grams = np.concatenate([words, bi, tri])
+        g_rows = np.concatenate([rows, rows[adj2], rows[adj3]])
+        out = model.score_batch(
+            types.reset_index(drop=True).to_numpy(dtype=object), grams, g_rows, n
+        )
+        return pd.Series(out, index=types.index)
 
     return df.withColumn(out_col, _score(F.col(type_col), F.col(toks_col)))

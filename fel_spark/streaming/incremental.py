@@ -135,6 +135,8 @@ def incremental_cluster_stream(
 
     import pandas as pd
 
+    import numpy as np
+
     def assign(key, pdfs, state: GroupState):
         if state.exists:
             rep_ids, rep_toks, cluster_ids = state.get
@@ -147,23 +149,57 @@ def incremental_cluster_stream(
             rep_ids, rep_toks, cluster_ids = [], [], []
         tok_sets = [set(t.split()) for t in rep_toks]
 
+        # Vectorized registry probe: one token->column vocab over registry +
+        # batch, registry as a bounded binary incidence matrix; each new rep
+        # is ONE matvec (intersections vs the whole registry) instead of an
+        # O(registry) Python set-op scan. Rows stay sequential because a new
+        # rep can adopt a cluster opened earlier in the same micro-batch.
+        batches = list(pdfs)
+        vocab: dict = {}
+        for s in tok_sets:
+            for t in s:
+                vocab.setdefault(t, len(vocab))
+        for pdf in batches:
+            for toks in pdf["toks"]:
+                for t in toks:
+                    vocab.setdefault(t, len(vocab))
+        V = max(len(vocab), 1)
+        R = np.zeros((max_registry, V), dtype=np.int8)
+        sizes = np.zeros(max_registry, dtype=np.int64)
+        k = len(tok_sets)
+        for i, s in enumerate(tok_sets):
+            if s:
+                R[i, [vocab[t] for t in s]] = 1
+            sizes[i] = len(s)
+
         out_ids, out_cids = [], []
-        for pdf in pdfs:
+        for pdf in batches:
             for rid, toks in zip(pdf["rep_id"], pdf["toks"]):
                 tset = set(toks)
+                m = np.zeros(V, dtype=np.int8)
+                if tset:
+                    m[[vocab[t] for t in tset]] = 1
                 cid = None
-                for i, stored in enumerate(tok_sets):
-                    union = len(tset | stored)
-                    if union and len(tset & stored) / union >= threshold:
-                        cid = cluster_ids[i]
-                        break
+                if k:
+                    inter = R[:k] @ m.astype(np.int64)
+                    union = sizes[:k] + len(tset) - inter
+                    # same FP comparison as the scalar form (int/int division
+                    # in float64, then >= threshold) — no t*union rewrite,
+                    # which could flip at representation boundaries
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        jac = inter / np.where(union == 0, 1, union)
+                    hits = (union > 0) & (jac >= threshold)
+                    if hits.any():
+                        cid = cluster_ids[int(np.argmax(hits))]
                 if cid is None:
                     cid = rid
-                if len(rep_ids) < max_registry:
+                if k < max_registry:
                     rep_ids.append(rid)
                     rep_toks.append(" ".join(sorted(tset)))
                     cluster_ids.append(cid)
-                    tok_sets.append(tset)
+                    R[k] = m
+                    sizes[k] = len(tset)
+                    k += 1
                 out_ids.append(rid)
                 out_cids.append(cid)
 

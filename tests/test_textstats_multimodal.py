@@ -28,6 +28,48 @@ def test_doc_stats_values(spark):
     assert out[3]["quality"] < 0.5
 
 
+def test_language_id_model_hook(spark):
+    """Pluggable model path: a broadcast token->lang-weight table overrides
+    the heuristic; docs with no vocab hits fall back to default_lang."""
+    model = textstats.LangIdModel(
+        {
+            "en": {"the": 1.0, "dog": 0.5, "cat": 0.5},
+            "de": {"der": 1.0, "hund": 0.8, "katze": 0.8},
+            "fr": {"le": 1.0, "chien": 0.8},
+        }
+    )
+    bc = spark.sparkContext.broadcast(model)
+    docs = spark.createDataFrame(
+        [
+            (1, "the dog chases the cat"),
+            (2, "der Hund jagt die Katze"),
+            (3, "le chien dort"),
+            (4, "zzz qqq www"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", textstats.language_id("text", bc_model=bc).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "other"
+    assert out[5] == "other"
+    # default heuristic path unchanged (oracle contract)
+    heur = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", textstats.language_id("text").alias("lang")
+        ).collect()
+    }
+    assert heur[1] == "en"
+
+
 def test_rolling_fingerprints(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     fps = docs.select(
