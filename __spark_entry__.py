@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from fel_spark.functions.hashing import lsh_band_keys, minhash_signatures_df
@@ -487,8 +490,13 @@ def q_minhash_near_dup(spark, sf_dir):
     (the r2 regression was exactly this payload riding 4 consumers)."""
     from fel_spark.operators.blocking import cap_blocks
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", normalize_fast("text").alias("tn")
+    # persist the narrow (doc_id, tn) projection: THREE consumers (the
+    # signature chain and both verify-side id-joins) would otherwise re-run
+    # the regex normalization over the corpus each
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", normalize_fast("text").alias("tn"))
+        .persist()
     )
     grams = token_ngrams(F.split(F.col("tn"), " "), 3)
     with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
@@ -763,6 +771,68 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=5)
 
 
+def _lsh_sign(p: int, j: int) -> int:
+    """Deterministic ±1 hyperplane entry (LCG parity) — reproducible as a
+    literal array in the DuckDB oracle, so the band keys are replayable."""
+    h = (1103515245 * (p * 64 + j) + 12345) % 2147483648
+    return 1 if h < 1073741824 else -1
+
+
+_ANN_BANDS, _ANN_BPB = 4, 3  # 12 planes, 3 bits per band
+
+
+def q_ann_lsh_md5(spark, sf_dir):
+    """Value-checked twin of ann_lsh: the SAME operator chain (hyperplane
+    sign bits -> packed band keys -> bucket-collision join -> exact cosine
+    verify) made bit-replayable in SQL. Planes are deterministic ±1
+    (:func:`_lsh_sign`); vectors quantize to floor(1000*x) BIGINT before the
+    projection, so every plane dot product is exact integer arithmetic —
+    no float-summation-order divergence between NumPy matmul and DuckDB
+    list_dot_product. Output = ALL bucket-collision candidates with the
+    exact-cosine digest (no top-k, so no ranking tie-break boundary)."""
+    n_planes = _ANN_BANDS * _ANN_BPB
+    planes = np.array(
+        [[_lsh_sign(p, j) for j in range(64)] for p in range(n_planes)], dtype=np.int64
+    )
+    weights = 1 << np.arange(_ANN_BPB, dtype=np.int64)
+
+    @F.pandas_udf("array<string>")
+    def band_keys(vs: pd.Series) -> pd.Series:
+        V = np.zeros((len(vs), 64), dtype=np.float64)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == 64:
+                V[i] = v
+        Q = np.floor(V * 1000).astype(np.int64)
+        bits = (Q @ planes.T > 0).astype(np.int64)  # exact integer dots
+        packed = bits.reshape(len(vs), _ANN_BANDS, _ANN_BPB) @ weights
+        return pd.Series(
+            [[f"{b}:{int(packed[i, b])}" for b in range(_ANN_BANDS)] for i in range(len(vs))],
+            dtype=object,
+        )
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding").withColumn(
+        "bk", F.explode(band_keys("embedding"))
+    )
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+        .withColumn("bk", F.explode(band_keys("_qv")))
+    )
+    cand = (
+        v.join(q, "bk")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.floor(cosine_sim(F.col("embedding"), F.col("_qv")) * 100000)
+        .cast("long")
+        .alias("cos_5dp"),
+    )
+
+
 def q_entity_embeddings(spark, sf_dir):
     """M3: per-entity LR embedding training (w2v/EntityEmbeddings.java:
     151-282) over a deterministic description table built from the
@@ -865,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_md5": q_dedup_clusters_md5,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_md5": q_ann_lsh_md5,
         "ann_ivf": q_ann_ivf,
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
@@ -873,6 +944,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS = "list_filter(string_split(" + _NORM + ", ' '), t -> len(t) > 0)"
+
+
+def _ann_lsh_oracle() -> str:
+    """SQL replay of q_ann_lsh_md5: the ±1 plane literals come from the same
+    :func:`_lsh_sign` generator, the quantized dots are exact integers, and
+    the cosine digest matches the knn_bruteforce pattern."""
+    n_planes = _ANN_BANDS * _ANN_BPB
+    plane_lits = [
+        "[" + ",".join(str(_lsh_sign(p, j)) for j in range(64)) + "]"
+        for p in range(n_planes)
+    ]
+    bits = ",\n                   ".join(
+        f"CASE WHEN list_dot_product(qv, {plane_lits[p]}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    keys = ", ".join(
+        f"(b{b * _ANN_BPB} + 2*b{b * _ANN_BPB + 1} + 4*b{b * _ANN_BPB + 2}) AS k{b}"
+        for b in range(_ANN_BANDS)
+    )
+    key_eq = " OR ".join(f"q.k{b} = v.k{b}" for b in range(_ANN_BANDS))
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        bits AS (
+            SELECT vec_id, emb,
+                   {bits}
+            FROM base
+        ),
+        keys AS (SELECT vec_id, emb, {keys} FROM bits)
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               CAST(floor(list_cosine_similarity(v.emb, q.emb) * 100000) AS BIGINT) AS cos_5dp
+        FROM keys q, keys v
+        WHERE q.vec_id < 3 AND v.vec_id != q.vec_id AND ({key_eq})
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1475,10 +1584,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INT) AS feat_dim
             FROM generate_series(0, 63) t(i)
         """,
+        "ann_lsh_md5": _ann_lsh_oracle(),
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters
         # (iterative connected components; exact twin = dedup_clusters_exact),
-        # ann_lsh / ann_ivf (approximate by design; exact twin =
-        # knn_bruteforce), entity_embeddings (iterative GD)
+        # ann_lsh / ann_ivf (approximate by design; exact twins =
+        # knn_bruteforce AND ann_lsh_md5, which replays the full hyperplane
+        # band-key -> bucket-join -> cosine-verify chain with integer-exact
+        # planes), entity_embeddings (iterative GD)
     }

