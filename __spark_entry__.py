@@ -771,6 +771,27 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=5)
 
 
+def q_bigram_dice_pairs(spark, sf_dir):
+    """J7 lexical kernel in the driver gate: multiset char-bigram Dice
+    (`w2v/CompressedSingleFileEntitySimilarityUtil.lexicalSimilarity`,
+    :147-164) between consecutive part names. The oracle replays the
+    multiset intersection with unnest + per-bigram min-counts; the ratio's
+    op order ((2.0*i)/denom then *10000 then floor) is replicated exactly
+    so the digests are bit-identical."""
+    from fel_spark.functions.sim import bigram_dice
+    from fel_spark.functions.text import char_bigrams
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", normalize_fast("p_name").alias("n")
+    )
+    a = p.select(F.col("p_partkey").alias("k"), F.col("n").alias("na"))
+    b = p.select((F.col("p_partkey") - 1).alias("k"), F.col("n").alias("nb"))
+    dice = bigram_dice(char_bigrams(F.col("na")), char_bigrams(F.col("nb")))
+    return a.join(b, "k").select(
+        "k", F.floor(dice * 10000).cast("long").alias("dice_4dp")
+    )
+
+
 def _lsh_sign(p: int, j: int) -> int:
     """Deterministic ±1 hyperplane entry (LCG parity) — reproducible as a
     literal array in the DuckDB oracle, so the band keys are replayable."""
@@ -934,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_md5": q_dedup_clusters_md5,
         "dedup_clusters_exact": q_dedup_clusters_exact,
+        "bigram_dice_pairs": q_bigram_dice_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_md5": q_ann_lsh_md5,
         "ann_ivf": q_ann_ivf,
@@ -1583,6 +1605,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(16 AS INT) AS feat_dim
             FROM generate_series(0, 63) t(i)
+        """,
+        "bigram_dice_pairs": f"""
+            WITH p AS (SELECT p_partkey AS k, {_NORM.format(c='p_name')} AS n FROM part),
+            bg AS (
+                SELECT k, flatten(list_transform(
+                    list_filter(string_split(n, ' '), w -> len(w) > 0),
+                    w -> list_transform(range(1, len(w)), i -> substr(w, i, 2)))) AS bgs
+                FROM p
+            ),
+            pr AS (
+                SELECT a.k AS k, a.bgs AS ba, b.bgs AS bb
+                FROM bg a JOIN bg b ON b.k = a.k + 1
+            ),
+            ca AS (SELECT k, bg, count(*) AS c
+                   FROM (SELECT k, unnest(ba) AS bg FROM pr) GROUP BY 1, 2),
+            cb AS (SELECT k, bg, count(*) AS c
+                   FROM (SELECT k, unnest(bb) AS bg FROM pr) GROUP BY 1, 2),
+            iv AS (SELECT k, sum(least(ca.c, cb.c)) AS i
+                   FROM ca JOIN cb USING (k, bg) GROUP BY k)
+            SELECT pr.k AS k,
+                   CASE WHEN len(ba) + len(bb) > 0
+                        THEN CAST(floor(((2.0 * coalesce(iv.i, 0)) / (len(ba) + len(bb))) * 10000) AS BIGINT)
+                        ELSE 0 END AS dice_4dp
+            FROM pr LEFT JOIN iv USING (k)
         """,
         "ann_lsh_md5": _ann_lsh_oracle(),
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /

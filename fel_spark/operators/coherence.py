@@ -70,15 +70,17 @@ def _surface_vec(emb, surface: str) -> np.ndarray | None:
     return acc
 
 
-def _node_score(emb, dice: _DiceTable, cand_key: str, cand_name: str, surface: str) -> float:
+def _node_score(
+    emb, dice: _DiceTable, cand_key: str, cand_name: str, surface: str, sv
+) -> float:
+    """``sv`` is the surface's summed token vector, computed ONCE per
+    mention by the caller (it is identical for all MAXNBEST candidates)."""
     ci = emb.vocab.get(cand_key)
     e2w = 0.0
-    if ci is not None:
-        sv = _surface_vec(emb, surface)
-        if sv is not None:
-            cv = emb.matrix[ci]
-            denom = np.linalg.norm(cv) * np.linalg.norm(sv)
-            e2w = float(cv @ sv / denom) if denom > 0 else 0.0
+    if ci is not None and sv is not None:
+        cv = emb.matrix[ci]
+        denom = np.linalg.norm(cv) * np.linalg.norm(sv)
+        e2w = float(cv @ sv / denom) if denom > 0 else 0.0
     lex = dice.sim(cand_name, surface)
     blend = (1 - LEXSIM_LAMBDA) * e2w + LEXSIM_LAMBDA * lex
     return max(np.log(blend) if blend > 0 else DEFAULT_LOG_LIKELIHOOD, DEFAULT_LOG_LIKELIHOOD)
@@ -120,9 +122,12 @@ def _lattice(emb, dice: _DiceTable, surfaces, cand_lists, reverse: bool) -> np.n
     order = range(n - 1, -1, -1) if reverse else range(n)
     idx = list(order)
     lat = np.full((n, MAXNBEST), DEFAULT_LOG_LIKELIHOOD)
+    svs = [_surface_vec(emb, s) for s in surfaces]  # once per mention
     first = idx[0]
     for j, cand in enumerate(cand_lists[first][:MAXNBEST]):
-        lat[first][j] = _node_score(emb, dice, cand["entity_key"], cand["name"], surfaces[first])
+        lat[first][j] = _node_score(
+            emb, dice, cand["entity_key"], cand["name"], surfaces[first], svs[first]
+        )
     for pos in range(1, n):
         i, prev = idx[pos], idx[pos - 1]
         cands = cand_lists[i][:MAXNBEST]
@@ -130,7 +135,10 @@ def _lattice(emb, dice: _DiceTable, surfaces, cand_lists, reverse: bool) -> np.n
         if not cands:
             continue
         nodes = np.array(
-            [_node_score(emb, dice, c["entity_key"], c["name"], surfaces[i]) for c in cands]
+            [
+                _node_score(emb, dice, c["entity_key"], c["name"], surfaces[i], svs[i])
+                for c in cands
+            ]
         )
         if pcands:
             trans = _pair_trans_matrix(emb, dice, pcands, cands)  # (|prev|, |cands|)

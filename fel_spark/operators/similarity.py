@@ -55,7 +55,16 @@ def brute_force_topk(
 
 
 def _stack(vs: pd.Series, dim: int) -> np.ndarray:
-    """Arrow list column -> (n, dim) float64 matrix (None/ragged -> zeros)."""
+    """Arrow list column -> (n, dim) float64 matrix (None/ragged -> zeros).
+
+    Fast path: a clean batch (no nulls, uniform length) stacks in one C
+    call; the per-row guard loop only runs for ragged/null batches."""
+    try:
+        out = np.stack(vs.to_numpy())
+        if out.ndim == 2 and out.shape[1] == dim:
+            return out.astype(np.float64)
+    except (ValueError, TypeError):
+        pass
     out = np.zeros((len(vs), dim), dtype=np.float64)
     for i, v in enumerate(vs):
         if v is not None and len(v) == dim:

@@ -92,6 +92,12 @@ def test_ann_supersets(spark):
     )
     top = similarity.lsh_topk(emb, twin_q, k=1).collect()
     assert top and top[0]["vec_id"] == 7
+    # recall@5 of LSH vs brute force (band collisions on correlated random
+    # data recover most true neighbors; 4 bands x 3 bits here)
+    exact = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in ls.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"lsh recall@5 {recall}"
 
 
 def test_hot_bucket_bounded_and_clustered(spark):
