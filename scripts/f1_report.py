@@ -75,6 +75,12 @@ def main() -> int:
     }
     spark.stop()
     print(json.dumps(out))
+    # persist for scaling_report.py to embed in BENCH/BASELINE.md (so a
+    # BASELINE.md rewrite never silently drops the fidelity evidence)
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "f1.json")
+    os.makedirs(os.path.dirname(art), exist_ok=True)
+    with open(art, "w") as f:
+        json.dump(out, f)
     return 0
 
 

@@ -143,6 +143,51 @@ Raw bench lines (all runs, interleaved order):
 {chr(10).join(json.dumps(r) for pair in zip(runs_n, runs_4n) for r in pair)}
 ```
 """
+    # host-ceiling context: what the pure-CPU calibration says a perfect
+    # engine could have scored in this window
+    cal_map = dict(cal)
+    if 2 in cal_map and 8 in cal_map and cal_map[2] > 0:
+        host_eff = (cal_map[8] / cal_map[2]) / 4.0
+        md += f"""
+## Estimator + host ceiling
+
+The in-window pure-CPU calibration above scales 2->8 processes at
+{cal_map[2]} -> {cal_map[8]} units/s = {cal_map[8] / cal_map[2]:.2f}x =
+**{host_eff:.2f} efficiency ceiling**; the engine's {eff:.3f} is
+{eff / host_eff:.0%} of what the host offered during the window. The raw
+rep lists above still show multi-x CPU-steal storms — the best-of
+interleaved estimator is what makes the comparison storm-robust.
+"""
+
+    mention_counts = {r["er"]["mentions"] for r in runs_n + runs_4n}
+    if len(mention_counts) == 1:
+        md += f"""
+Output invariance: all {len(runs_n) + len(runs_4n)} runs across both levels
+produced exactly {mention_counts.pop():,} linked mentions on the
+byte-identical counter-generated corpus.
+"""
+    else:
+        md += f"""
+WARNING — output NOT invariant across runs: linked-mention counts
+{sorted(mention_counts)}. Investigate before trusting the comparison.
+"""
+
+    f1_art = REPO / "BENCH" / "f1.json"
+    if f1_art.exists():
+        md += f"""
+## Fidelity evidence (north rule: F1 >= 0.99 + per-turn invariant)
+
+`python scripts/f1_report.py` (labeled pairs under the pipeline's own
+blocking keys):
+
+```json
+{f1_art.read_text().strip()}
+```
+
+The pytest gate (`tests/test_pipeline_e2e.py::test_pairwise_f1_target`)
+asserts the same >= 0.99 bound on every run of the suite.
+"""
+
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(md)
