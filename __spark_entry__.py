@@ -444,6 +444,31 @@ def q_doc_exact_dedup(spark, sf_dir):
     )
 
 
+# toy broadcast language-ID model for the oracled model-path query: dyadic
+# weights (1.0 / 0.5 / 0.25) so per-language weight sums are EXACT doubles
+# in any summation order — equality-safe across Spark/NumPy/DuckDB
+_LANGID_MODEL = {
+    "en": {"the": 1.0, "a": 0.5, "of": 0.5, "and": 0.5, "data": 0.25},
+    "es": {"el": 1.0, "la": 1.0, "de": 0.5, "y": 0.5},
+    "fr": {"le": 1.0, "la": 0.5, "et": 0.5, "des": 0.5},
+}
+
+
+def q_doc_langid_model(spark, sf_dir):
+    """Model-backed language ID: broadcast token->lang-weight voting
+    (the pluggable fastText-shaped hook, textstats.LangIdModel). Weights
+    sum per language per document; argmax with first-alphabetical-lang
+    tie-break; no vocabulary hit -> 'other'. The oracle replays the voting
+    with list_transform CASE weights and the same tie cascade."""
+    from fel_spark.operators.textstats import LangIdModel, language_id
+
+    bc = spark.sparkContext.broadcast(LangIdModel(_LANGID_MODEL))
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", language_id("text", bc_model=bc).alias("lang_pred")
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     """Language-ID heuristic: stopword token share -> 'en' / 'other'."""
     d = _t(spark, sf_dir, "documents")
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_md5": q_dedup_clusters_md5,
         "dedup_clusters_exact": q_dedup_clusters_exact,
+        "doc_langid_model": q_doc_langid_model,
         "bigram_dice_pairs": q_bigram_dice_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_md5": q_ann_lsh_md5,
@@ -966,6 +992,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS = "list_filter(string_split(" + _NORM + ", ' '), t -> len(t) > 0)"
+
+
+def _langid_model_oracle() -> str:
+    """SQL replay of q_doc_langid_model, generated from the same
+    _LANGID_MODEL dict (no transcription drift): per-language weight sums
+    via list_transform CASE, argmax with the model's sorted-lang-first tie
+    cascade, 'other' when no token hits."""
+    langs = sorted(_LANGID_MODEL)
+    toks = _TOKS.format(c="text")
+    sums = []
+    for lang in langs:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {w}" for t, w in _LANGID_MODEL[lang].items()
+        )
+        sums.append(
+            f"coalesce(list_sum(list_transform(toks, w -> CASE w {cases} "
+            f"ELSE 0.0 END)), 0.0) AS s_{lang}"
+        )
+    cascade = " ".join(
+        f"WHEN {' AND '.join(f's_{langs[i]} >= s_{o}' for o in langs[i + 1:]) or 'TRUE'} "
+        f"THEN '{langs[i]}'"
+        for i in range(len(langs) - 1)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        s AS (SELECT doc_id, {", ".join(sums)} FROM t)
+        SELECT doc_id,
+               CASE WHEN greatest({", ".join(f"s_{lang}" for lang in langs)}) <= 0.0 THEN 'other'
+                    {cascade}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM s
+    """
 
 
 def _ann_lsh_oracle() -> str:
@@ -1606,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INT) AS feat_dim
             FROM generate_series(0, 63) t(i)
         """,
+        "doc_langid_model": _langid_model_oracle(),
         "bigram_dice_pairs": f"""
             WITH p AS (SELECT p_partkey AS k, {_NORM.format(c='p_name')} AS n FROM part),
             bg AS (
