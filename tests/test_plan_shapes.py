@@ -117,3 +117,45 @@ def test_intent_part_is_pure_column_math(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert out.collect()[0]["intent"].strip() == "movies"
+
+
+def test_minhash_near_dup_bands_ids_only(spark):
+    """The banded/persisted working set must carry ONLY (doc_id, block_key):
+    the normalized text attaches by id-join after pair dedup. Guard: no
+    InMemoryTableScan (the persist) may materialize the `tn` column."""
+    import __spark_entry__ as E
+
+    df = E.queries()["minhash_near_dup"](spark, SF)
+    plan = _plan(df)
+    cached = [
+        ln for ln in plan.splitlines() if "InMemoryTableScan" in ln
+    ]
+    assert cached, "expected the banded ids (and the tn projection) cached"
+    banded = [ln for ln in cached if "block_key" in ln]
+    assert banded, "banded working set should be cached"
+    for ln in banded:
+        # column refs print as `tn#<exprId>`; a bare "tn" would also match
+        # inside isnotnull(...)
+        assert "tn#" not in ln, f"text payload riding the band cache: {ln}"
+
+
+def test_bigram_dice_pairs_single_join_no_udf(spark):
+    """The dice query is one equi-join + pure column math: no cartesian
+    product, no Python/pandas eval in the plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["bigram_dice_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_lsh_md5_bucket_join_not_cartesian(spark):
+    """The value-checked LSH twin must candidate via the band-key equi-join
+    (bucket collisions), never an all-pairs cross join."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ann_lsh_md5"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "bk" in plan  # the band-key join key is in the plan
