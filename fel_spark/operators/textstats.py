@@ -123,6 +123,89 @@ def language_id(
     return _lid(normalize_tokens(text_col))
 
 
+def top_token_count(tokens: Column) -> Column:
+    """Occurrence count of the most frequent token, computed row-local:
+    array_sort + a run-length fold (one `aggregate` HOF). Zero shuffle —
+    the per-doc repetition signal never leaves the scan stage, which is
+    the only shape that survives a 100 TB corpus (an explode+groupBy
+    formulation shuffles every token)."""
+    s = F.array_sort(tokens)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
+def word_bigrams(tokens: Column) -> Column:
+    """Adjacent-token bigrams (space-joined) of a token array — row-local."""
+    return F.when(F.size(tokens) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.slice(tokens, 1, F.size(tokens) - 1),
+            lambda t, i: F.concat(t, F.lit(" "), F.get(tokens, i + 1)),
+        )
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): share of the
+    most frequent word and share of duplicate word-bigrams. Everything is
+    computed inside the row (array HOFs) — a map-only plan with no exchange,
+    so the filter costs one scan at any corpus size."""
+    d = docs.select(F.col(id_col), normalize_tokens(text_col).alias("toks"))
+    toks = F.col("toks")
+    bi = word_bigrams(toks)
+    n = F.size(toks)
+    n_bi = F.size(bi)
+    top_c = top_token_count(toks)
+    return d.select(
+        id_col,
+        n.alias("n_words"),
+        top_c.alias("top_word_c"),
+        F.floor(top_c * 10000.0 / F.greatest(n, F.lit(1)))
+        .cast("long")
+        .alias("top_word_4dp"),
+        F.floor(
+            (n_bi - F.size(F.array_distinct(bi))) * 10000.0 / F.greatest(n_bi, F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_bigram_4dp"),
+    )
+
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def scrub_pii(text_col: Column | str) -> Column:
+    """Redact emails and phone numbers (global replace, native regex — the
+    patterns are RE2/Java-compatible so the same rule set runs in Spark and
+    an offline SQL audit). The standard pre-training scrub pass."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text_col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — the audit columns logged next to
+    the scrub so dropped-PII volume is quantified per partition."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Deterministic 128-bit content fingerprint of normalized text."""
     return F.md5(normalize_fast(text_col))

@@ -159,3 +159,25 @@ def test_ann_lsh_md5_bucket_join_not_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "bk" in plan  # the band-key join key is in the plan
+
+
+def test_repetition_signals_map_only(spark):
+    """Gopher repetition signals are row-local HOFs: the plan must have NO
+    exchange — one scan at any corpus size."""
+    from fel_spark.operators.textstats import repetition_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_session_stats_single_exchange(spark):
+    """The per-session rollup's groupBy key (user_id, session_seq) extends
+    the window's partition key (user_id), so HashPartitioning(user_id)
+    satisfies the aggregation's clustering — exactly one exchange total."""
+    from fel_spark.operators.sessions import session_stats
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(session_stats(e))
+    n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_ex == 1, plan

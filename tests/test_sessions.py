@@ -1,0 +1,40 @@
+"""Sessionization: boundary semantics (strict 30-min gap, exact micros)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from fel_spark.operators import sessions
+
+
+def test_sessionize_and_stats(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (2, 1, base + timedelta(minutes=10)),
+        (3, 1, base + timedelta(minutes=39)),  # 29-min gap: same session
+        (4, 1, base + timedelta(hours=3)),  # > 30-min gap: new session
+        (5, 2, base),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    s = {r["event_id"]: r["session_seq"] for r in sessions.sessionize(df).collect()}
+    assert s == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessions.session_stats(df).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 1)]["span_us"] == 39 * 60 * 1_000_000
+    assert stats[(1, 2)]["n_events"] == 1 and stats[(1, 2)]["span_us"] == 0
+    assert stats[(2, 1)]["n_events"] == 1
+
+
+def test_exact_gap_is_same_session(spark):
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, base), (2, 1, base + timedelta(seconds=sessions.DEFAULT_GAP_SECONDS))],
+        ["event_id", "user_id", "ts"],
+    )
+    s = {r["event_id"]: r["session_seq"] for r in sessions.sessionize(df).collect()}
+    assert s == {1: 1, 2: 1}

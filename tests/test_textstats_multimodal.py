@@ -99,3 +99,42 @@ def test_frame_sampling_counts(spark):
     vids = media.filter(F.col("kind") == "video").collect()
     want = sum(r["meta"]["duration_ms"] // 500 + 1 for r in vids)
     assert frames.count() == want
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # a x3; bigrams: [a b, b a, a b, b a] -> 4 total / 2 distinct
+            (2, "x"),
+            (3, "!!!"),  # normalizes to zero tokens
+            (4, "u v w x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_signals(docs).collect()}
+    assert (out[1]["n_words"], out[1]["top_word_c"]) == (5, 3)
+    assert out[1]["top_word_4dp"] == 6000
+    assert out[1]["dup_bigram_4dp"] == 5000
+    assert (out[2]["n_words"], out[2]["top_word_c"], out[2]["dup_bigram_4dp"]) == (1, 1, 0)
+    assert (out[3]["n_words"], out[3]["top_word_c"]) == (0, 0)
+    assert (out[4]["top_word_4dp"], out[4]["dup_bigram_4dp"]) == (2500, 0)
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.co or +1-555-0042 now"), (2, "clean text")],
+        ["doc_id", "text"],
+    )
+    n_e, n_p = textstats.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.scrub_pii("text").alias("s"),
+            n_e.alias("e"),
+            n_p.alias("p"),
+        ).collect()
+    }
+    assert out[1]["s"] == "mail <EMAIL> or <PHONE> now"
+    assert (out[1]["e"], out[1]["p"]) == (1, 1)
+    assert out[2]["s"] == "clean text" and (out[2]["e"], out[2]["p"]) == (0, 0)
