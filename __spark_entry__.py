@@ -841,6 +841,37 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=5)
 
 
+def q_ann_ivf_fixed(spark, sf_dir):
+    """Value-checked IVF twin: the REAL ivf_topk operator (Arrow matmul
+    cell assignment, n_probe cell fan-out, exact in-cell cosine re-rank)
+    with a pinned codebook — the first 8 embedding rows — so every stage
+    is SQL-replayable. The production path (`ann_ivf`) runs the same code
+    with Lloyd-trained centroids; this twin proves the operator around the
+    training step. Cosine floored to 5dp for bit-stable digests."""
+    import numpy as np
+
+    from fel_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(e, q, k=5, n_probe=3, centroids=cents)
+    return out.select(
+        "query_id",
+        F.col("rank").alias("rk"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.floor(F.col("cosine") * 100000).cast("long").alias("cos_5dp"),
+    )
+
+
 def q_bigram_dice_pairs(spark, sf_dir):
     """J7 lexical kernel in the driver gate: multiset char-bigram Dice
     (`w2v/CompressedSingleFileEntitySimilarityUtil.lexicalSimilarity`,
@@ -1033,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_md5": q_ann_lsh_md5,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
     }
@@ -1798,6 +1830,55 @@ def oracle_sql() -> dict[str, str]:
             FROM pr LEFT JOIN iv USING (k)
         """,
         "ann_lsh_md5": _ann_lsh_oracle(),
+        # IVF with a pinned codebook (first 8 rows): cell = argmax cosine
+        # to a centroid (ties -> smaller centroid id, matching the stable
+        # argsort in _cell_assign_expr); queries probe top-3 cells; exact
+        # re-rank inside probed cells
+        "ann_ivf_fixed": """
+            WITH cents AS (
+                SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            vcell AS (
+                SELECT vec_id, embedding, cent_id AS cell_id FROM (
+                    SELECT e.vec_id, e.embedding, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                                        c.cent_id ASC) AS rnk
+                    FROM embeddings e, cents c
+                ) WHERE rnk = 1
+            ),
+            qcell AS (
+                SELECT query_id, qv, cent_id AS cell_id FROM (
+                    SELECT q.vec_id AS query_id,
+                           CAST(q.embedding AS DOUBLE[]) AS qv, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(q.embedding AS DOUBLE[]), c.cv) DESC,
+                                        c.cent_id ASC) AS rnk
+                    FROM embeddings q, cents c WHERE q.vec_id < 3
+                ) WHERE rnk <= 3
+            ),
+            cand AS (
+                SELECT qc.query_id, v.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(v.embedding AS DOUBLE[]), qc.qv) AS cos_raw
+                FROM vcell v JOIN qcell qc USING (cell_id)
+                WHERE v.vec_id != qc.query_id
+            )
+            SELECT query_id, rk, neighbor_id,
+                   CAST(floor(cos_raw * 100000) AS BIGINT) AS cos_5dp
+            FROM (
+                SELECT query_id, neighbor_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+                FROM cand
+            ) WHERE rk <= 5
+        """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters

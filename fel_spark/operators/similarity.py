@@ -223,14 +223,24 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 99,
     kmeans_iters: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: Lloyd-refined centroids (C5); every vector
     assigned to its max-cosine cell via one Arrow matmul; queries probe
     their ``n_probe`` nearest cells; exact cosine re-rank inside the
-    probed cells."""
-    cents = kmeans_centroids(
-        vectors, k=n_cells, n_iters=kmeans_iters, id_col=id_col,
-        vec_col=vec_col, seed=seed,
+    probed cells.
+
+    ``centroids`` pins the codebook instead of running Lloyd — the hook a
+    production run uses to reuse a trained codebook across batches, and
+    what makes the chain SQL-replayable in the driver gate
+    (`ann_ivf_fixed`)."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else kmeans_centroids(
+            vectors, k=n_cells, n_iters=kmeans_iters, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
     )
 
     v_cells = vectors.select(id_col, vec_col).withColumn(
