@@ -93,6 +93,37 @@ def mention_rate_stream(linked: DataFrame, window: str = "1 minute") -> DataFram
     )
 
 
+def session_rollup_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming counterpart of ``operators/sessions.py``: Spark's native
+    ``session_window`` merges a user's events closer than ``gap`` into one
+    growing window; the watermark bounds state, so closed sessions emit and
+    their state evicts — the only formulation whose state stays O(open
+    sessions) on an unbounded stream.
+
+    Boundary note: session_window is half-open ([start, last+gap)), so an
+    event arriving at EXACTLY ``gap`` starts a new session here, while the
+    batch operator's strict-``>`` rule keeps it — document, don't hide:
+    the two agree everywhere except that zero-measure boundary.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: incremental per-block cluster assignment
 # ---------------------------------------------------------------------------

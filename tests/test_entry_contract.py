@@ -27,6 +27,10 @@ SUBSET = [
     "doc_langid",
     "knn_bruteforce",
     "ann_lsh_md5",
+    "ann_ivf_fixed",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "events_sessionize",
 ]
 
 

@@ -38,3 +38,43 @@ def test_exact_gap_is_same_session(spark):
     )
     s = {r["event_id"]: r["session_seq"] for r in sessions.sessionize(df).collect()}
     assert s == {1: 1, 2: 1}
+
+
+def test_session_rollup_stream(spark, tmp_path):
+    """Native session_window rollup over a stream: same sessions as the
+    batch operator on gap-interior data (boundary semantics documented in
+    the docstring)."""
+    from datetime import datetime, timedelta
+
+    from fel_spark.streaming.incremental import session_rollup_stream
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (2, 1, base + timedelta(minutes=10)),
+        (3, 1, base + timedelta(minutes=39)),
+        (4, 1, base + timedelta(hours=3)),
+        (5, 2, base),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, ["event_id", "user_id", "ts"]).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(src)
+    )
+    assert stream.isStreaming
+    q = (
+        session_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from session_rollup_test").collect()
+    }
+    assert got == {(1, 3), (1, 1), (2, 1)}
