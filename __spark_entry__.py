@@ -444,6 +444,47 @@ def q_doc_exact_dedup(spark, sf_dir):
     )
 
 
+def q_doc_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by id hash
+    (`operators/splits.hash_split`). Oracle variant: the md5-based bucket
+    hash (DuckDB-reproducible, integer-exact); the scale path is the same
+    operator with its default xxhash64 (codegen, no hex round-trip)."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.splits import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, hash_fn=lambda c: md5_hash60(c, seed=7))
+    return out.select("doc_id", "split_bucket", "split")
+
+
+def q_doc_span_dup(spark, sf_dir):
+    """Cross-document duplicated token windows (span-level dedup,
+    `dedup.duplicated_spans`): 8-token shingle fingerprints appearing in
+    >= 2 distinct docs. md5 fingerprints so the full explode+aggregate
+    chain is value-checked; scale path = xxhash64 default."""
+    from fel_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, window=8, min_docs=2, hash_fn=F.md5)
+
+
+def q_doc_span_coverage(spark, sf_dir):
+    """Per-document duplicated-span coverage (`dedup.span_coverage`): the
+    fraction of a doc's 8-token windows that are corpus-duplicated — the
+    threshold column of a span-dedup filter. Value-checked end-to-end
+    (shingle explode -> hot-span agg -> coverage join) via md5 fps."""
+    from fel_spark.operators.dedup import span_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    cov = span_coverage(d, window=8, min_docs=2, hash_fn=F.md5)
+    return cov.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.floor(F.col("dup_coverage") * 10000).cast("long").alias("cov_4dp"),
+    )
+
+
 # toy broadcast language-ID model for the oracled model-path query: dyadic
 # weights (1.0 / 0.5 / 0.25) so per-language weight sums are EXACT doubles
 # in any summation order — equality-safe across Spark/NumPy/DuckDB
@@ -1042,6 +1083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intent_part": q_intent_part,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_hash_split": q_doc_hash_split,
+        "doc_span_dup": q_doc_span_dup,
+        "doc_span_coverage": q_doc_span_coverage,
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1399,6 +1443,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    CAST(max(us) - min(us) AS BIGINT) AS span_us
             FROM m GROUP BY 1, 2
+        """,
+        # hash split: same md5 bucket hash as md5_hash60 (15 hex digits ->
+        # 60-bit int), integer % and integer thresholds — no float boundary.
+        "doc_hash_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 10000 AS INTEGER) AS split_bucket
+                FROM documents
+            )
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 9000 THEN 'train'
+                        WHEN split_bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        # span dedup: 8-token windows, md5 fingerprint of the space-joined
+        # shingle; duckdb list slice l[a:b] is 1-based inclusive.
+        "doc_span_dup": f"""
+            WITH d AS (
+                SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 7),
+                              i -> md5(array_to_string(toks[i:i+7], ' ')))) AS span_fp
+                FROM d WHERE len(toks) >= 8
+            )
+            SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "doc_span_coverage": f"""
+            WITH d AS (
+                SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 7),
+                              i -> md5(array_to_string(toks[i:i+7], ' ')))) AS span_fp
+                FROM d WHERE len(toks) >= 8
+            ),
+            hot AS (
+                SELECT span_fp, 1 AS _hot
+                FROM g GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT g.doc_id, count(*) AS n_spans,
+                   count(h._hot) AS n_dup_spans,
+                   CAST(floor((CAST(count(h._hot) AS DOUBLE) / count(*)) * 10000)
+                        AS BIGINT) AS cov_4dp
+            FROM g LEFT JOIN hot h ON g.span_fp = h.span_fp
+            GROUP BY g.doc_id
         """,
         "dict_build_counts": """
             WITH obs AS (

@@ -434,3 +434,102 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) dedup — Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": repeated token windows ACROSS documents
+# are the unit of duplication, not whole documents. The suffix-array of the
+# paper is replaced by the Spark-shaped equivalent: fixed-width token-window
+# fingerprints + one hash aggregate. Exact for spans >= `window` tokens
+# (every duplicated span of length L >= window contains a duplicated window,
+# so window-level detection has full recall on them).
+# ---------------------------------------------------------------------------
+
+
+def span_shingles(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """-> (id, span_pos, span_fp): one row per ``window``-token shingle of
+    the normalized text. ``span_fp`` is xxhash64 of the space-joined shingle
+    (codegen'd; ``hash_fn`` swaps in the md5 oracle variant); ``span_pos``
+    is the 0-based token offset, kept so callers can locate/excise the span.
+
+    Narrow by construction — (long, int, long) rides every downstream
+    shuffle; the text never leaves the scan stage.
+    """
+    hf = hash_fn or F.xxhash64
+    toks = normalize_tokens(text_col)
+    fps = F.transform(token_ngrams(toks, window), lambda g: hf(g))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(fps).alias("span_pos", "span_fp"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """-> (span_fp, n_docs, n_occurrences): token windows appearing in at
+    least ``min_docs`` distinct documents. ONE explode + hash aggregate
+    (map-side combined) over the narrow shingle stream — no self-join, no
+    pair explosion, so it scales linearly in corpus token count.
+    """
+    sh = span_shingles(docs, window, id_col, text_col, hash_fn)
+    return (
+        sh.groupBy("span_fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """-> (id, n_spans, n_dup_spans, dup_coverage): per-document fraction of
+    token windows that are corpus-duplicated — the decision column a
+    span-dedup filter thresholds on (drop / excise docs whose training
+    signal is mostly repeated text).
+
+    Shape: the shingle stream is persisted ONCE (two consumers: the hot-span
+    aggregate and the coverage join — re-running the normalize+explode over
+    the corpus would double the scan). The join is shuffle-on-span_fp of two
+    narrow streams; at 100 TB the hot-span side is the smaller by
+    construction (only fps with n_docs >= min_docs survive) and AQE picks
+    broadcast when it fits.
+    """
+    sh = span_shingles(docs, window, id_col, text_col, hash_fn).persist()
+    hot = (
+        sh.groupBy("span_fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_fp", F.lit(1).alias("_hot"))
+    )
+    return (
+        sh.join(hot, "span_fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_hot").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_coverage", F.col("n_dup_spans") / F.col("n_spans")
+        )
+    )

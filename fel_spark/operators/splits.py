@@ -1,0 +1,81 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A 100 TB corpus is split into train/val/test ONCE, reproducibly, with no
+shuffle and no stored assignment table: the split label is a pure function
+of the record id, so any job (or any later re-run over a grown corpus) can
+recompute membership locally at scan time. `randomSplit` is wrong for this
+— it is sampling-based, non-deterministic across partitionings, and cannot
+be recomputed from the row alone.
+
+Everything is native column arithmetic (codegen'd): hash -> bucket ->
+threshold CASE. No UDF, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("train", 0.90),
+    ("val", 0.05),
+    ("test", 0.05),
+)
+
+
+def split_bucket(
+    id_col: Column,
+    seed: int = 7,
+    buckets: int = 10000,
+    hash_fn=None,
+) -> Column:
+    """Deterministic bucket in [0, buckets) from a record id.
+
+    Scale path: xxhash64 (JVM codegen). ``hash_fn`` swaps in the
+    DuckDB-reproducible md5 hash for oracle-checked variants. The hash is
+    taken over the STRING form of the id so both paths see identical bytes.
+    The pmod of a 60/63-bit non-negative hash matches ANSI ``%`` exactly.
+    """
+    s = id_col.cast("string")
+    h = hash_fn(s) if hash_fn is not None else F.xxhash64(s, F.lit(seed))
+    return F.pmod(h, F.lit(buckets)).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_WEIGHTS,
+    seed: int = 7,
+    buckets: int = 10000,
+    hash_fn=None,
+) -> DataFrame:
+    """Assign each row a split label by hashing its id.
+
+    ``weights`` are (label, fraction) pairs; fractions are converted to
+    cumulative integer bucket thresholds (exact integer comparison — no
+    float boundary ambiguity between engines). Adds ``split_bucket`` and
+    ``split`` columns; everything else passes through untouched, so the
+    split composes with any downstream scan filter and Catalyst prunes the
+    label computation when unused.
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = split_bucket(F.col(id_col), seed=seed, buckets=buckets, hash_fn=hash_fn)
+    out = df.withColumn("split_bucket", b)
+    expr: Column | None = None
+    cum = 0.0
+    for label, w in weights:
+        cum += w
+        thresh = int(round(cum * buckets))
+        cond = F.col("split_bucket") < F.lit(thresh)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    # cum == 1.0 -> last threshold == buckets covers every bucket; the
+    # otherwise() is unreachable but keeps the column non-nullable in spirit.
+    assert expr is not None
+    return out.withColumn("split", expr.otherwise(F.lit(weights[-1][0])))
+
+
+def split_counts(split_df: DataFrame) -> DataFrame:
+    """-> (split, n): the audit row logged next to the split (verifies the
+    realized fractions against the requested weights)."""
+    return split_df.groupBy("split").agg(F.count("*").alias("n"))

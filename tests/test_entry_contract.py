@@ -31,6 +31,9 @@ SUBSET = [
     "doc_repetition",
     "doc_pii_scrub",
     "events_sessionize",
+    "doc_hash_split",
+    "doc_span_dup",
+    "doc_span_coverage",
 ]
 
 
