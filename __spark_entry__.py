@@ -485,6 +485,47 @@ def q_doc_span_coverage(spark, sf_dir):
     )
 
 
+def q_doc_filter(spark, sf_dir):
+    """Composed corpus filter (`operators/filtering`): length + Gopher
+    repetition + stopword floor + language rules as per-rule audit flags
+    and one keep decision, all integer-digest thresholds, map-only."""
+    from fel_spark.operators.filtering import corpus_filter_decisions
+
+    return corpus_filter_decisions(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling (`splits.stratified_sample`,
+    domain mixing): keep 100% of src0, 50% of src1, 25% of src2, 10%
+    elsewhere. Oracle variant = md5 bucket hash; scale path = xxhash64."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.splits import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.10,
+        hash_fn=lambda c: md5_hash60(c, seed=11),
+    )
+    return kept.select("doc_id", "source")
+
+
+def q_doc_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (`operators/packing`): per-shard
+    token-stream offsets via ONE window cumsum; budget-512 chunk spans.
+    Oracle variant: md5 shard hash; scale path = xxhash64 shards."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        budget=512,
+        n_shards=8,
+        shard_fn=lambda c: md5_hash60(c, seed=5),
+    )
+
+
 # toy broadcast language-ID model for the oracled model-path query: dyadic
 # weights (1.0 / 0.5 / 0.25) so per-language weight sums are EXACT doubles
 # in any summation order — equality-safe across Spark/NumPy/DuckDB
@@ -1086,6 +1127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": q_doc_hash_split,
         "doc_span_dup": q_doc_span_dup,
         "doc_span_coverage": q_doc_span_coverage,
+        "doc_filter": q_doc_filter,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_chunks": q_doc_pack_chunks,
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1495,6 +1539,89 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cov_4dp
             FROM g LEFT JOIN hot h ON g.span_fp = h.span_fp
             GROUP BY g.doc_id
+        """,
+        # composed corpus filter: same integer floor() digests as the
+        # oracled signal queries, so every threshold is integer-exact.
+        "doc_filter": f"""
+            WITH d AS (SELECT doc_id, {toks} AS ts FROM documents),
+            w AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+            topc AS (
+                SELECT doc_id, max(c) AS top_c FROM (
+                    SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            base AS (
+                SELECT d.doc_id,
+                       CAST(len(ts) AS INT) AS n_words,
+                       list_transform(generate_series(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i + 1]) AS bg,
+                       len(list_filter(ts, t -> list_contains([{_SW_TS}], t))) AS n_sw,
+                       coalesce(topc.top_c, 0) AS top_c
+                FROM d LEFT JOIN topc USING (doc_id)
+            ),
+            sig AS (
+                SELECT doc_id, n_words,
+                       CAST(floor(top_c * 10000.0 / greatest(n_words, 1)) AS BIGINT) AS top4,
+                       CAST(floor((len(bg) - len(list_distinct(bg))) * 10000.0
+                            / greatest(len(bg), 1)) AS BIGINT) AS dup4,
+                       CAST(floor(n_sw * 10000.0 / greatest(n_words, 1)) AS BIGINT) AS sw4,
+                       CASE WHEN n_sw / greatest(n_words, 1) >= 0.05
+                            THEN 'en' ELSE 'other' END AS lang_pred
+                FROM base
+            ),
+            fl AS (
+                SELECT doc_id, n_words,
+                       CAST(CASE WHEN n_words < 20 THEN 1 ELSE 0 END AS INT) AS f_short,
+                       CAST(CASE WHEN n_words > 2000 THEN 1 ELSE 0 END AS INT) AS f_long,
+                       CAST(CASE WHEN top4 > 2000 THEN 1 ELSE 0 END AS INT) AS f_top_word,
+                       CAST(CASE WHEN dup4 > 3000 THEN 1 ELSE 0 END AS INT) AS f_dup_bigram,
+                       CAST(CASE WHEN sw4 < 100 THEN 1 ELSE 0 END AS INT) AS f_low_stopword,
+                       CAST(CASE WHEN lang_pred NOT IN ('en') THEN 1 ELSE 0 END AS INT) AS f_lang
+                FROM sig
+            )
+            SELECT *, (f_short + f_long + f_top_word + f_dup_bigram
+                       + f_low_stopword + f_lang) = 0 AS keep
+            FROM fl
+        """,
+        # stratified sample: md5 bucket variant of splits.stratified_sample;
+        # integer bucket < integer threshold, per-source CASE.
+        "doc_stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 1000000 AS bk
+                FROM documents
+            )
+            SELECT doc_id, source FROM b
+            WHERE bk < CASE source WHEN 'src0' THEN 1000000
+                                   WHEN 'src1' THEN 500000
+                                   WHEN 'src2' THEN 250000
+                                   ELSE 100000 END
+        """,
+        # concat-and-chunk packing: md5 shard hash, exclusive window cumsum
+        # offsets, chunk = offset // 512; shard*2^32 namespaces chunk ids.
+        "doc_pack_chunks": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 8 AS INT) AS shard,
+                       CAST(len({toks}) AS INT) AS n_tokens
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS start_offset
+                FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id, shard, n_tokens, start_offset,
+                   CAST(shard AS BIGINT) * 4294967296
+                       + CAST(floor(start_offset / 512.0) AS BIGINT) AS start_chunk,
+                   CAST(shard AS BIGINT) * 4294967296
+                       + CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT) AS end_chunk
+            FROM o
         """,
         "dict_build_counts": """
             WITH obs AS (

@@ -159,10 +159,18 @@ def main() -> int:
     if not args.skip_er:
         er = run_er_bench(spark, args.er_conv, args.er_turns_per_conv, args.er_entities)
     total = round(time.time() - t_total, 2)
+    # `value` is harness wall-clock (warmup passes + all reps + synthetic
+    # corpus generation included — NOT comparable across rounds when rep/
+    # warmup counts change); `sum_best_sec` is engine time: best rep of
+    # each query plus the best ER rep, the capacity number to track.
+    sum_best = round(
+        sum(queries.values()) + (er["sec"] if er else 0.0), 2
+    )
     result = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
+        "sum_best_sec": sum_best,
         "queries": queries,
         "sf": sf,
         "er": er,

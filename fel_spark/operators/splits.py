@@ -79,3 +79,35 @@ def split_counts(split_df: DataFrame) -> DataFrame:
     """-> (split, n): the audit row logged next to the split (verifies the
     realized fractions against the requested weights)."""
     return split_df.groupBy("split").agg(F.count("*").alias("n"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 11,
+    buckets: int = 1_000_000,
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixing primitive
+    (keep 100% of wiki, 10% of crawl, ...). A row is kept iff its id's
+    hash bucket falls below the stratum's integer threshold, so membership
+    is reproducible from the row alone (re-runs, grown corpora, and audits
+    all agree), unlike `sample()` which is seed+partitioning dependent.
+
+    Map-only: the rate lookup is a literal CASE chain (strata counts are
+    small — domains, not keys), the hash is codegen'd, and the filter
+    pushes down to the scan. No shuffle, no state, no sampling bias across
+    partitionings.
+    """
+    b = split_bucket(F.col(id_col), seed=seed, buckets=buckets, hash_fn=hash_fn)
+    thresh: Column | None = None
+    for stratum, rate in sorted(rates.items()):
+        t = F.lit(int(round(rate * buckets)))
+        cond = F.col(stratum_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default = F.lit(int(round(default_rate * buckets)))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(b < thresh)

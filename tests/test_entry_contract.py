@@ -34,6 +34,9 @@ SUBSET = [
     "doc_hash_split",
     "doc_span_dup",
     "doc_span_coverage",
+    "doc_filter",
+    "doc_stratified_sample",
+    "doc_pack_chunks",
 ]
 
 

@@ -83,3 +83,106 @@ def test_span_ops_single_scan_no_pair_explosion(spark):
         duplicated_spans(d, window=8)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_stratified_sample_deterministic_and_exact_strata(spark):
+    from fel_spark.operators.splits import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(4000)], ["doc_id", "source"]
+    )
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = stratified_sample(df, rates, default_rate=0.25)
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # rate 1.0 keeps everything, 0.0 keeps nothing; fractional rates land
+    # near target on 1000 ids per stratum
+    assert len(by_src.get("src0", ())) == 1000
+    assert "src2" not in by_src
+    assert abs(len(by_src["src1"]) / 1000 - 0.5) < 0.05
+    assert abs(len(by_src["src3"]) / 1000 - 0.25) < 0.05
+    # partition-invariant: same kept set after a repartition
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), rates, default_rate=0.25).collect()
+    }
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_corpus_filter_rules(spark):
+    from fel_spark.operators.filtering import (
+        corpus_filter_decisions,
+        filter_audit,
+        filter_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then walks to town "
+        "for supper while night falls on quiet streets of old houses near "
+        "the river bank"
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too short"),                            # f_short
+        (3, "spam " * 120),                          # f_top_word (+low stopword)
+        (4, ("x7 k9 q2 " * 10)),                     # f_low_stopword + f_lang
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    dec = {r["doc_id"]: r for r in corpus_filter_decisions(d).collect()}
+    assert dec[1]["keep"] and sum(
+        dec[1][f] for f in ("f_short", "f_long", "f_top_word", "f_dup_bigram",
+                            "f_low_stopword", "f_lang")
+    ) == 0
+    assert dec[2]["f_short"] == 1 and not dec[2]["keep"]
+    assert dec[3]["f_top_word"] == 1 and not dec[3]["keep"]
+    assert dec[4]["f_low_stopword"] == 1 and dec[4]["f_lang"] == 1
+
+    kept = filter_corpus(d)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    audit = filter_audit(corpus_filter_decisions(d)).collect()[0]
+    assert audit["n_docs"] == 4 and audit["n_kept"] == 1
+
+
+def test_corpus_filter_is_map_only(spark):
+    from fel_spark.operators.filtering import corpus_filter_decisions
+
+    d = spark.createDataFrame([(1, "a few words here")], ["doc_id", "text"])
+    plan = (
+        corpus_filter_decisions(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_exact_offsets(spark):
+    from fel_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, ""), (4, "h i")], ["doc_id", "text"]
+    )
+    packed = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=4, n_shards=1).collect()
+    }
+    assert set(packed) == {1, 2, 4}  # empty doc dropped
+    assert (packed[1]["start_offset"], packed[1]["start_chunk"], packed[1]["end_chunk"]) == (0, 0, 0)
+    # doc 2 occupies stream positions 3..6: crosses the budget-4 boundary
+    assert (packed[2]["start_offset"], packed[2]["start_chunk"], packed[2]["end_chunk"]) == (3, 0, 1)
+    assert (packed[4]["start_offset"], packed[4]["start_chunk"], packed[4]["end_chunk"]) == (7, 1, 2)
+    stats = packing_stats(pack_sequences(docs, budget=4, n_shards=1), budget=4).collect()[0]
+    assert stats["total_tokens"] == 9 and stats["n_chunks"] == 3
+
+
+def test_pack_sequences_shards_partition_invariant(spark):
+    from fel_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], ["doc_id", "text"]
+    )
+    a = {r["doc_id"]: (r["shard"], r["start_offset"]) for r in pack_sequences(docs, budget=16, n_shards=4).collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["start_offset"])
+        for r in pack_sequences(docs.repartition(11), budget=16, n_shards=4).collect()
+    }
+    assert a == b
