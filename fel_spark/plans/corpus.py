@@ -1,0 +1,131 @@
+"""The end-to-end training-corpus preparation plan.
+
+Chains the document-pipeline operators into the standard pretraining data
+flow, each stage checkpointed and audited through
+:class:`~fel_spark.plans.metrics.StageRunner` (resumable: a re-run skips
+completed stages; every stage leaves per-partition lineage metrics):
+
+    raw documents
+      -> filter        (corpus_filter_decisions: per-rule flags + keep)
+      -> exact dedup   (normalized-text hash groupBy, canonical per group)
+      -> near dedup    (MinHash-LSH clusters, keep cluster canonicals)
+      -> split         (deterministic hash train/val/test)
+      -> pack          (concat-and-chunk token-stream offsets per split)
+
+Stage order is the cheap-to-expensive rule: map-only filtering drops the
+junk BEFORE any shuffle; exact dedup (one hash agg) collapses verbatim
+copies BEFORE the LSH banding ever sees them; packing runs last on the
+smallest surviving set. Audit rows (drop accounting, dedup rates, split
+sizes, packing fill) accumulate under the run's ``_aux`` tree so a 100 TB
+run can reconcile every dropped document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fel_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from fel_spark.operators.filtering import corpus_filter_decisions, filter_audit
+from fel_spark.operators.packing import pack_sequences, packing_stats
+from fel_spark.operators.splits import hash_split, split_counts
+from fel_spark.plans.metrics import StageRunner
+
+
+def run_corpus_prep(
+    spark: SparkSession,
+    run_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pack_budget: int = 2048,
+    pack_shards: int = 64,
+    filter_kwargs: dict | None = None,
+    neardup_kwargs: dict | None = None,
+) -> DataFrame:
+    """Run (or resume) the corpus-prep plan; returns the packed manifest
+    (id, split, shard, n_tokens, start_offset, start_chunk, end_chunk).
+
+    Each stage is a parquet snapshot under ``run_dir``; kill the job at any
+    point and a re-run picks up after the last completed stage.
+    """
+    runner = StageRunner(spark, run_dir)
+
+    def _filtered(r: StageRunner) -> DataFrame:
+        dec = corpus_filter_decisions(
+            docs, id_col=id_col, text_col=text_col, **(filter_kwargs or {})
+        )
+        r.log_aux("filter_audit", filter_audit(dec))
+        return docs.join(
+            dec.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
+
+    filtered = runner.run_stage("filtered", _filtered)
+
+    def _exact(r: StageRunner) -> DataFrame:
+        groups = exact_dedup(r.read_stage("filtered"), id_col=id_col, text_col=text_col)
+        canon = groups.select(F.col("canonical_id").alias(id_col))
+        r.log_aux(
+            "exact_dedup_audit",
+            groups.agg(
+                F.count("*").alias("n_groups"),
+                F.sum("dup_count").alias("n_docs_in"),
+            ),
+        )
+        return r.read_stage("filtered").join(canon, id_col, "left_semi")
+
+    exact = runner.run_stage("exact_deduped", _exact, inputs=("filtered",))
+
+    def _near(r: StageRunner) -> DataFrame:
+        base = r.read_stage("exact_deduped")
+        clusters = minhash_lsh_dedup(
+            base, id_col=id_col, text_col=text_col, **(neardup_kwargs or {})
+        )
+        # keep one representative per near-dup cluster (cluster_id is the
+        # component's canonical id, stringified by connected_components);
+        # singleton clusters keep their only member by the same rule.
+        drop = clusters.filter(
+            F.col(id_col).cast("string") != F.col("cluster_id")
+        ).select(id_col)
+        r.log_aux(
+            "near_dedup_audit",
+            clusters.agg(
+                F.countDistinct("cluster_id").alias("n_clusters"),
+                F.count("*").alias("n_clustered_docs"),
+            ),
+        )
+        return base.join(drop, id_col, "left_anti")
+
+    near = runner.run_stage("near_deduped", _near, inputs=("exact_deduped",))
+
+    def _split(r: StageRunner) -> DataFrame:
+        out = hash_split(r.read_stage("near_deduped"), id_col=id_col)
+        r.log_aux("split_audit", split_counts(out))
+        return out
+
+    # partition the snapshot by split so downstream per-split reads prune
+    split = runner.run_stage(
+        "split", _split, inputs=("near_deduped",), partition_by=("split",)
+    )
+
+    def _packed(r: StageRunner) -> DataFrame:
+        s = r.read_stage("split")
+        packed = pack_sequences(
+            s,
+            budget=pack_budget,
+            n_shards=pack_shards,
+            id_col=id_col,
+            text_col=text_col,
+        ).join(s.select(id_col, "split"), id_col)
+        r.log_aux(
+            "packing_audit",
+            packing_stats(
+                pack_sequences(
+                    s, budget=pack_budget, n_shards=pack_shards,
+                    id_col=id_col, text_col=text_col,
+                ),
+                budget=pack_budget,
+            ),
+        )
+        return packed
+
+    return runner.run_stage("packed", _packed, inputs=("split",))

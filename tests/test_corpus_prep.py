@@ -1,0 +1,65 @@
+"""End-to-end corpus-prep plan: filter -> exact dedup -> near dedup ->
+split -> pack, checkpointed and resumable."""
+
+from __future__ import annotations
+
+from fel_spark.plans.corpus import run_corpus_prep
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over a lazy dog and then walks to town "
+        "for supper while night falls on quiet streets of old houses near "
+        "the river bank where %s boats drift under stars"
+    )
+    rows = [
+        (1, base % "small"),
+        (2, base % "small"),          # exact duplicate of 1
+        (3, base % "large"),          # near-duplicate of 1 (one token off)
+        (4, "too short"),             # filtered out (f_short)
+        (5, base % "painted"),        # near-duplicate of 1
+        (6, "a different story begins in the harbor where sailors trade "
+            "spices and silk for iron tools while merchants count coins on "
+            "wooden tables near the old lighthouse at dawn"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_corpus_prep_end_to_end_and_resume(spark, tmp_path):
+    run_dir = str(tmp_path / "run1")
+    packed = run_corpus_prep(
+        spark,
+        run_dir,
+        _docs(spark),
+        pack_budget=16,
+        pack_shards=2,
+        neardup_kwargs={"jaccard_threshold": 0.8},
+    )
+    rows = packed.collect()
+    ids = {r["doc_id"] for r in rows}
+    # doc 4 filtered; 2 collapsed into 1 (exact); 3 and 5 collapsed into
+    # 1's cluster (near); 6 survives on its own
+    assert ids == {1, 6}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["n_tokens"] > 0 and r["start_offset"] >= 0 for r in rows)
+
+    # resume: a second run reads snapshots (stage manifests exist) and
+    # returns the same manifest
+    again = run_corpus_prep(
+        spark,
+        run_dir,
+        _docs(spark).limit(0),  # inputs ignored on resume — snapshots win
+        pack_budget=16,
+        pack_shards=2,
+    )
+    assert {r["doc_id"] for r in again.collect()} == ids
+
+    # audit trail materialized for every stage
+    aux = {p.name for p in (tmp_path / "run1" / "_aux").iterdir()}
+    assert {
+        "filter_audit",
+        "exact_dedup_audit",
+        "near_dedup_audit",
+        "split_audit",
+        "packing_audit",
+    } <= aux
