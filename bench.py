@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_langid",
     "doc_repetition",
+    "doc_filter",
+    "doc_hash_split",
+    "doc_span_coverage",
+    "doc_pack_chunks",
     "events_sessionize",
     "knn_bruteforce",
     "minhash_near_dup",
