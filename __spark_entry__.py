@@ -485,6 +485,17 @@ def q_doc_span_coverage(spark, sf_dir):
     )
 
 
+def q_doc_span_excise(spark, sf_dir):
+    """Span excision (`dedup.excise_duplicated_spans`): every duplicated
+    8-token window is removed except one deterministic global winner
+    occurrence (Lee et al. all-but-one semantics). Value-checked end-to-end
+    incl. winner election and text rebuild; md5 fps, scale path xxhash64."""
+    from fel_spark.operators.dedup import excise_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return excise_duplicated_spans(d, window=8, min_docs=2, hash_fn=F.md5)
+
+
 def q_doc_filter(spark, sf_dir):
     """Composed corpus filter (`operators/filtering`): length + Gopher
     repetition + stopword floor + language rules as per-rule audit flags
@@ -1130,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter": q_doc_filter,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_span_excise": q_doc_span_excise,
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1539,6 +1551,49 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cov_4dp
             FROM g LEFT JOIN hot h ON g.span_fp = h.span_fp
             GROUP BY g.doc_id
+        """,
+        # span excision: hot 8-token windows, packed-key winner election
+        # (doc_id*2^20+pos, min wins), losers' positions cut, text rebuilt
+        # from surviving token indexes.
+        "doc_span_excise": f"""
+            WITH d AS (
+                SELECT doc_id, {toks} AS ts FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ts) - 7),
+                              i -> {{'pos': i - 1,
+                                    'fp': md5(array_to_string(ts[i:i+7], ' '))}})) AS s
+                FROM d WHERE len(ts) >= 8
+            ),
+            occ AS (SELECT doc_id, s.pos AS pos, s.fp AS fp FROM g),
+            hot AS (
+                SELECT fp FROM occ GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+            ),
+            ho AS (
+                SELECT o.doc_id, o.pos, o.fp,
+                       o.doc_id * 1048576 + o.pos AS k
+                FROM occ o JOIN hot USING (fp)
+            ),
+            win AS (SELECT fp, min(k) AS wk FROM ho GROUP BY fp),
+            losers AS (
+                SELECT ho.doc_id, ho.pos
+                FROM ho JOIN win ON ho.fp = win.fp AND ho.k != win.wk
+            ),
+            cuts AS (
+                SELECT doc_id, list(DISTINCT cp) AS cuts FROM (
+                    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+                    FROM losers
+                ) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(array_to_string(
+                       list_transform(
+                           list_filter(generate_series(1, len(d.ts)),
+                                       i -> NOT list_contains(coalesce(c.cuts, []), i - 1)),
+                           i -> d.ts[i]), ' '), '') AS text_clean,
+                   CAST(coalesce(len(c.cuts), 0) AS INT) AS n_cut
+            FROM d LEFT JOIN cuts c USING (doc_id)
         """,
         # composed corpus filter: same integer floor() digests as the
         # oracled signal queries, so every threshold is integer-exact.

@@ -533,3 +533,65 @@ def span_coverage(
             "dup_coverage", F.col("n_dup_spans") / F.col("n_spans")
         )
     )
+
+
+def excise_duplicated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """-> (id, text_clean, n_cut): remove every duplicated token window
+    except one global winner occurrence — the Lee et al. 2022 excision
+    semantics (all-but-one), not whole-document dropping.
+
+    Winner election is deterministic and engine-independent: each hot
+    occurrence gets the packed key ``id * 2^20 + span_pos`` and the minimum
+    key per fingerprint wins (assumes < 2^20 tokens per document — far
+    above any real training document). Every losing occurrence's token
+    positions are cut; the cleaned text is rebuilt from the surviving
+    tokens in order. ``n_cut`` = distinct cut positions (audit column).
+
+    Scale shape: the shingle stream is narrow (id, pos, fp) and persisted
+    once for its two consumers (hot aggregate + occurrence join); losers
+    explode to at most window * occurrences cut positions, grouped back to
+    one bounded array per document; the text rebuild is row-local array
+    arithmetic. No pair explosion anywhere.
+    """
+    sh = span_shingles(docs, window, id_col, text_col, hash_fn).persist()
+    hot = (
+        sh.groupBy("span_fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_fp")
+    )
+    key = (F.col(id_col) * F.lit(1 << 20) + F.col("span_pos")).alias("k")
+    occ = sh.join(hot, "span_fp").select(id_col, "span_pos", "span_fp", key)
+    win = occ.groupBy("span_fp").agg(F.min("k").alias("wk"))
+    losers = occ.join(win, "span_fp").filter(F.col("k") != F.col("wk"))
+    cuts = (
+        losers.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("span_pos"), F.col("span_pos") + (window - 1))
+            ).alias("cut_pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cut_pos").alias("cuts"))
+    )
+    toks = normalize_tokens(text_col)
+    d = docs.select(F.col(id_col), toks.alias("_ts")).join(cuts, id_col, "left")
+    cuts_arr = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
+    # NB: the two-parameter transform lambda receives the array INDEX as
+    # its second argument — exactly what position filtering needs here.
+    indexed = F.transform(
+        F.col("_ts"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+    )
+    kept = F.filter(indexed, lambda s: ~F.array_contains(cuts_arr, s["i"]))
+    return d.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text_clean"),
+        F.size(cuts_arr).alias("n_cut"),
+    )

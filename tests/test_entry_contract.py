@@ -37,6 +37,7 @@ SUBSET = [
     "doc_filter",
     "doc_stratified_sample",
     "doc_pack_chunks",
+    "doc_span_excise",
 ]
 
 

@@ -186,3 +186,23 @@ def test_pack_sequences_shards_partition_invariant(spark):
         for r in pack_sequences(docs.repartition(11), budget=16, n_shards=4).collect()
     }
     assert a == b
+
+
+def test_excise_duplicated_spans_all_but_one(spark):
+    from fel_spark.operators.dedup import excise_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    d = spark.createDataFrame(
+        [
+            (1, f"{shared} tail one"),
+            (2, f"{shared} tail two"),
+            (3, "completely different words that no other document shares"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in excise_duplicated_spans(d, window=8).collect()}
+    # doc 1 holds the winner occurrence (min packed key) and keeps its text;
+    # doc 2's copy of the shared window is cut, its unique tail survives
+    assert out[1]["text_clean"] == f"{shared} tail one" and out[1]["n_cut"] == 0
+    assert out[2]["text_clean"] == "two" and out[2]["n_cut"] == 9
+    assert out[3]["n_cut"] == 0 and out[3]["text_clean"].startswith("completely")
