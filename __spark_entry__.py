@@ -1552,9 +1552,10 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN hot h ON g.span_fp = h.span_fp
             GROUP BY g.doc_id
         """,
-        # span excision: hot 8-token windows, packed-key winner election
-        # (doc_id*2^20+pos, min wins), losers' positions cut, text rebuilt
-        # from surviving token indexes.
+        # span excision: hot 8-token windows, min-(id,pos) winner election
+        # (packed key here — valid for these BIGINT ids and identical to
+        # the operator's struct ordering), losers' positions cut EXCEPT
+        # winner-covered positions, text rebuilt from surviving indexes.
         "doc_span_excise": f"""
             WITH d AS (
                 SELECT doc_id, {toks} AS ts FROM documents
@@ -1576,14 +1577,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM occ o JOIN hot USING (fp)
             ),
             win AS (SELECT fp, min(k) AS wk FROM ho GROUP BY fp),
-            losers AS (
-                SELECT ho.doc_id, ho.pos
+            loser_cover AS (
+                SELECT ho.doc_id, unnest(generate_series(ho.pos, ho.pos + 7)) AS cp
                 FROM ho JOIN win ON ho.fp = win.fp AND ho.k != win.wk
             ),
+            win_cover AS (
+                SELECT ho.doc_id, unnest(generate_series(ho.pos, ho.pos + 7)) AS cp
+                FROM ho JOIN win ON ho.fp = win.fp AND ho.k = win.wk
+            ),
             cuts AS (
-                SELECT doc_id, list(DISTINCT cp) AS cuts FROM (
-                    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
-                    FROM losers
+                -- EXCEPT is set-based: dedups covers AND drops winner-covered
+                SELECT doc_id, list(cp) AS cuts FROM (
+                    SELECT doc_id, cp FROM loser_cover
+                    EXCEPT
+                    SELECT doc_id, cp FROM win_cover
                 ) GROUP BY doc_id
             )
             SELECT d.doc_id,

@@ -510,10 +510,12 @@ def span_coverage(
 
     Shape: the shingle stream is persisted ONCE (two consumers: the hot-span
     aggregate and the coverage join — re-running the normalize+explode over
-    the corpus would double the scan). The join is shuffle-on-span_fp of two
-    narrow streams; at 100 TB the hot-span side is the smaller by
-    construction (only fps with n_docs >= min_docs survive) and AQE picks
-    broadcast when it fits.
+    the corpus would double the scan). The cache is session-lived because
+    the result is returned lazily; callers doing repeated sweeps should
+    `spark.catalog.clearCache()` between runs. The join is
+    shuffle-on-span_fp of two narrow streams; at 100 TB the hot-span side
+    is the smaller by construction (only fps with n_docs >= min_docs
+    survive) and AQE picks broadcast when it fits.
     """
     sh = span_shingles(docs, window, id_col, text_col, hash_fn).persist()
     hot = (
@@ -547,18 +549,23 @@ def excise_duplicated_spans(
     except one global winner occurrence — the Lee et al. 2022 excision
     semantics (all-but-one), not whole-document dropping.
 
-    Winner election is deterministic and engine-independent: each hot
-    occurrence gets the packed key ``id * 2^20 + span_pos`` and the minimum
-    key per fingerprint wins (assumes < 2^20 tokens per document — far
-    above any real training document). Every losing occurrence's token
-    positions are cut; the cleaned text is rebuilt from the surviving
-    tokens in order. ``n_cut`` = distinct cut positions (audit column).
+    Winner election is deterministic and engine-independent: the minimum
+    (id, span_pos) struct per fingerprint wins (struct ordering — works for
+    numeric AND string ids, no packed-key overflow). Losing occurrences'
+    token positions are cut, EXCEPT positions covered by a winner
+    occurrence in the same document: overlapping self-repeats (e.g. a
+    run of identical tokens) would otherwise let one window's loser cut
+    destroy another window's winner, leaving no intact copy anywhere.
+    The cleaned text is rebuilt from the surviving tokens in order;
+    ``n_cut`` = distinct cut positions (audit column).
 
     Scale shape: the shingle stream is narrow (id, pos, fp) and persisted
-    once for its two consumers (hot aggregate + occurrence join); losers
-    explode to at most window * occurrences cut positions, grouped back to
-    one bounded array per document; the text rebuild is row-local array
-    arithmetic. No pair explosion anywhere.
+    for its two consumers (hot aggregate + occurrence join) — the cache is
+    session-lived because the result is returned lazily; callers doing
+    threshold sweeps should `spark.catalog.clearCache()` between runs.
+    Losers explode to at most window * occurrences cut positions, grouped
+    back to one bounded array per document; the text rebuild is row-local
+    array arithmetic. No pair explosion anywhere.
     """
     sh = span_shingles(docs, window, id_col, text_col, hash_fn).persist()
     hot = (
@@ -567,17 +574,29 @@ def excise_duplicated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("span_fp")
     )
-    key = (F.col(id_col) * F.lit(1 << 20) + F.col("span_pos")).alias("k")
-    occ = sh.join(hot, "span_fp").select(id_col, "span_pos", "span_fp", key)
+    occ = sh.join(hot, "span_fp").select(
+        id_col,
+        "span_pos",
+        "span_fp",
+        F.struct(F.col(id_col).alias("i"), F.col("span_pos").alias("p")).alias("k"),
+    )
     win = occ.groupBy("span_fp").agg(F.min("k").alias("wk"))
-    losers = occ.join(win, "span_fp").filter(F.col("k") != F.col("wk"))
+    joined = occ.join(win, "span_fp")
+    positions = F.explode(
+        F.sequence(F.col("span_pos"), F.col("span_pos") + (window - 1))
+    ).alias("cut_pos")
+    loser_cover = (
+        joined.filter(F.col("k") != F.col("wk"))
+        .select(F.col(id_col), positions)
+        .distinct()
+    )
+    win_cover = (
+        joined.filter(F.col("k") == F.col("wk"))
+        .select(F.col(id_col), positions)
+        .distinct()
+    )
     cuts = (
-        losers.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("span_pos"), F.col("span_pos") + (window - 1))
-            ).alias("cut_pos"),
-        )
+        loser_cover.join(win_cover, [id_col, "cut_pos"], "left_anti")
         .groupBy(id_col)
         .agg(F.collect_set("cut_pos").alias("cuts"))
     )

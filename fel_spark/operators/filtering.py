@@ -22,10 +22,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from fel_spark.functions.text import normalize_tokens
 from fel_spark.operators.textstats import (
-    EN_STOPWORDS,
+    dup_bigram_4dp_expr,
     language_id,
-    top_token_count,
-    word_bigrams,
+    stopword_4dp_expr,
+    top_word_4dp_expr,
 )
 
 
@@ -48,7 +48,6 @@ def corpus_filter_decisions(
     filter stacks (Gopher / C4): 0.20 top-word share, 0.30 duplicate-bigram
     share, 0.01 stopword floor, 20..2000 words, English only.
     """
-    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     d = docs.select(
         F.col(id_col),
         normalize_tokens(text_col).alias("toks"),
@@ -56,15 +55,11 @@ def corpus_filter_decisions(
     )
     toks = F.col("toks")
     n = F.size(toks)
-    g1 = F.greatest(n, F.lit(1))
-    bi = word_bigrams(toks)
-    n_bi = F.size(bi)
-    top4 = F.floor(top_token_count(toks) * 10000.0 / g1).cast("long")
-    dup4 = F.floor(
-        (n_bi - F.size(F.array_distinct(bi))) * 10000.0 / F.greatest(n_bi, F.lit(1))
-    ).cast("long")
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    sw4 = F.floor(n_sw * 10000.0 / g1).cast("long")
+    # the shared textstats digest expressions — one definition for the
+    # oracled signal queries and these thresholds, so they cannot drift
+    top4 = top_word_4dp_expr(toks)
+    dup4 = dup_bigram_4dp_expr(toks)
+    sw4 = stopword_4dp_expr(toks)
 
     def flag(cond: Column) -> Column:
         return F.when(cond, 1).otherwise(0).cast("int")

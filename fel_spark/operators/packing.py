@@ -30,14 +30,22 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_fn=None,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """-> (id, shard, n_tokens, start_offset, start_chunk, end_chunk).
+    """-> (id, [group], shard, n_tokens, start_offset, start_chunk,
+    end_chunk).
 
-    ``start_offset`` is the document's position in its shard's concatenated
-    token stream (exclusive running sum over ``id`` order); ``start_chunk``
-    / ``end_chunk`` are the ``budget``-sized chunks the document's tokens
-    fall into (inclusive; a document spans multiple chunks when it crosses
-    a boundary). Chunk ids are globally unique: shard * 2^32 + local chunk.
+    ``start_offset`` is the document's position in its stream's
+    concatenated token stream (exclusive running sum over ``id`` order);
+    ``start_chunk`` / ``end_chunk`` are the ``budget``-sized chunks the
+    document's tokens fall into (inclusive; a document spans multiple
+    chunks when it crosses a boundary).
+
+    ``group_col`` (e.g. a train/val/test ``split`` label) makes each group
+    its own set of token streams: no chunk ever mixes documents from two
+    groups — the property a dataset split exists to guarantee. Chunk ids
+    are shard * 2^32 + local chunk: globally unique without a group,
+    unique per group with one (consumers read chunks per group).
 
     Empty documents (0 tokens) are dropped — they occupy no stream
     positions and would need an arbitrary chunk assignment.
@@ -45,13 +53,15 @@ def pack_sequences(
     s = F.col(id_col).cast("string")
     h = shard_fn(s) if shard_fn is not None else F.xxhash64(s)
     shard = F.pmod(h, F.lit(n_shards))
+    stream_cols = ([group_col] if group_col else []) + ["shard"]
     d = docs.select(
         F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
         shard.cast("int").alias("shard"),
         token_count(text_col).alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*stream_cols)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -60,7 +70,7 @@ def pack_sequences(
     chunk_base = F.col("shard").cast("long") * F.lit(2**32)
     return out.select(
         id_col,
-        "shard",
+        *stream_cols,
         "n_tokens",
         "start_offset",
         (chunk_base + F.floor(F.col("start_offset") / budget)).alias("start_chunk"),
@@ -71,11 +81,15 @@ def pack_sequences(
     )
 
 
-def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
+def packing_stats(
+    packed: DataFrame, budget: int = 2048, group_col: str | None = None
+) -> DataFrame:
     """One-row audit: total tokens, chunk count, and mean fill of the final
-    (ragged) chunk per shard — quantifies the padding waste the packing
-    trades for fixed shapes."""
-    per_shard = packed.groupBy("shard").agg(
+    (ragged) chunk per stream — quantifies the padding waste the packing
+    trades for fixed shapes. Pass the same ``group_col`` as the packing:
+    each (group, shard) pair is its own stream with its own ragged tail."""
+    stream_cols = ([group_col] if group_col else []) + ["shard"]
+    per_shard = packed.groupBy(*stream_cols).agg(
         F.sum("n_tokens").alias("shard_tokens"),
     )
     return per_shard.agg(

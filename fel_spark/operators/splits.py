@@ -64,9 +64,18 @@ def hash_split(
     out = df.withColumn("split_bucket", b)
     expr: Column | None = None
     cum = 0.0
+    prev_thresh = 0
     for label, w in weights:
         cum += w
         thresh = int(round(cum * buckets))
+        if thresh <= prev_thresh:
+            # a weight below 1/buckets would silently produce an always-
+            # empty split at ANY corpus size — surface it instead
+            raise ValueError(
+                f"split '{label}' (weight {w}) rounds to zero of {buckets} "
+                f"buckets; raise the weight or the bucket count"
+            )
+        prev_thresh = thresh
         cond = F.col("split_bucket") < F.lit(thresh)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     # cum == 1.0 -> last threshold == buckets covers every bucket; the

@@ -155,6 +155,33 @@ def word_bigrams(tokens: Column) -> Column:
     )
 
 
+def top_word_4dp_expr(toks: Column) -> Column:
+    """floor(top-word share * 10000) over a token array — the integer
+    digest both the doc_repetition oracle and the corpus filter threshold
+    compare (single definition: the two must stay integer-identical)."""
+    return F.floor(
+        top_token_count(toks) * 10000.0 / F.greatest(F.size(toks), F.lit(1))
+    ).cast("long")
+
+
+def dup_bigram_4dp_expr(toks: Column) -> Column:
+    """floor(duplicate-bigram share * 10000) over a token array (shared
+    digest, see top_word_4dp_expr)."""
+    bi = word_bigrams(toks)
+    n_bi = F.size(bi)
+    return F.floor(
+        (n_bi - F.size(F.array_distinct(bi))) * 10000.0 / F.greatest(n_bi, F.lit(1))
+    ).cast("long")
+
+
+def stopword_4dp_expr(toks: Column, stopwords: list[str] | None = None) -> Column:
+    """floor(stopword share * 10000) over a token array (shared digest,
+    see top_word_4dp_expr)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.floor(n_sw * 10000.0 / F.greatest(F.size(toks), F.lit(1))).cast("long")
+
+
 def repetition_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -164,22 +191,14 @@ def repetition_signals(
     so the filter costs one scan at any corpus size."""
     d = docs.select(F.col(id_col), normalize_tokens(text_col).alias("toks"))
     toks = F.col("toks")
-    bi = word_bigrams(toks)
     n = F.size(toks)
-    n_bi = F.size(bi)
     top_c = top_token_count(toks)
     return d.select(
         id_col,
         n.alias("n_words"),
         top_c.alias("top_word_c"),
-        F.floor(top_c * 10000.0 / F.greatest(n, F.lit(1)))
-        .cast("long")
-        .alias("top_word_4dp"),
-        F.floor(
-            (n_bi - F.size(F.array_distinct(bi))) * 10000.0 / F.greatest(n_bi, F.lit(1))
-        )
-        .cast("long")
-        .alias("dup_bigram_4dp"),
+        top_word_4dp_expr(toks).alias("top_word_4dp"),
+        dup_bigram_4dp_expr(toks).alias("dup_bigram_4dp"),
     )
 
 

@@ -62,13 +62,16 @@ def run_corpus_prep(
     filtered = runner.run_stage("filtered", _filtered)
 
     def _exact(r: StageRunner) -> DataFrame:
+        # exact_dedup returns one row PER INPUT DOC (doc_id, canonical_id,
+        # dup_count) — the audit must count distinct groups and raw rows,
+        # not sum dup_count over per-doc rows (which squares group sizes)
         groups = exact_dedup(r.read_stage("filtered"), id_col=id_col, text_col=text_col)
         canon = groups.select(F.col("canonical_id").alias(id_col))
         r.log_aux(
             "exact_dedup_audit",
             groups.agg(
-                F.count("*").alias("n_groups"),
-                F.sum("dup_count").alias("n_docs_in"),
+                F.countDistinct("canonical_id").alias("n_groups"),
+                F.count("*").alias("n_docs_in"),
             ),
         )
         return r.read_stage("filtered").join(canon, id_col, "left_semi")
@@ -108,24 +111,24 @@ def run_corpus_prep(
     )
 
     def _packed(r: StageRunner) -> DataFrame:
-        s = r.read_stage("split")
-        packed = pack_sequences(
-            s,
+        # group_col='split': each split gets its own token streams, so no
+        # chunk ever mixes train/val/test documents (chunk-granularity
+        # split leakage would defeat the split)
+        return pack_sequences(
+            r.read_stage("split"),
             budget=pack_budget,
             n_shards=pack_shards,
             id_col=id_col,
             text_col=text_col,
-        ).join(s.select(id_col, "split"), id_col)
-        r.log_aux(
-            "packing_audit",
-            packing_stats(
-                pack_sequences(
-                    s, budget=pack_budget, n_shards=pack_shards,
-                    id_col=id_col, text_col=text_col,
-                ),
-                budget=pack_budget,
-            ),
+            group_col="split",
         )
-        return packed
 
-    return runner.run_stage("packed", _packed, inputs=("split",))
+    fresh = not runner.is_done("packed")
+    packed = runner.run_stage("packed", _packed, inputs=("split",))
+    if fresh:
+        # audit from the materialized snapshot — no second window pass
+        runner.log_aux(
+            "packing_audit",
+            packing_stats(packed, budget=pack_budget, group_col="split"),
+        )
+    return packed

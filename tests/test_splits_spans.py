@@ -206,3 +206,65 @@ def test_excise_duplicated_spans_all_but_one(spark):
     assert out[1]["text_clean"] == f"{shared} tail one" and out[1]["n_cut"] == 0
     assert out[2]["text_clean"] == "two" and out[2]["n_cut"] == 9
     assert out[3]["n_cut"] == 0 and out[3]["text_clean"].startswith("completely")
+
+
+def test_excise_protects_winner_under_overlapping_repeats(spark):
+    """A run of identical tokens makes one window's loser overlap another
+    window's winner; winner-covered positions must survive so at least one
+    intact copy of the duplicated window remains (Lee et al. all-but-one)."""
+    from fel_spark.operators.dedup import excise_duplicated_spans
+
+    d = spark.createDataFrame(
+        [(1, "x " * 9), (2, "x " * 8)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in excise_duplicated_spans(d, window=8).collect()}
+    # doc 1: winner occupies positions 0..7; its self-overlapping loser at
+    # pos 1 may only cut position 8
+    assert out[1]["text_clean"] == "x x x x x x x x" and out[1]["n_cut"] == 1
+    assert out[2]["text_clean"] == "" and out[2]["n_cut"] == 8
+
+
+def test_excise_works_with_string_ids(spark):
+    from fel_spark.operators.dedup import excise_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    d = spark.createDataFrame(
+        [("doc-a", f"{shared} one"), ("doc-b", f"{shared} two")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in excise_duplicated_spans(d, window=8).collect()}
+    # 'doc-a' < 'doc-b': doc-a wins, doc-b's copy is excised
+    assert out["doc-a"]["n_cut"] == 0
+    assert out["doc-b"]["text_clean"] == "two" and out["doc-b"]["n_cut"] == 8
+
+
+def test_hash_split_rejects_zero_bucket_weight(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="rounds to zero"):
+        hash_split(
+            df,
+            weights=(("train", 0.99995), ("test", 0.00005)),
+        )
+
+
+def test_pack_sequences_group_streams_do_not_mix(spark):
+    from fel_spark.operators.packing import pack_sequences
+
+    rows = [(i, "train" if i % 2 == 0 else "test", "w " * 5) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "split", "text"])
+    packed = pack_sequences(docs, budget=8, n_shards=2, group_col="split").collect()
+    # offsets restart per (split, shard) stream — each stream is an
+    # independent token stream, so no chunk's token range ever spans two
+    # splits (chunk identity is (split, chunk_id); consumers read per split)
+    streams = {}
+    for r in packed:
+        streams.setdefault((r["split"], r["shard"]), []).append(
+            (r["start_offset"], r["n_tokens"])
+        )
+    assert len(streams) == 4  # 2 splits x 2 shards, all non-empty
+    for offs in streams.values():
+        offs.sort()
+        assert offs[0][0] == 0
+        # contiguous: each doc starts exactly where the previous ended
+        for (a, n), (b, _) in zip(offs, offs[1:]):
+            assert b == a + n
