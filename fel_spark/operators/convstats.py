@@ -1,0 +1,74 @@
+"""Conversation-level integrity and shape statistics.
+
+The first gate a transcript ingestion pipeline runs at 10^12-turn scale:
+before any linking or dedup, verify per conversation that the turn index
+is a clean sequence (no gaps, no duplicates), and profile the role/tool
+mix. Bad conversations (truncated loads, double-writes, out-of-order
+appends) are quarantined by id instead of silently corrupting every
+downstream per-conversation operator (sessionization, coherence lattice,
+segmentation DP — all assume contiguous turn order).
+
+ONE shuffle (groupBy conv_id); all signals are plain aggregates, so the
+map side combines and the reduce side is one row per conversation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def conversation_integrity(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """-> (conv_id, n_turns, n_distinct_idx, idx_min, idx_max, n_gaps,
+    n_dup_idx, n_user, n_assistant, n_tool_calls, is_clean).
+
+    ``n_gaps`` = missing indexes inside [idx_min, idx_max]; ``n_dup_idx`` =
+    turns sharing an index. ``is_clean`` = dense 0-based index with no
+    duplicates — the precondition the per-conversation operators assume.
+    """
+    span = F.col("idx_max") - F.col("idx_min") + 1
+    return (
+        transcripts.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct(idx_col).alias("n_distinct_idx"),
+            F.min(idx_col).alias("idx_min"),
+            F.max(idx_col).alias("idx_max"),
+            F.sum(F.when(F.col(role_col) == "user", 1).otherwise(0)).alias("n_user"),
+            F.sum(F.when(F.col(role_col) == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+            F.sum(
+                F.when(F.col(tool_col).isNotNull() & (F.col(tool_col) != ""), 1)
+                .otherwise(0)
+            ).alias("n_tool_calls"),
+        )
+        .withColumn("n_gaps", (span - F.col("n_distinct_idx")).cast("long"))
+        .withColumn("n_dup_idx", (F.col("n_turns") - F.col("n_distinct_idx")).cast("long"))
+        .withColumn(
+            "is_clean",
+            (F.col("n_gaps") == 0)
+            & (F.col("n_dup_idx") == 0)
+            & (F.col("idx_min") == 0),
+        )
+    )
+
+
+def quarantine_conversations(
+    transcripts: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx"
+) -> tuple[DataFrame, DataFrame]:
+    """-> (clean_transcripts, dirty_conv_ids): split the corpus on the
+    integrity check. The dirty side is ids-only (log it, reload those
+    conversations); the clean side is a left-semi join, so the big table
+    passes through without widening."""
+    integ = conversation_integrity(transcripts, conv_col=conv_col, idx_col=idx_col)
+    dirty = integ.filter(~F.col("is_clean")).select(conv_col)
+    clean = transcripts.join(
+        integ.filter(F.col("is_clean")).select(conv_col), conv_col, "left_semi"
+    )
+    return clean, dirty

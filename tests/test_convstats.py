@@ -1,0 +1,61 @@
+"""Conversation-integrity gate: gaps, duplicate indexes, role/tool mix."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from fel_spark.operators.convstats import (
+    conversation_integrity,
+    quarantine_conversations,
+)
+
+
+def _transcripts(spark):
+    ts = datetime(2024, 1, 1)
+    rows = [
+        # clean conversation: dense 0-based, alternating, one tool call
+        ("c1", 0, "user", "hi", None, ts),
+        ("c1", 1, "assistant", "hello", "search", ts),
+        ("c1", 2, "user", "thanks", None, ts),
+        # gap: missing turn 1
+        ("c2", 0, "user", "a", None, ts),
+        ("c2", 2, "assistant", "b", None, ts),
+        # duplicate index
+        ("c3", 0, "user", "x", None, ts),
+        ("c3", 0, "user", "x again", None, ts),
+        ("c3", 1, "assistant", "y", None, ts),
+        # 1-based (not 0-based) index
+        ("c4", 1, "user", "late start", None, ts),
+    ]
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def test_conversation_integrity_signals(spark):
+    integ = {
+        r["conv_id"]: r for r in conversation_integrity(_transcripts(spark)).collect()
+    }
+    c1 = integ["c1"]
+    assert c1["is_clean"] and c1["n_gaps"] == 0 and c1["n_dup_idx"] == 0
+    assert (c1["n_user"], c1["n_assistant"], c1["n_tool_calls"]) == (2, 1, 1)
+    assert integ["c2"]["n_gaps"] == 1 and not integ["c2"]["is_clean"]
+    assert integ["c3"]["n_dup_idx"] == 1 and not integ["c3"]["is_clean"]
+    assert not integ["c4"]["is_clean"]  # 1-based
+
+
+def test_quarantine_split(spark):
+    clean, dirty = quarantine_conversations(_transcripts(spark))
+    assert {r["conv_id"] for r in clean.select("conv_id").distinct().collect()} == {"c1"}
+    assert {r["conv_id"] for r in dirty.collect()} == {"c2", "c3", "c4"}
+    # clean side keeps the original schema untouched
+    assert clean.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_synth_corpus_is_clean(spark, dict_pack):
+    """The deterministic synthetic corpus must pass its own ingestion gate."""
+    from fel_spark.sources.synth import synth_transcripts_df, transcripts
+
+    t = transcripts(synth_transcripts_df(spark, dict_pack, n_conv=30, turns_per_conv=4))
+    integ = conversation_integrity(t)
+    assert integ.filter(~integ.is_clean).count() == 0
