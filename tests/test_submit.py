@@ -76,3 +76,50 @@ def test_spark_submit_pyfiles_end_to_end():
         # resumability artifacts: stage manifests + per-partition lineage
         assert (Path(run_dir) / "linked_mentions" / "_STAGE_SUCCESS").exists()
         assert (Path(run_dir) / "_metrics").exists()
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="no spark-submit on PATH")
+def test_spark_submit_corpus_prep_end_to_end():
+    """The corpus-prep job launches the same way: --py-files zip, fresh JVM,
+    resumable run dir, packed manifest partitioned by split."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import package_pyfiles
+
+    zip_path = package_pyfiles.build()
+    with tempfile.TemporaryDirectory() as td:
+        run_dir, out_dir = f"{td}/run", f"{td}/out"
+        proc = subprocess.run(
+            [
+                _spark_submit(),
+                "--master",
+                "local[4]",
+                "--conf",
+                "spark.sql.shuffle.partitions=8",
+                "--conf",
+                "spark.ui.enabled=false",
+                "--py-files",
+                str(zip_path),
+                str(REPO / "scripts" / "submit_corpus.py"),
+                "--input",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--run-dir",
+                run_dir,
+                "--output",
+                out_dir,
+                "--pack-budget",
+                "512",
+                "--pack-shards",
+                "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        assert res["docs_packed"] > 0 and "train" in res["split_counts"]
+        assert (Path(run_dir) / "packed" / "_STAGE_SUCCESS").exists()
+        assert (Path(run_dir) / "_aux" / "filter_audit").exists()
+        # split-partitioned output: per-split directories exist
+        assert any(p.name.startswith("split=") for p in Path(out_dir).iterdir())
