@@ -29,8 +29,36 @@ def conversation_integrity(
 
     ``n_gaps`` = missing indexes inside [idx_min, idx_max]; ``n_dup_idx`` =
     turns sharing an index. ``is_clean`` = dense 0-based index with no
-    duplicates — the precondition the per-conversation operators assume.
+    duplicates AND a non-null conversation id — a NULL id is itself load
+    corruption, and equi-joins would silently drop those rows, so they must
+    surface as dirty, never vanish. ``role_col`` / ``tool_col`` are
+    profiled only if present in the schema (zeros otherwise), so the gate
+    runs on minimal (conv, idx) tables too.
     """
+    cols = set(transcripts.columns)
+    role_aggs = (
+        [
+            F.sum(F.when(F.col(role_col) == "user", 1).otherwise(0)).alias("n_user"),
+            F.sum(F.when(F.col(role_col) == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+        ]
+        if role_col in cols
+        else [
+            F.sum(F.lit(0)).cast("long").alias("n_user"),
+            F.sum(F.lit(0)).cast("long").alias("n_assistant"),
+        ]
+    )
+    tool_aggs = (
+        [
+            F.sum(
+                F.when(F.col(tool_col).isNotNull() & (F.col(tool_col) != ""), 1)
+                .otherwise(0)
+            ).alias("n_tool_calls")
+        ]
+        if tool_col in cols
+        else [F.sum(F.lit(0)).cast("long").alias("n_tool_calls")]
+    )
     span = F.col("idx_max") - F.col("idx_min") + 1
     return (
         transcripts.groupBy(conv_col)
@@ -39,20 +67,15 @@ def conversation_integrity(
             F.countDistinct(idx_col).alias("n_distinct_idx"),
             F.min(idx_col).alias("idx_min"),
             F.max(idx_col).alias("idx_max"),
-            F.sum(F.when(F.col(role_col) == "user", 1).otherwise(0)).alias("n_user"),
-            F.sum(F.when(F.col(role_col) == "assistant", 1).otherwise(0)).alias(
-                "n_assistant"
-            ),
-            F.sum(
-                F.when(F.col(tool_col).isNotNull() & (F.col(tool_col) != ""), 1)
-                .otherwise(0)
-            ).alias("n_tool_calls"),
+            *role_aggs,
+            *tool_aggs,
         )
         .withColumn("n_gaps", (span - F.col("n_distinct_idx")).cast("long"))
         .withColumn("n_dup_idx", (F.col("n_turns") - F.col("n_distinct_idx")).cast("long"))
         .withColumn(
             "is_clean",
-            (F.col("n_gaps") == 0)
+            F.col(conv_col).isNotNull()
+            & (F.col("n_gaps") == 0)
             & (F.col("n_dup_idx") == 0)
             & (F.col("idx_min") == 0),
         )
@@ -60,13 +83,24 @@ def conversation_integrity(
 
 
 def quarantine_conversations(
-    transcripts: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx"
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
 ) -> tuple[DataFrame, DataFrame]:
     """-> (clean_transcripts, dirty_conv_ids): split the corpus on the
     integrity check. The dirty side is ids-only (log it, reload those
-    conversations); the clean side is a left-semi join, so the big table
-    passes through without widening."""
-    integ = conversation_integrity(transcripts, conv_col=conv_col, idx_col=idx_col)
+    conversations) and includes a NULL row when null-id turns exist; the
+    clean side is a left-semi join (NULL ids never match an equi-join, and
+    is_clean already excludes them, so nothing vanishes silently)."""
+    integ = conversation_integrity(
+        transcripts,
+        conv_col=conv_col,
+        idx_col=idx_col,
+        role_col=role_col,
+        tool_col=tool_col,
+    )
     dirty = integ.filter(~F.col("is_clean")).select(conv_col)
     clean = transcripts.join(
         integ.filter(F.col("is_clean")).select(conv_col), conv_col, "left_semi"

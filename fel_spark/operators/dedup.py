@@ -585,15 +585,14 @@ def excise_duplicated_spans(
     positions = F.explode(
         F.sequence(F.col("span_pos"), F.col("span_pos") + (window - 1))
     ).alias("cut_pos")
-    loser_cover = (
-        joined.filter(F.col("k") != F.col("wk"))
-        .select(F.col(id_col), positions)
-        .distinct()
+    # no distinct() on either cover: the left_anti join is insensitive to
+    # duplicate keys and collect_set dedups surviving positions — a hash
+    # aggregate over the widest intermediate would be pure extra work
+    loser_cover = joined.filter(F.col("k") != F.col("wk")).select(
+        F.col(id_col), positions
     )
-    win_cover = (
-        joined.filter(F.col("k") == F.col("wk"))
-        .select(F.col(id_col), positions)
-        .distinct()
+    win_cover = joined.filter(F.col("k") == F.col("wk")).select(
+        F.col(id_col), positions
     )
     cuts = (
         loser_cover.join(win_cover, [id_col, "cut_pos"], "left_anti")

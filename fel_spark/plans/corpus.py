@@ -22,6 +22,8 @@ run can reconcile every dropped document.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fel_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
@@ -44,6 +46,11 @@ def run_corpus_prep(
 ) -> DataFrame:
     """Run (or resume) the corpus-prep plan; returns the packed manifest
     (id, split, shard, n_tokens, start_offset, start_chunk, end_chunk).
+
+    Chunk identity in the manifest is (split, chunk_id) — chunk ids are
+    namespaced per split's token streams (see pack_sequences), so any
+    consumer aggregating or joining on start_chunk/end_chunk must also key
+    on ``split`` or it will merge train/val/test chunks.
 
     Each stage is a parquet snapshot under ``run_dir``; kill the job at any
     point and a re-run picks up after the last completed stage.
@@ -123,10 +130,13 @@ def run_corpus_prep(
             group_col="split",
         )
 
-    fresh = not runner.is_done("packed")
     packed = runner.run_stage("packed", _packed, inputs=("split",))
-    if fresh:
-        # audit from the materialized snapshot — no second window pass
+    # audit from the materialized snapshot — no second window pass. Gated
+    # on the audit's own existence (not on stage freshness): a crash in the
+    # window between the stage manifest write and this job would otherwise
+    # lose the audit forever, since every resume would see the stage done.
+    audit_dir = os.path.join(run_dir, "_aux", "packing_audit")
+    if not os.path.isdir(audit_dir):
         runner.log_aux(
             "packing_audit",
             packing_stats(packed, budget=pack_budget, group_col="split"),

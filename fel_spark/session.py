@@ -76,3 +76,26 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def apply_tuned_conf(spark: SparkSession) -> SparkSession:
+    """Apply TUNED_CONF to an existing session (spark-submit entry points,
+    where the session comes from getOrCreate()): runtime-settable keys
+    only, and an explicit --conf on the command line always wins."""
+    explicit = spark.sparkContext.getConf()
+    for k, v in TUNED_CONF.items():
+        try:
+            if not explicit.contains(k) and spark.conf.isModifiable(k):
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def read_ref(spark: SparkSession, ref: str):
+    """Path -> parquet; otherwise a catalog table name (Iceberg / hive /
+    temp view — anything ``spark.read.table`` resolves). The shared input
+    dispatch for the spark-submit job entries."""
+    if "/" in ref or ref.endswith(".parquet"):
+        return spark.read.parquet(ref)
+    return spark.read.table(ref)

@@ -32,12 +32,6 @@ import json
 import time
 
 
-def _read(spark, ref: str):
-    if "/" in ref or ref.endswith(".parquet"):
-        return spark.read.parquet(ref)
-    return spark.read.table(ref)
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents: parquet path or catalog table")
@@ -49,16 +43,11 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from fel_spark.session import TUNED_CONF
+    from fel_spark.session import apply_tuned_conf, read_ref
 
-    spark = SparkSession.builder.appName("fel_spark_corpus").getOrCreate()
-    explicit = spark.sparkContext.getConf()
-    for k, v in TUNED_CONF.items():
-        try:
-            if not explicit.contains(k) and spark.conf.isModifiable(k):
-                spark.conf.set(k, v)
-        except Exception:
-            pass
+    spark = apply_tuned_conf(
+        SparkSession.builder.appName("fel_spark_corpus").getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from fel_spark.plans.corpus import run_corpus_prep
@@ -67,7 +56,7 @@ def main() -> int:
     packed = run_corpus_prep(
         spark,
         args.run_dir,
-        _read(spark, args.input),
+        read_ref(spark, args.input),
         pack_budget=args.pack_budget,
         pack_shards=args.pack_shards,
     )

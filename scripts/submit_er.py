@@ -45,13 +45,6 @@ import json
 import time
 
 
-def _read(spark, ref: str):
-    """Path -> parquet; otherwise a catalog table (Iceberg/hive/temp view)."""
-    if "/" in ref or ref.endswith(".parquet"):
-        return spark.read.parquet(ref)
-    return spark.read.table(ref)
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="transcripts: parquet path or catalog table")
@@ -71,18 +64,11 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from fel_spark.session import TUNED_CONF
+    from fel_spark.session import apply_tuned_conf, read_ref
 
-    spark = SparkSession.builder.appName("fel_spark_er").getOrCreate()
-    # runtime-settable tuning only; an explicit --conf on the command line
-    # lands in the SparkConf and wins (we skip keys the user set)
-    explicit = spark.sparkContext.getConf()
-    for k, v in TUNED_CONF.items():
-        try:
-            if not explicit.contains(k) and spark.conf.isModifiable(k):
-                spark.conf.set(k, v)
-        except Exception:
-            pass
+    spark = apply_tuned_conf(
+        SparkSession.builder.appName("fel_spark_er").getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from fel_spark.operators.context import EmbeddingMatrix, broadcast_embeddings
@@ -110,9 +96,9 @@ def main() -> int:
     else:
         if not (args.input and args.dict_ref and args.ent_ref):
             ap.error("--input, --dict and --entities are required without --synth")
-        corpus = _read(spark, args.input)
-        ad = _read(spark, args.dict_ref)
-        ents = _read(spark, args.ent_ref)
+        corpus = read_ref(spark, args.input)
+        ad = read_ref(spark, args.dict_ref)
+        ents = read_ref(spark, args.ent_ref)
         bc = None
 
     clustered = run_er_checkpointed(

@@ -59,3 +59,30 @@ def test_synth_corpus_is_clean(spark, dict_pack):
     t = transcripts(synth_transcripts_df(spark, dict_pack, n_conv=30, turns_per_conv=4))
     integ = conversation_integrity(t)
     assert integ.filter(~integ.is_clean).count() == 0
+
+
+def test_null_conv_id_is_quarantined_not_dropped(spark):
+    """NULL conversation ids are load corruption; they must surface on the
+    dirty side, never vanish through the equi-join."""
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "ok", None, ts),
+        ("c1", 1, "assistant", "ok", None, ts),
+        (None, 0, "user", "orphan", None, ts),
+        (None, 1, "assistant", "orphan", None, ts),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    clean, dirty = quarantine_conversations(t)
+    assert clean.count() == 2  # only c1's turns
+    dirty_ids = [r["conv_id"] for r in dirty.collect()]
+    assert dirty_ids == [None]  # the null group is visibly dirty
+
+
+def test_integrity_on_minimal_schema(spark):
+    """The gate runs on bare (conv, idx) tables: role/tool profiling is
+    optional and zero-filled when the columns are absent."""
+    t = spark.createDataFrame([("c1", 0), ("c1", 1)], ["conv_id", "turn_idx"])
+    integ = conversation_integrity(t).collect()[0]
+    assert integ["is_clean"] and integ["n_user"] == 0 and integ["n_tool_calls"] == 0
+    clean, dirty = quarantine_conversations(t)
+    assert clean.count() == 2 and dirty.count() == 0
