@@ -496,6 +496,22 @@ def q_doc_span_excise(spark, sf_dir):
     return excise_duplicated_spans(d, window=8, min_docs=2, hash_fn=F.md5)
 
 
+def q_doc_containment(spark, sf_dir):
+    """Near-containment pairs (`dedup.containment_pairs`): one doc's
+    5-token shingle set mostly inside another's — the asymmetric-dup case
+    Jaccard misses. Value-checked end-to-end: adaptive rarest-prefix
+    blocking (floor((1-t)n)+1 keys, deterministic (count, fp) rank, exact
+    recall at the threshold), prefix-to-stream join, exact intersection
+    containment. Hot-key cap disabled for the parity probe (precedent:
+    simhash_pairs_md5); the scale path keeps it."""
+    from fel_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, window=5, min_containment=0.7, hash_fn=F.md5, max_block=None
+    )
+
+
 def q_doc_filter(spark, sf_dir):
     """Composed corpus filter (`operators/filtering`): length + Gopher
     repetition + stopword floor + language rules as per-rule audit flags
@@ -1142,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_span_excise": q_doc_span_excise,
+        "doc_containment": q_doc_containment,
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1601,6 +1618,49 @@ def oracle_sql() -> dict[str, str]:
                            i -> d.ts[i]), ' '), '') AS text_clean,
                    CAST(coalesce(len(c.cuts), 0) AS INT) AS n_cut
             FROM d LEFT JOIN cuts c USING (doc_id)
+        """,
+        # containment: distinct 5-token shingles, adaptive rarest-prefix
+        # keys (floor((1-t)n)+1, ties by fp) probed against the FULL
+        # shingle stream, exact set-intersection containment.
+        "doc_containment": f"""
+            WITH d AS (
+                SELECT doc_id, {toks} AS ts FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(generate_series(1, len(ts) - 4),
+                              i -> md5(array_to_string(ts[i:i+4], ' '))))) AS fp
+                FROM d WHERE len(ts) >= 5
+            ),
+            cnt AS (SELECT fp, count(*) AS c FROM g GROUP BY fp),
+            rk AS (
+                SELECT g.doc_id, g.fp,
+                       row_number() OVER (PARTITION BY g.doc_id
+                                          ORDER BY cnt.c, g.fp) AS r,
+                       count(*) OVER (PARTITION BY g.doc_id) AS n
+                FROM g JOIN cnt USING (fp)
+            ),
+            keys AS (SELECT doc_id, fp FROM rk WHERE r <= floor((1.0 - 0.7) * n) + 1),
+            cand AS (
+                SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                                greatest(a.doc_id, b.doc_id) AS id_b
+                FROM keys a JOIN g b ON a.fp = b.fp AND a.doc_id != b.doc_id
+            ),
+            gs AS (SELECT doc_id, list(fp) AS fps, count(*) AS ns FROM g GROUP BY doc_id),
+            sc AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(ga.fps, gb.fps)) AS INT) AS inter,
+                       ga.ns AS n_a, gb.ns AS n_b
+                FROM cand c
+                JOIN gs ga ON ga.doc_id = c.id_a
+                JOIN gs gb ON gb.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, inter, n_a, n_b,
+                   CAST(floor(CAST(inter AS DOUBLE) / n_a * 10000) AS BIGINT) AS cont_a4,
+                   CAST(floor(CAST(inter AS DOUBLE) / n_b * 10000) AS BIGINT) AS cont_b4
+            FROM sc
+            WHERE greatest(CAST(inter AS DOUBLE) / n_a,
+                           CAST(inter AS DOUBLE) / n_b) >= 0.7
         """,
         # composed corpus filter: same integer floor() digests as the
         # oracled signal queries, so every threshold is integer-exact.

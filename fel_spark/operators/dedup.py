@@ -613,3 +613,121 @@ def excise_duplicated_spans(
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text_clean"),
         F.size(cuts_arr).alias("n_cut"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    min_containment: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+    max_block: int | None = DEDUP_MAX_BLOCK,
+) -> DataFrame:
+    """-> (id_a, id_b, inter, n_a, n_b, cont_a4, cont_b4): near-containment
+    pairs — one document's shingle set mostly inside another's. The case
+    symmetric Jaccard dedup misses by construction: a short document quoted
+    verbatim inside a much longer one has tiny Jaccard but containment ~1.
+
+    Candidate generation is the PPJoin prefix filter in its containment
+    form: the contained-candidate side keys on its floor((1-t)*n)+1
+    globally-RAREST shingles (rarity rank ties broken by fingerprint —
+    deterministic, engine-independent), probed against the other side's
+    FULL shingle stream. If cont(A->B) >= t then at most (1-t)*|A| of A's
+    shingles are outside B, so at least one prefix shingle of A is in B —
+    recall is EXACT at the threshold, not heuristic. Keying both sides on
+    their own rarest (the symmetric shortcut) would never match a quote
+    against its host document, since the host's rarest shingles are its
+    unique ones. ``cont_*4`` = floor(containment * 10000).
+
+    Scale shape: distinct shingles only (set semantics), ids+fp through
+    every shuffle, one global count aggregate (map-side combined), a
+    window over per-doc shingles for the rarity prefix, and a salt-capped
+    (``max_block``; pass None for oracle-exact replay) prefix-to-stream
+    join keyed on RARE fingerprints (fan-out per key = its global count,
+    small by construction of the rarity ordering) — never an all-pairs
+    product. Shingle sets attach by id-join after pair dedup.
+    """
+    sh = (
+        span_shingles(docs, window, id_col, text_col, hash_fn)
+        .select(id_col, "span_fp")
+        .distinct()
+        .persist()
+    )
+    cnt = sh.groupBy("span_fp").agg(F.count("*").alias("_c"))
+    from pyspark.sql import Window as W
+
+    wdoc = W.partitionBy(id_col)
+    rk = (
+        sh.join(cnt, "span_fp")
+        .withColumn("_n", F.count("*").over(wdoc))
+        .withColumn(
+            "_r",
+            F.row_number().over(wdoc.orderBy(F.col("_c"), F.col("span_fp"))),
+        )
+        .filter(
+            F.col("_r")
+            <= F.floor(F.lit(1.0 - min_containment) * F.col("_n")) + 1
+        )
+        .select(id_col, "span_fp")
+    )
+    if max_block is not None:
+        # boundedness: drop keys whose global doc count exceeds max_block.
+        # Salting can't cap a two-sided key join (each side would salt on
+        # its own size profile and the keys stop matching); a fingerprint
+        # in > max_block documents carries no containment signal anyway,
+        # and dropping it bounds per-key join fan-out at max_block probe
+        # rows (quantify the loss like the other capped ops if needed).
+        rk = rk.join(
+            cnt.filter(F.col("_c") <= max_block).select("span_fp"),
+            "span_fp",
+            "left_semi",
+        )
+    probe = sh
+    a = rk.select(F.col(id_col).alias("id_a"), F.col("span_fp").alias("block_key"))
+    b = probe.select(F.col(id_col).alias("id_b"), F.col("span_fp").alias("block_key"))
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    gs = sh.groupBy(id_col).agg(
+        F.collect_set("span_fp").alias("_fps"), F.count("*").alias("_n")
+    )
+    scored = (
+        pairs.join(
+            gs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_fps").alias("_fa"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            gs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_fps").alias("_fb"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_fa", "_fb")))
+    )
+    cont_a = F.col("inter") / F.col("n_a")
+    cont_b = F.col("inter") / F.col("n_b")
+    return (
+        scored.filter(F.greatest(cont_a, cont_b) >= min_containment)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.floor(cont_a * 10000).cast("long").alias("cont_a4"),
+            F.floor(cont_b * 10000).cast("long").alias("cont_b4"),
+        )
+    )

@@ -38,6 +38,7 @@ SUBSET = [
     "doc_stratified_sample",
     "doc_pack_chunks",
     "doc_span_excise",
+    "doc_containment",
 ]
 
 

@@ -268,3 +268,26 @@ def test_pack_sequences_group_streams_do_not_mix(spark):
         # contiguous: each doc starts exactly where the previous ended
         for (a, n), (b, _) in zip(offs, offs[1:]):
             assert b == a + n
+
+
+def test_containment_catches_quote_inside_document(spark):
+    """A short doc quoted verbatim inside a long one: tiny Jaccard, but
+    containment 1.0 — the asymmetric case the symmetric dedups miss."""
+    from fel_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = (
+        "many unrelated words come before the quoted passage begins here "
+        f"{quote} and then the long document continues with plenty of "
+        "additional unrelated material after the quotation ends entirely"
+    )
+    d = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "completely different text with no shared spans at all")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(d, window=5, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a4"] == 10000  # doc 1 fully contained
+    assert r["cont_b4"] < 5000    # doc 2 is much bigger
