@@ -512,6 +512,22 @@ def q_doc_containment(spark, sf_dir):
     )
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (`dedup.decontaminate`): training docs
+    sharing any token window with an eval set are flagged (GPT-3
+    appendix-C rule; operator default window 13, 8 here to exercise the
+    testdata's planted near-dups). Eval set = doc_id % 97 == 0, train =
+    the rest — deterministic, no external data. Value-checked end-to-end:
+    eval distinct-fp build, broadcast probe, per-doc contamination
+    fractions, and the zero-shingle keep-row join."""
+    from fel_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(tr, ev, window=8, hash_fn=F.md5)
+
+
 def q_doc_filter(spark, sf_dir):
     """Composed corpus filter (`operators/filtering`): length + Gopher
     repetition + stopword floor + language rules as per-rule audit flags
@@ -1159,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_span_excise": q_doc_span_excise,
         "doc_containment": q_doc_containment,
+        "doc_decontaminate": q_doc_decontaminate,
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1661,6 +1678,39 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             WHERE greatest(CAST(inter AS DOUBLE) / n_a,
                            CAST(inter AS DOUBLE) / n_b) >= 0.7
+        """,
+        # decontamination: eval fps = distinct 8-gram md5 of doc_id%97==0
+        # docs; train docs keep a row even with zero shingles (left join).
+        "doc_decontaminate": f"""
+            WITH d AS (
+                SELECT doc_id, {toks} AS ts FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ts) - 7),
+                              i -> md5(array_to_string(ts[i:i+7], ' ')))) AS span_fp
+                FROM d WHERE len(ts) >= 8
+            ),
+            ev AS (SELECT DISTINCT span_fp AS efp FROM g WHERE doc_id % 97 = 0),
+            tr AS (SELECT * FROM g WHERE doc_id % 97 != 0),
+            agg AS (
+                SELECT tr.doc_id, count(*) AS n_spans,
+                       count(ev.efp) AS n_contaminated
+                FROM tr LEFT JOIN ev ON tr.span_fp = ev.efp
+                GROUP BY tr.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.n_contaminated, 0) AS n_contaminated,
+                   CAST(floor(
+                       CASE WHEN coalesce(a.n_spans, 0) > 0
+                            THEN CAST(a.n_contaminated AS DOUBLE) / a.n_spans
+                            ELSE 0.0 END * 10000) AS BIGINT) AS cont_4dp,
+                   (CASE WHEN coalesce(a.n_spans, 0) > 0
+                         THEN CAST(a.n_contaminated AS DOUBLE) / a.n_spans
+                         ELSE 0.0 END) <= 0.0 AS keep
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) t
+            LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         # composed corpus filter: same integer floor() digests as the
         # oracled signal queries, so every threshold is integer-exact.

@@ -731,3 +731,68 @@ def containment_pairs(
             F.floor(cont_b * 10000).cast("long").alias("cont_b4"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    window: int = 13,
+    max_overlap: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    hash_fn=None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """-> (id, n_spans, n_contaminated, cont_4dp, keep): benchmark
+    decontamination — flag training documents whose token windows collide
+    with an evaluation set (the GPT-3 appendix-C / PaLM rule: any shared
+    13-gram marks the document contaminated; ``max_overlap`` relaxes the
+    drop to a tolerated contaminated-span fraction).
+
+    ``keep`` is False when the contaminated fraction exceeds
+    ``max_overlap`` (default 0.0: one collision drops the doc). Documents
+    shorter than ``window`` tokens produce no shingles and are kept with
+    ``n_spans = 0`` — standard n-gram decontamination behavior; pair it
+    with a shorter window if short docs matter.
+
+    Scale shape: the eval side reduces to a DISTINCT fingerprint set whose
+    size is bounded by the benchmark corpus, not the training corpus —
+    megabytes against 100 TB — so it is broadcast (``broadcast_eval=False``
+    falls back to a shuffle join for oversized eval sets). The training
+    side is one shingle explode + broadcast-probe + hash aggregate
+    (map-side combined), then an ids-only left join back onto the corpus
+    so zero-shingle documents keep a row. No self-join, no pair explosion;
+    cost is linear in corpus token count.
+    """
+    ev = (
+        span_shingles(eval_docs, window, id_col, eval_text_col, hash_fn)
+        .select("span_fp")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sh = span_shingles(docs, window, id_col, text_col, hash_fn)
+    agg = (
+        sh.join(ev, "span_fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    out = docs.select(id_col).join(agg, id_col, "left")
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans")
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    frac = F.when(
+        F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+        n_cont / F.col("n_spans"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        n_spans,
+        n_cont.alias("n_contaminated"),
+        F.floor(frac * 10000).cast("long").alias("cont_4dp"),
+        (frac <= F.lit(float(max_overlap))).alias("keep"),
+    )

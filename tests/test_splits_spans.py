@@ -291,3 +291,62 @@ def test_containment_catches_quote_inside_document(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["cont_a4"] == 10000  # doc 1 fully contained
     assert r["cont_b4"] < 5000    # doc 2 is much bigger
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def _decon_docs(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words here {leak} trailing body text"),  # contaminated
+            (2, "completely unrelated training document body with many words"),
+            (3, "tiny doc"),  # < window tokens -> zero shingles, kept
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question {leak} benchmark answer")],
+        "doc_id long, text string",
+    )
+    return train, ev
+
+
+def test_decontaminate_flags_leaked_ngram(spark):
+    from fel_spark.operators.dedup import decontaminate
+
+    train, ev = _decon_docs(spark)
+    out = {r["doc_id"]: r.asDict() for r in decontaminate(train, ev, window=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["keep"] is False and out[1]["n_contaminated"] >= 1
+    assert out[2]["keep"] is True and out[2]["n_contaminated"] == 0
+    # zero-shingle doc keeps a row and is kept
+    assert out[3]["n_spans"] == 0 and out[3]["keep"] is True
+
+
+def test_decontaminate_max_overlap_tolerance(spark):
+    from fel_spark.operators.dedup import decontaminate
+
+    train, ev = _decon_docs(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(train, ev, window=8, max_overlap=0.9).collect()
+    }
+    # doc 1 has 1 leaked window out of several -> fraction < 0.9 -> kept
+    assert out[1]["keep"] is True
+    assert out[1]["cont_4dp"] > 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from fel_spark.operators.dedup import decontaminate
+
+    train, ev = _decon_docs(spark)
+    plan = (
+        decontaminate(train, ev, window=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
