@@ -9,6 +9,8 @@ completed stages; every stage leaves per-partition lineage metrics):
       -> filter        (corpus_filter_decisions: per-rule flags + keep)
       -> exact dedup   (normalized-text hash groupBy, canonical per group)
       -> near dedup    (MinHash-LSH clusters, keep cluster canonicals)
+      -> decontaminate (optional, when an eval set is supplied: drop docs
+                        colliding with benchmark n-grams — dedup.decontaminate)
       -> split         (deterministic hash train/val/test)
       -> pack          (concat-and-chunk token-stream offsets per split)
 
@@ -26,7 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from fel_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from fel_spark.operators.dedup import decontaminate, exact_dedup, minhash_lsh_dedup
 from fel_spark.operators.filtering import corpus_filter_decisions, filter_audit
 from fel_spark.operators.packing import pack_sequences, packing_stats
 from fel_spark.operators.splits import hash_split, split_counts
@@ -43,6 +45,8 @@ def run_corpus_prep(
     pack_shards: int = 64,
     filter_kwargs: dict | None = None,
     neardup_kwargs: dict | None = None,
+    eval_docs: DataFrame | None = None,
+    decon_kwargs: dict | None = None,
 ) -> DataFrame:
     """Run (or resume) the corpus-prep plan; returns the packed manifest
     (id, split, shard, n_tokens, start_offset, start_chunk, end_chunk).
@@ -107,14 +111,42 @@ def run_corpus_prep(
 
     near = runner.run_stage("near_deduped", _near, inputs=("exact_deduped",))
 
+    # optional: benchmark decontamination AFTER dedup (runs the eval-fp
+    # probe over the smallest surviving set), BEFORE split (a contaminated
+    # doc must not land in any split). Omitting eval_docs keeps the stage
+    # list — and any existing run_dir's resume state — unchanged.
+    pre_split = "near_deduped"
+    if eval_docs is not None:
+
+        def _decon(r: StageRunner) -> DataFrame:
+            base = r.read_stage("near_deduped")
+            dec = decontaminate(
+                base, eval_docs, id_col=id_col, text_col=text_col,
+                **(decon_kwargs or {}),
+            )
+            r.log_aux(
+                "decontaminate_audit",
+                dec.agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+                    F.sum("n_contaminated").alias("n_contaminated_spans"),
+                ),
+            )
+            return base.join(
+                dec.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+            )
+
+        runner.run_stage("decontaminated", _decon, inputs=("near_deduped",))
+        pre_split = "decontaminated"
+
     def _split(r: StageRunner) -> DataFrame:
-        out = hash_split(r.read_stage("near_deduped"), id_col=id_col)
+        out = hash_split(r.read_stage(pre_split), id_col=id_col)
         r.log_aux("split_audit", split_counts(out))
         return out
 
     # partition the snapshot by split so downstream per-split reads prune
     split = runner.run_stage(
-        "split", _split, inputs=("near_deduped",), partition_by=("split",)
+        "split", _split, inputs=(pre_split,), partition_by=("split",)
     )
 
     def _packed(r: StageRunner) -> DataFrame:

@@ -63,3 +63,28 @@ def test_corpus_prep_end_to_end_and_resume(spark, tmp_path):
         "split_audit",
         "packing_audit",
     } <= aux
+
+
+def test_corpus_prep_with_decontamination_stage(spark, tmp_path):
+    # eval set shares doc 6's harbor sentence -> doc 6 dropped before split
+    ev = spark.createDataFrame(
+        [
+            (900, "a different story begins in the harbor where sailors "
+                  "trade spices and silk for iron tools"),
+        ],
+        ["doc_id", "text"],
+    )
+    packed = run_corpus_prep(
+        spark,
+        str(tmp_path / "run_decon"),
+        _docs(spark),
+        pack_budget=16,
+        pack_shards=2,
+        neardup_kwargs={"jaccard_threshold": 0.8},
+        eval_docs=ev,
+        decon_kwargs={"window": 8},
+    )
+    ids = {r["doc_id"] for r in packed.collect()}
+    assert ids == {1}
+    aux = {p.name for p in (tmp_path / "run_decon" / "_aux").iterdir()}
+    assert "decontaminate_audit" in aux
