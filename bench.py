@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "doc_span_coverage",
     "doc_pack_chunks",
     "events_sessionize",
+    "doc_decontaminate",
     "knn_bruteforce",
     "minhash_near_dup",
 ]
