@@ -997,6 +997,45 @@ def q_ann_ivf_fixed(spark, sf_dir):
     )
 
 
+def q_doc_semantic_dedup(spark, sf_dir):
+    """SemDeDup (`dedup.semantic_dedup`) value-checked end-to-end with a
+    pinned codebook (first 4 embedding rows) and planted near-copies
+    (vec_id % 20 == 0 duplicated at id+100000 with dim-0 nudged +0.05 —
+    the testdata has no natural cosine-0.99 pairs): cell assignment,
+    within-cell cosine pairs, component closure, numeric-min cluster ids,
+    and the keep-farthest-from-centroid election are all SQL-replayed.
+    All math in double on both engines; cosine floored to 5dp."""
+    import numpy as np
+
+    from fel_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dup = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.05)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dup)
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in base.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
+    )
+    out = semantic_dedup(corpus, threshold=0.99, centroids=cents)
+    return out.select(
+        "vec_id",
+        "sem_cluster_id",
+        "cell_id",
+        F.floor(F.col("cent_cos") * 100000).cast("long").alias("cent_cos_5dp"),
+        "keep",
+    )
+
+
 def q_bigram_dice_pairs(spark, sf_dir):
     """J7 lexical kernel in the driver gate: multiset char-bigram Dice
     (`w2v/CompressedSingleFileEntitySimilarityUtil.lexicalSimilarity`,
@@ -1199,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_md5": q_ann_lsh_md5,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fixed": q_ann_ivf_fixed,
+        "doc_semantic_dedup": q_doc_semantic_dedup,
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
     }
@@ -2273,6 +2313,60 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
                 FROM cand
             ) WHERE rk <= 5
+        """,
+        # SemDeDup replay: pinned codebook = first 4 embedding rows,
+        # planted near-copies at id+100000; recursive CTE closes the
+        # within-cell cosine components; keep = farthest from centroid.
+        "doc_semantic_dedup": """
+            WITH RECURSIVE
+            base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            corpus AS (
+                SELECT vec_id, v FROM base
+                UNION ALL
+                SELECT vec_id + 100000, list_prepend(v[1] + 0.05, v[2:])
+                FROM base WHERE vec_id % 20 = 0
+            ),
+            cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < 4),
+            asg AS (
+                SELECT vec_id, v, cell_id, cent_cos FROM (
+                    SELECT c2.vec_id, c2.v, c.cent_id AS cell_id,
+                           list_cosine_similarity(c2.v, c.cv) AS cent_cos,
+                           row_number() OVER (
+                               PARTITION BY c2.vec_id
+                               ORDER BY list_cosine_similarity(c2.v, c.cv) DESC,
+                                        c.cent_id ASC) AS rnk
+                    FROM corpus c2, cents c
+                ) WHERE rnk = 1
+            ),
+            p AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM asg a JOIN asg b
+                  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+            ),
+            e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+            reach(id, comp) AS (
+                SELECT vec_id, vec_id FROM corpus
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS vec_id, min(comp) AS sem_cluster_id
+                FROM reach GROUP BY id
+            ),
+            j AS (
+                SELECT a.vec_id, c.sem_cluster_id, a.cell_id, a.cent_cos,
+                       row_number() OVER (
+                           PARTITION BY c.sem_cluster_id
+                           ORDER BY a.cent_cos ASC, a.vec_id ASC) AS rn
+                FROM asg a JOIN comp c USING (vec_id)
+            )
+            SELECT vec_id, sem_cluster_id, cell_id,
+                   CAST(floor(cent_cos * 100000) AS BIGINT) AS cent_cos_5dp,
+                   rn = 1 AS keep
+            FROM j
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "doc_pack_chunks",
     "events_sessionize",
     "doc_decontaminate",
+    "doc_semantic_dedup",
     "knn_bruteforce",
     "minhash_near_dup",
 ]

@@ -796,3 +796,97 @@ def decontaminate(
         F.floor(frac * 10000).cast("long").alias("cont_4dp"),
         (frac <= F.lit(float(max_overlap))).alias("keep"),
     )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids=None,
+    kmeans_iters: int = 5,
+    seed: int = 99,
+    max_block: int = DEDUP_MAX_BLOCK,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal by k-means
+    cell bucketing + within-cell exact cosine + connected components.
+
+    -> (id, sem_cluster_id, cell_id, cent_cos, keep): ``sem_cluster_id`` is
+    the numeric min member id of the duplicate component; ``keep`` marks
+    the member FARTHEST from its cell centroid (lowest ``cent_cos``, ties
+    by id) — the paper's keep-low-similarity rule, which retains the least
+    prototypical (most informative) copy. Singletons keep themselves.
+
+    ``centroids`` pins a codebook (oracle replay / cross-run stability);
+    None trains Lloyd k-means (`similarity.kmeans_centroids` — executor
+    partial sums, only k x dim reaches the driver).
+
+    Scale shape: cell assignment is ONE Arrow matmul per batch (no
+    crossJoin); candidate pairs exist only WITHIN a cell, ids-only through
+    the salt-capped (`max_block`) self-join; vectors attach by id AFTER
+    pair dedup; the centroid table is k rows, broadcast. The pairwise
+    verify is quadratic only per cell — cell count is the knob that keeps
+    cells at the explicit-verify size the paper uses.
+    """
+    from fel_spark.functions.sim import cosine_sim
+    from fel_spark.operators.similarity import _cell_assign_expr, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            docs, k=n_cells, n_iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    spark = docs.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell_id int, _cv array<double>",
+    )
+    # three consumers (pair ids, vector attach, winner election) — persist
+    # so the matmul assignment UDF runs once over the corpus
+    assigned = (
+        docs.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .withColumn("cell_id", _cell_assign_expr(cents, 1, F.col(vec_col))[0])
+        .join(F.broadcast(cent_df), "cell_id")
+        .withColumn("cent_cos", cosine_sim(F.col(vec_col), F.col("_cv")))
+        .drop("_cv")
+        .persist()
+    )
+    blocked = assigned.select(id_col, F.col("cell_id").cast("string").alias("bk"))
+    pairs = _pairs_from_blocks(blocked, id_col, [], max_block=max_block)
+    va = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    edges = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    comp = connected_components(
+        edges, vertices=assigned.select(F.col(id_col).cast("string").alias("id"))
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("component")
+    return (
+        assigned.withColumn("_ids", F.col(id_col).cast("string"))
+        .join(comp.select(F.col("id").alias("_ids"), "component"), "_ids")
+        .withColumn("sem_cluster_id", F.min(id_col).over(wc))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                wc.orderBy(F.col("cent_cos").asc(), F.col(id_col).asc())
+            ),
+        )
+        .select(
+            id_col,
+            "sem_cluster_id",
+            "cell_id",
+            "cent_cos",
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )

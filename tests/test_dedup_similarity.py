@@ -201,3 +201,45 @@ def test_simhash_md5_variant_same_pair_semantics(spark, docs_with_dups):
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in out}
     assert any(a != b for a, b in found), "no near-dup pairs found"
+
+
+def test_semantic_dedup_planted_and_keep_rule(spark):
+    # exact twins at id+50000: cosine 1.0, same cell, same cent_cos ->
+    # the keep election falls to the id tie-break (lower id kept)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    base = emb.select("vec_id", "embedding")
+    twin = base.limit(5).select((F.col("vec_id") + 50000).alias("vec_id"), "embedding")
+    out = dedup.semantic_dedup(
+        base.unionByName(twin), threshold=0.999, n_cells=4, kmeans_iters=2
+    )
+    rows = {r["vec_id"]: r.asDict() for r in out.collect()}
+    assert len(rows) == 45
+    for i in range(5):
+        assert rows[i]["sem_cluster_id"] == i
+        assert rows[i + 50000]["sem_cluster_id"] == i
+        # identical vectors: deterministic id tie-break keeps the lower id
+        assert rows[i]["keep"] is True and rows[i + 50000]["keep"] is False
+    # non-duplicated vectors are singleton keepers
+    assert all(rows[i]["keep"] for i in range(5, 40))
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    import numpy as np
+
+    # one cell (single centroid); two near-dup vectors where B is farther
+    # from the centroid than A -> SemDeDup keeps B, drops A
+    cent = np.array([[1.0, 0.0, 0.0]])
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0]),   # closest to centroid
+            (2, [1.0, 0.09, 0.0]),   # same dup cluster, farther out
+            (3, [0.0, 1.0, 1.0]),    # unrelated singleton
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r.asDict() for r in dedup.semantic_dedup(
+        docs, threshold=0.99, centroids=cent
+    ).collect()}
+    assert out[1]["sem_cluster_id"] == 1 and out[2]["sem_cluster_id"] == 1
+    assert out[2]["keep"] is True and out[1]["keep"] is False
+    assert out[3]["keep"] is True
