@@ -9,6 +9,8 @@ completed stages; every stage leaves per-partition lineage metrics):
       -> filter        (corpus_filter_decisions: per-rule flags + keep)
       -> exact dedup   (normalized-text hash groupBy, canonical per group)
       -> near dedup    (MinHash-LSH clusters, keep cluster canonicals)
+      -> semantic dedup (optional, when doc embeddings are supplied:
+                        SemDeDup cells + cosine — dedup.semantic_dedup)
       -> decontaminate (optional, when an eval set is supplied: drop docs
                         colliding with benchmark n-grams — dedup.decontaminate)
       -> split         (deterministic hash train/val/test)
@@ -28,7 +30,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from fel_spark.operators.dedup import decontaminate, exact_dedup, minhash_lsh_dedup
+from fel_spark.operators.dedup import (
+    decontaminate,
+    exact_dedup,
+    minhash_lsh_dedup,
+    semantic_dedup,
+)
 from fel_spark.operators.filtering import corpus_filter_decisions, filter_audit
 from fel_spark.operators.packing import pack_sequences, packing_stats
 from fel_spark.operators.splits import hash_split, split_counts
@@ -47,6 +54,8 @@ def run_corpus_prep(
     neardup_kwargs: dict | None = None,
     eval_docs: DataFrame | None = None,
     decon_kwargs: dict | None = None,
+    doc_embeddings: DataFrame | None = None,
+    semdedup_kwargs: dict | None = None,
 ) -> DataFrame:
     """Run (or resume) the corpus-prep plan; returns the packed manifest
     (id, split, shard, n_tokens, start_offset, start_chunk, end_chunk).
@@ -111,15 +120,43 @@ def run_corpus_prep(
 
     near = runner.run_stage("near_deduped", _near, inputs=("exact_deduped",))
 
+    # optional: SemDeDup AFTER lexical dedup (semantic copies that survive
+    # MinHash — paraphrases, translations-of-boilerplate — are caught on
+    # the already-shrunk set). ``doc_embeddings`` maps id -> vector;
+    # docs without an embedding row pass through untouched.
+    pre_split = "near_deduped"
+    if doc_embeddings is not None:
+
+        def _sem(r: StageRunner) -> DataFrame:
+            base = r.read_stage("near_deduped")
+            emb = base.select(id_col).join(doc_embeddings, id_col, "inner")
+            dec = semantic_dedup(
+                emb, id_col=id_col, **(semdedup_kwargs or {})
+            )
+            r.log_aux(
+                "semantic_dedup_audit",
+                dec.agg(
+                    F.count("*").alias("n_embedded_docs"),
+                    F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+                    F.countDistinct("sem_cluster_id").alias("n_clusters"),
+                ),
+            )
+            return base.join(
+                dec.filter(~F.col("keep")).select(id_col), id_col, "left_anti"
+            )
+
+        runner.run_stage("sem_deduped", _sem, inputs=("near_deduped",))
+        pre_split = "sem_deduped"
+
     # optional: benchmark decontamination AFTER dedup (runs the eval-fp
     # probe over the smallest surviving set), BEFORE split (a contaminated
     # doc must not land in any split). Omitting eval_docs keeps the stage
     # list — and any existing run_dir's resume state — unchanged.
-    pre_split = "near_deduped"
     if eval_docs is not None:
+        decon_input = pre_split
 
         def _decon(r: StageRunner) -> DataFrame:
-            base = r.read_stage("near_deduped")
+            base = r.read_stage(decon_input)
             dec = decontaminate(
                 base, eval_docs, id_col=id_col, text_col=text_col,
                 **(decon_kwargs or {}),
@@ -136,7 +173,7 @@ def run_corpus_prep(
                 dec.filter(F.col("keep")).select(id_col), id_col, "left_semi"
             )
 
-        runner.run_stage("decontaminated", _decon, inputs=("near_deduped",))
+        runner.run_stage("decontaminated", _decon, inputs=(decon_input,))
         pre_split = "decontaminated"
 
     def _split(r: StageRunner) -> DataFrame:

@@ -88,3 +88,31 @@ def test_corpus_prep_with_decontamination_stage(spark, tmp_path):
     assert ids == {1}
     aux = {p.name for p in (tmp_path / "run_decon" / "_aux").iterdir()}
     assert "decontaminate_audit" in aux
+
+
+def test_corpus_prep_with_semantic_dedup_stage(spark, tmp_path):
+    import numpy as np
+
+    # docs 1 and 6 survive the lexical stages but are semantic duplicates;
+    # keep-farthest-from-centroid retains 6 (lower cent_cos) and drops 1
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (6, [0.999, 0.01])],
+        "doc_id long, embedding array<double>",
+    )
+    packed = run_corpus_prep(
+        spark,
+        str(tmp_path / "run_sem"),
+        _docs(spark),
+        pack_budget=16,
+        pack_shards=2,
+        neardup_kwargs={"jaccard_threshold": 0.8},
+        doc_embeddings=emb,
+        semdedup_kwargs={
+            "threshold": 0.99,
+            "centroids": np.array([[1.0, 0.0]]),
+        },
+    )
+    ids = {r["doc_id"] for r in packed.collect()}
+    assert ids == {6}
+    aux = {p.name for p in (tmp_path / "run_sem" / "_aux").iterdir()}
+    assert "semantic_dedup_audit" in aux
