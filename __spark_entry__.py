@@ -579,6 +579,34 @@ _LANGID_MODEL = {
 }
 
 
+# toy broadcast quality model (same dyadic-exactness rule as
+# _LANGID_MODEL): linear token weights + bias; the oracled digest is the
+# raw log-odds (pure +-*/, engine-exact), the production output is its
+# sigmoid
+_QUALITY_MODEL = {
+    "the": 0.5, "a": 0.25, "of": 0.25, "and": 0.25, "data": 1.0,
+    "analysis": 1.0, "spam": -2.0, "click": -1.0, "buy": -1.5, "free": -0.5,
+}
+_QUALITY_BIAS = -0.25
+
+
+def q_doc_quality_model(spark, sf_dir):
+    """Model-backed quality score (the pluggable fastText/CCNet-shaped
+    hook, textstats.QualityModel): mean token weight over ALL tokens (OOV
+    count in the denominator) + bias. raw=True digests the pre-sigmoid
+    log-odds — dyadic weights make it bit-exact across engines."""
+    from fel_spark.operators.textstats import QualityModel, quality_model_score
+
+    bc = spark.sparkContext.broadcast(QualityModel(_QUALITY_MODEL, bias=_QUALITY_BIAS))
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.floor(quality_model_score("text", bc_model=bc, raw=True) * 10000)
+        .cast("long")
+        .alias("q_4dp"),
+    )
+
+
 def q_doc_langid_model(spark, sf_dir):
     """Model-backed language ID: broadcast token->lang-weight voting
     (the pluggable fastText-shaped hook, textstats.LangIdModel). Weights
@@ -1233,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_md5": q_dedup_clusters_md5,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "doc_langid_model": q_doc_langid_model,
+        "doc_quality_model": q_doc_quality_model,
         "bigram_dice_pairs": q_bigram_dice_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_md5": q_ann_lsh_md5,
@@ -1277,6 +1306,23 @@ def _langid_model_oracle() -> str:
                     {cascade}
                     ELSE '{langs[-1]}' END AS lang_pred
         FROM s
+    """
+
+
+def _quality_model_oracle() -> str:
+    """SQL replay of q_doc_quality_model, generated from the same
+    _QUALITY_MODEL dict (no transcription drift): weight sum via
+    list_transform CASE over ALL tokens, divided by len(toks), plus bias."""
+    toks = _TOKS.format(c="text")
+    cases = " ".join(f"WHEN '{t}' THEN {w}" for t, w in _QUALITY_MODEL.items())
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(floor(({_QUALITY_BIAS} +
+                    coalesce(list_sum(list_transform(toks,
+                        w -> CASE w {cases} ELSE 0.0 END)), 0.0)
+                    / greatest(len(toks), 1)) * 10000) AS BIGINT) AS q_4dp
+        FROM t
     """
 
 
@@ -2240,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 63) t(i)
         """,
         "doc_langid_model": _langid_model_oracle(),
+        "doc_quality_model": _quality_model_oracle(),
         "bigram_dice_pairs": f"""
             WITH p AS (SELECT p_partkey AS k, {_NORM.format(c='p_name')} AS n FROM part),
             bg AS (

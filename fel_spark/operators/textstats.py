@@ -123,6 +123,56 @@ def language_id(
     return _lid(normalize_tokens(text_col))
 
 
+class QualityModel:
+    """Broadcast-able token -> weight linear quality classifier (the
+    fastText/CCNet-style hook: a trained wiki-ref model drops in as
+    {token: weight} + bias without changing the operator). Same lookup
+    shape as :class:`LangIdModel`: one get_indexer probe + one
+    scatter-add per Arrow batch."""
+
+    def __init__(self, token_weights: dict[str, float], bias: float = 0.0):
+        self.token_index = pd.Index(list(token_weights))
+        self.weights = np.asarray(list(token_weights.values()), dtype=np.float64)
+        self.bias = float(bias)
+
+
+def quality_model_score(
+    text_col: str = "text", bc_model=None, raw: bool = False
+) -> Column:
+    """Model-backed document quality score.
+
+    Default (no model): the :func:`quality_score` heuristic — same
+    operator shape, so the heuristic is not load-bearing once a trained
+    model table is supplied. With ``bc_model`` (a broadcast
+    :class:`QualityModel`): fastText-style linear scoring — mean token
+    weight over ALL tokens (OOV contribute 0 to the sum but count in the
+    denominator, matching fastText's averaged bag-of-words) plus bias,
+    squashed by a sigmoid. ``raw=True`` returns the pre-sigmoid log-odds
+    (pure +-*/ arithmetic — with dyadic-rational weights the value is
+    bit-exact and engine-independent, which is what the driver oracle
+    digests)."""
+    if bc_model is None:
+        return quality_score(text_col)
+
+    @F.pandas_udf("double")
+    def _q(toks: pd.Series) -> pd.Series:
+        model = bc_model.value
+        n = len(toks)
+        ex = toks.reset_index(drop=True).explode().dropna()
+        rows = ex.index.to_numpy(np.int64)
+        pos = model.token_index.get_indexer(pd.Index(ex.to_numpy(dtype=object)))
+        ok = pos >= 0
+        s = np.zeros(n)
+        c = np.zeros(n)
+        np.add.at(s, rows[ok], model.weights[pos[ok]])
+        np.add.at(c, rows, 1.0)
+        z = model.bias + s / np.maximum(c, 1.0)
+        out = z if raw else 1.0 / (1.0 + np.exp(-z))
+        return pd.Series(out, index=toks.index)
+
+    return _q(normalize_tokens(text_col))
+
+
 def top_token_count(tokens: Column) -> Column:
     """Occurrence count of the most frequent token, computed row-local:
     array_sort + a run-length fold (one `aggregate` HOF). Zero shuffle —

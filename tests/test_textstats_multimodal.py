@@ -138,3 +138,42 @@ def test_pii_scrub(spark):
     assert out[1]["s"] == "mail <EMAIL> or <PHONE> now"
     assert (out[1]["e"], out[1]["p"]) == (1, 1)
     assert out[2]["s"] == "clean text" and (out[2]["e"], out[2]["p"]) == (0, 0)
+
+
+def test_quality_model_hook(spark):
+    """Pluggable quality model: fastText-style mean token weight + bias ->
+    sigmoid; OOV tokens count in the denominator; no model -> heuristic."""
+    import math
+
+    model = textstats.QualityModel(
+        {"good": 1.0, "great": 2.0, "spam": -4.0}, bias=0.5
+    )
+    bc = spark.sparkContext.broadcast(model)
+    docs = spark.createDataFrame(
+        [
+            (1, "good great"),          # z = 0.5 + (1+2)/2 = 2.0
+            (2, "spam spam spam spam"), # z = 0.5 - 4 = -3.5
+            (3, "zzz qqq"),             # all OOV: z = bias = 0.5
+            (4, ""),                    # no tokens: z = bias
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id",
+            textstats.quality_model_score("text", bc_model=bc).alias("q"),
+        ).collect()
+    }
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))
+    assert abs(out[1] - sig(2.0)) < 1e-12
+    assert abs(out[2] - sig(-3.5)) < 1e-12
+    assert abs(out[3] - sig(0.5)) < 1e-12
+    assert abs(out[4] - sig(0.5)) < 1e-12
+
+    # no model supplied -> falls back to the quality_score heuristic
+    heur = docs.select(
+        textstats.quality_model_score("text").alias("q"),
+        textstats.quality_score("text").alias("h"),
+    ).collect()
+    assert all(abs(r["q"] - r["h"]) < 1e-12 for r in heur)
