@@ -243,3 +243,18 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
     assert out[1]["sem_cluster_id"] == 1 and out[2]["sem_cluster_id"] == 1
     assert out[2]["keep"] is True and out[1]["keep"] is False
     assert out[3]["keep"] is True
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    cents = np.array([r["embedding"] for r in emb.limit(4).collect()], dtype=np.float64)
+    plan = (
+        dedup.semantic_dedup(emb.select("vec_id", "embedding"), centroids=cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
