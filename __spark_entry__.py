@@ -528,6 +528,18 @@ def q_doc_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, window=8, hash_fn=F.md5)
 
 
+def q_doc_decontaminate_report(spark, sf_dir):
+    """Leak provenance (`dedup.decontamination_report`): per eval doc, how
+    many training docs share an 8-gram and how many distinct windows
+    leaked. Same eval/train partition as doc_decontaminate."""
+    from fel_spark.operators.dedup import decontamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return decontamination_report(tr, ev, window=8, hash_fn=F.md5)
+
+
 def q_doc_filter(spark, sf_dir):
     """Composed corpus filter (`operators/filtering`): length + Gopher
     repetition + stopword floor + language rules as per-rule audit flags
@@ -1243,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_excise": q_doc_span_excise,
         "doc_containment": q_doc_containment,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontaminate_report": q_doc_decontaminate_report,
         "doc_langid": q_doc_langid,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
@@ -2360,6 +2373,28 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
                 FROM cand
             ) WHERE rk <= 5
+        """,
+        # leak provenance: distinct (id, fp) both sides, join on eval fps,
+        # per-eval-doc rollup.
+        "doc_decontaminate_report": f"""
+            WITH d AS (
+                SELECT doc_id, {toks} AS ts FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, span_fp FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(ts) - 7),
+                                  i -> md5(array_to_string(ts[i:i+7], ' ')))) AS span_fp
+                    FROM d WHERE len(ts) >= 8
+                )
+            ),
+            ev AS (SELECT doc_id AS eval_id, span_fp FROM g WHERE doc_id % 97 = 0),
+            tr AS (SELECT doc_id AS tid, span_fp FROM g WHERE doc_id % 97 != 0)
+            SELECT ev.eval_id,
+                   count(DISTINCT tr.tid) AS n_train_docs_hit,
+                   count(DISTINCT ev.span_fp) AS n_hit_spans
+            FROM ev JOIN tr ON ev.span_fp = tr.span_fp
+            GROUP BY ev.eval_id
         """,
         # SemDeDup replay: pinned codebook = first 4 embedding rows,
         # planted near-copies at id+100000; recursive CTE closes the

@@ -890,3 +890,44 @@ def semantic_dedup(
             (F.col("_rn") == 1).alias("keep"),
         )
     )
+
+
+def decontamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    window: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """-> (eval_id, n_train_docs_hit, n_hit_spans): leak provenance — for
+    each evaluation document, how many training documents share at least
+    one token window with it and how many distinct leaked windows exist.
+    The audit view a decontamination pass publishes next to its drop
+    decision (which benchmark items are compromised, and how widely).
+
+    Scale shape: both sides reduce to DISTINCT (id, fp) streams; the join
+    is keyed on fingerprints that exist in the (benchmark-bounded) eval
+    side, so its fan-out is train-occurrence count per leaked fp — a hash
+    aggregate away from the per-eval-doc rollup. No pair explosion.
+    """
+    ev = (
+        span_shingles(eval_docs, window, eval_id_col, eval_text_col, hash_fn)
+        .select(F.col(eval_id_col).alias("eval_id"), "span_fp")
+        .distinct()
+    )
+    tr = (
+        span_shingles(docs, window, id_col, text_col, hash_fn)
+        .select(F.col(id_col).alias("_tid"), "span_fp")
+        .distinct()
+    )
+    return (
+        ev.join(tr, "span_fp")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("_tid").alias("n_train_docs_hit"),
+            F.countDistinct("span_fp").alias("n_hit_spans"),
+        )
+    )

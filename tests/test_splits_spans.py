@@ -350,3 +350,16 @@ def test_decontaminate_broadcasts_eval_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_report_provenance(spark):
+    from fel_spark.operators.dedup import decontamination_report
+
+    train, ev = _decon_docs(spark)
+    rows = {r["eval_id"]: r.asDict() for r in decontamination_report(
+        train, ev, window=8
+    ).collect()}
+    # only eval doc 100 leaked; exactly one train doc shares its window
+    assert set(rows) == {100}
+    assert rows[100]["n_train_docs_hit"] == 1
+    assert rows[100]["n_hit_spans"] >= 1
