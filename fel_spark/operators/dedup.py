@@ -741,6 +741,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_text_col: str = "text",
+    eval_id_col: str | None = None,
     hash_fn=None,
     broadcast_eval: bool = True,
 ) -> DataFrame:
@@ -751,7 +752,9 @@ def decontaminate(
     drop to a tolerated contaminated-span fraction).
 
     ``keep`` is False when the contaminated fraction exceeds
-    ``max_overlap`` (default 0.0: one collision drops the doc). Documents
+    ``max_overlap`` (default 0.0: one collision drops the doc).
+    ``eval_id_col``/``eval_text_col`` accommodate eval frames with a
+    different shape (default: same names as the training side). Documents
     shorter than ``window`` tokens produce no shingles and are kept with
     ``n_spans = 0`` — standard n-gram decontamination behavior; pair it
     with a shorter window if short docs matter.
@@ -766,7 +769,9 @@ def decontaminate(
     cost is linear in corpus token count.
     """
     ev = (
-        span_shingles(eval_docs, window, id_col, eval_text_col, hash_fn)
+        span_shingles(
+            eval_docs, window, eval_id_col or id_col, eval_text_col, hash_fn
+        )
         .select("span_fp")
         .distinct()
         .withColumn("_hit", F.lit(1))
@@ -822,31 +827,55 @@ def semantic_dedup(
     None trains Lloyd k-means (`similarity.kmeans_centroids` — executor
     partial sums, only k x dim reaches the driver).
 
-    Scale shape: cell assignment is ONE Arrow matmul per batch (no
+    Scale shape: exact-identical vectors collapse to one representative
+    BEFORE any pair generation (same rationale as minhash_lsh_dedup:
+    identical vectors share their single cell key AND their salt shard in
+    it, so a hot cell's salt split would otherwise separate them
+    unrecoverably — a cell is ONE block key, with no second band to
+    reconnect through); cell assignment is ONE Arrow matmul per batch (no
     crossJoin); candidate pairs exist only WITHIN a cell, ids-only through
     the salt-capped (`max_block`) self-join; vectors attach by id AFTER
-    pair dedup; the centroid table is k rows, broadcast. The pairwise
-    verify is quadratic only per cell — cell count is the knob that keeps
-    cells at the explicit-verify size the paper uses.
+    pair dedup; the centroid table is k rows, broadcast. NEAR-identical
+    (non-equal) pairs inside a cell larger than ``max_block`` can still be
+    cut by the salt split — quantify with `blocking.capped_block_stats`
+    over the cell keys, and size ``n_cells`` ~ sqrt(corpus) (the paper's
+    regime) so cells stay at explicit-verify size.
     """
     from fel_spark.functions.sim import cosine_sim
     from fel_spark.operators.similarity import _cell_assign_expr, kmeans_centroids
 
+    d = docs.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    # exact-duplicate pre-collapse: one representative (min id) per
+    # distinct vector; verdicts fan back out to members afterwards
+    reps = d.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    rep_docs = reps.select(F.col("_rep").alias(id_col), vec_col)
+
     if centroids is None:
         centroids = kmeans_centroids(
-            docs, k=n_cells, n_iters=kmeans_iters,
+            rep_docs, k=n_cells, n_iters=kmeans_iters,
             id_col=id_col, vec_col=vec_col, seed=seed,
         )
     cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or cents.shape[0] == 0:
+        # empty input (or an empty pinned codebook): no cells, no dups —
+        # return the empty result with the right schema instead of letting
+        # the NumPy kernels throw on zero-width matrices
+        return d.select(
+            F.col(id_col),
+            F.col(id_col).alias("sem_cluster_id"),
+            F.lit(0).alias("cell_id"),
+            F.lit(0.0).alias("cent_cos"),
+            F.lit(True).alias("keep"),
+        ).limit(0)
     spark = docs.sparkSession
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
         "cell_id int, _cv array<double>",
     )
-    # three consumers (pair ids, vector attach, winner election) — persist
-    # so the matmul assignment UDF runs once over the corpus
+    # three consumers (pair ids, vector attach, member fan-out) — persist
+    # so the matmul assignment UDF runs once over the representatives
     assigned = (
-        docs.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        rep_docs
         .withColumn("cell_id", _cell_assign_expr(cents, 1, F.col(vec_col))[0])
         .join(F.broadcast(cent_df), "cell_id")
         .withColumn("cent_cos", cosine_sim(F.col(vec_col), F.col("_cv")))
@@ -871,11 +900,26 @@ def semantic_dedup(
     )
     from pyspark.sql import Window as W
 
+    # fan the rep verdict out to every member of its exact-dup group
+    # (identical vectors have identical cell_id / cent_cos by construction),
+    # then elect ONE keeper per component across ALL members
+    members = (
+        d.join(reps, vec_col)
+        .select(id_col, "_rep")
+        .join(
+            assigned.select(
+                F.col(id_col).alias("_rep"), "cell_id", "cent_cos"
+            ),
+            "_rep",
+        )
+        .withColumn("_rep_str", F.col("_rep").cast("string"))
+        .join(
+            comp.select(F.col("id").alias("_rep_str"), "component"), "_rep_str"
+        )
+    )
     wc = W.partitionBy("component")
     return (
-        assigned.withColumn("_ids", F.col(id_col).cast("string"))
-        .join(comp.select(F.col("id").alias("_ids"), "component"), "_ids")
-        .withColumn("sem_cluster_id", F.min(id_col).over(wc))
+        members.withColumn("sem_cluster_id", F.min(id_col).over(wc))
         .withColumn(
             "_rn",
             F.row_number().over(

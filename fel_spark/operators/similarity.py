@@ -183,6 +183,10 @@ def kmeans_centroids(
         .limit(k)
         .collect()
     )
+    if not init:
+        # empty input: no centroids — callers (semantic_dedup, ivf_topk)
+        # check shape[0] instead of hitting zero-width NumPy errors
+        return np.zeros((0, max(dim, 1)))
     cents = np.array([r[vec_col] for r in init], dtype=np.float64)
     k_eff = len(cents)
 

@@ -42,6 +42,19 @@ class StageRunner:
     def is_done(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
 
+    def _is_stale(self, name: str, inputs: tuple[str, ...]) -> bool:
+        """A completed stage is stale when any input stage's manifest is
+        newer than its own — e.g. a pipeline re-run that inserted a new
+        upstream stage (decontamination added to a finished corpus run)
+        rebuilt an input AFTER this stage's snapshot was written. Without
+        this check the downstream snapshots would be silently reused and
+        the run would return pre-insertion results."""
+        mine = os.path.getmtime(self._manifest_path(name))
+        return any(
+            self.is_done(i) and os.path.getmtime(self._manifest_path(i)) > mine
+            for i in inputs
+        )
+
     def run_stage(
         self,
         name: str,
@@ -50,9 +63,11 @@ class StageRunner:
         partition_by: tuple[str, ...] = (),
     ) -> DataFrame:
         """Materialize ``build()`` to parquet once; later runs read the
-        snapshot. ``build`` receives this runner (to read input stages)."""
+        snapshot unless an input stage has been rebuilt since (see
+        :meth:`_is_stale`). ``build`` receives this runner (to read input
+        stages)."""
         path = self._stage_path(name)
-        if self.is_done(name):
+        if self.is_done(name) and not self._is_stale(name, inputs):
             return self.spark.read.parquet(path)
 
         t0 = time.time()

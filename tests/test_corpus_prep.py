@@ -116,3 +116,34 @@ def test_corpus_prep_with_semantic_dedup_stage(spark, tmp_path):
     assert ids == {6}
     aux = {p.name for p in (tmp_path / "run_sem" / "_aux").iterdir()}
     assert "semantic_dedup_audit" in aux
+
+
+def test_corpus_prep_inserted_stage_invalidates_downstream(spark, tmp_path):
+    """Regression: adding eval_docs to a COMPLETED run_dir used to run the
+    new decontaminated stage but silently reuse the stale split/pack
+    snapshots (manifest-only resume), returning the contaminated manifest.
+    Staleness is now mtime-chained: a rebuilt input invalidates downstream."""
+    import time as _time
+
+    run_dir = str(tmp_path / "run_stale")
+    first = run_corpus_prep(
+        spark, run_dir, _docs(spark),
+        pack_budget=16, pack_shards=2,
+        neardup_kwargs={"jaccard_threshold": 0.8},
+    )
+    assert {r["doc_id"] for r in first.collect()} == {1, 6}
+
+    _time.sleep(1.1)  # ensure the new stage manifest mtime strictly advances
+    ev = spark.createDataFrame(
+        [(900, "a different story begins in the harbor where sailors "
+               "trade spices and silk for iron tools")],
+        ["doc_id", "text"],
+    )
+    again = run_corpus_prep(
+        spark, run_dir, _docs(spark),
+        pack_budget=16, pack_shards=2,
+        neardup_kwargs={"jaccard_threshold": 0.8},
+        eval_docs=ev, decon_kwargs={"window": 8},
+    )
+    # doc 6 is contaminated: the re-run must NOT serve the stale manifest
+    assert {r["doc_id"] for r in again.collect()} == {1}

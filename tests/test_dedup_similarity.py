@@ -258,3 +258,48 @@ def test_semantic_dedup_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_exact_twins_survive_hot_cell_salting(spark):
+    """Regression: a cell is a SINGLE block key, so the salt cap used to
+    separate exact-identical vectors into different shards (no second band
+    to reconnect through) and they ended in different clusters. The
+    exact-duplicate pre-collapse makes identical vectors one representative
+    before banding, so the cap cannot split them."""
+    import numpy as np
+
+    def vec(i):
+        h = (i * 2654435761) % 2**32
+        return [
+            1.0,
+            ((h >> 3) % 1000) / 1000.0,
+            ((h >> 13) % 1000) / 1000.0,
+            ((h >> 23) % 1000) / 1000.0,
+        ]
+
+    base = [(i, vec(i)) for i in range(60)]
+    twins = [(100000 + i, vec(i)) for i in (3, 17)]
+    docs = spark.createDataFrame(base + twins, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in dedup.semantic_dedup(
+            docs,
+            threshold=0.99999,
+            centroids=np.array([[1.0, 0.0, 0.0, 0.0]]),
+            max_block=50,  # 62 rows in one cell -> salt split active
+        ).collect()
+    }
+    assert len(out) == 62
+    for i in (3, 17):
+        assert out[i]["sem_cluster_id"] == i
+        assert out[100000 + i]["sem_cluster_id"] == i
+        # identical cent_cos -> id tie-break keeps the lower id
+        assert out[i]["keep"] is True
+        assert out[100000 + i]["keep"] is False
+
+
+def test_semantic_dedup_empty_input_returns_empty(spark):
+    docs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(docs, n_cells=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "sem_cluster_id", "cell_id", "cent_cos", "keep"}

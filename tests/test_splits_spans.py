@@ -363,3 +363,17 @@ def test_decontamination_report_provenance(spark):
     assert set(rows) == {100}
     assert rows[100]["n_train_docs_hit"] == 1
     assert rows[100]["n_hit_spans"] >= 1
+
+
+def test_decontaminate_eval_frame_with_different_columns(spark):
+    from fel_spark.operators.dedup import decontaminate
+
+    train, ev = _decon_docs(spark)
+    ev2 = ev.selectExpr("doc_id as qid", "text as question")
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in decontaminate(
+            train, ev2, window=8, eval_id_col="qid", eval_text_col="question"
+        ).collect()
+    }
+    assert out[1] is False and out[2] is True and out[3] is True
