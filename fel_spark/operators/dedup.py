@@ -90,6 +90,59 @@ def _pairs_from_blocks(
     )
 
 
+def _blocked_cosine_edges(
+    blocked: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_block: int = DEDUP_MAX_BLOCK,
+) -> DataFrame:
+    """Verified cosine edges from single-key vector blocks, one BLAS matmul
+    per salt-capped chunk -> (src string, dst string).
+
+    For SINGLE-key blocking (each vector in exactly one block, e.g. a
+    k-means cell) this strictly dominates the ids-only pair-join + per-pair
+    HOF cosine: vectors shuffle ONCE (by block key) instead of the O(n^2)
+    intra-block pair set riding two id-joins, and the quadratic verify runs
+    as one n x n GEMM per chunk instead of interpreted zip_with/aggregate
+    per pair. Chunks are bounded at ``max_block`` rows by
+    :func:`blocking.cap_blocks` (same salt grouping as `_pairs_from_blocks`,
+    so pair semantics are unchanged), so the per-task matrix is at most
+    max_block^2 — spill-free by construction. Multi-key (banded) blocking
+    should keep the ids-only path: there the explode would shuffle every
+    vector bands-times.
+
+    Zero-norm vectors score 0.0 (matches `sim.cosine_sim`'s OOV guard).
+    """
+    capped = cap_blocks(
+        blocked.withColumnRenamed("bk", "block_key"),
+        max_block=max_block,
+        salt_col=id_col,
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": pd.Series(dtype=str), "dst": pd.Series(dtype=str)})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].astype(str).to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        denom = np.outer(norms, norms)
+        G = V @ V.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(denom > 0, G / denom, 0.0)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = C[iu, ju] >= threshold
+        return pd.DataFrame({"src": ids[iu[keep]], "dst": ids[ju[keep]]})
+
+    return (
+        capped.select(F.col(id_col), F.col(vec_col), "block_key")
+        .groupBy("block_key")
+        .applyInPandas(emit, "src string, dst string")
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -833,9 +886,11 @@ def semantic_dedup(
     it, so a hot cell's salt split would otherwise separate them
     unrecoverably — a cell is ONE block key, with no second band to
     reconnect through); cell assignment is ONE Arrow matmul per batch (no
-    crossJoin); candidate pairs exist only WITHIN a cell, ids-only through
-    the salt-capped (`max_block`) self-join; vectors attach by id AFTER
-    pair dedup; the centroid table is k rows, broadcast. NEAR-identical
+    crossJoin); a cell is a SINGLE block key per vector, so verified edges
+    come from `_blocked_cosine_edges` — vectors shuffle once by cell and
+    each salt-capped (`max_block`) chunk is scored by one bounded GEMM
+    instead of an O(n^2) pair join; the centroid table is k rows,
+    broadcast. NEAR-identical
     (non-equal) pairs inside a cell larger than ``max_block`` can still be
     cut by the salt split — quantify with `blocking.capped_block_stats`
     over the cell keys, and size ``n_cells`` ~ sqrt(corpus) (the paper's
@@ -882,18 +937,11 @@ def semantic_dedup(
         .drop("_cv")
         .persist()
     )
-    blocked = assigned.select(id_col, F.col("cell_id").cast("string").alias("bk"))
-    pairs = _pairs_from_blocks(blocked, id_col, [], max_block=max_block)
-    va = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    edges = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
-        .select(
-            F.col("id_a").cast("string").alias("src"),
-            F.col("id_b").cast("string").alias("dst"),
-        )
+    blocked = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id").cast("string").alias("bk")
+    )
+    edges = _blocked_cosine_edges(
+        blocked, id_col, vec_col, threshold, max_block=max_block
     )
     comp = connected_components(
         edges, vertices=assigned.select(F.col(id_col).cast("string").alias("id"))
