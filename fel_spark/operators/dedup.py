@@ -16,7 +16,10 @@ to one representative BEFORE any pair generation; every bucket self-join is
 routed through blocking.cap_blocks (hot buckets salt-split at
 DEDUP_MAX_BLOCK rows); heavy payloads (gram arrays, vectors) attach to
 pairs by id-join after pair dedup instead of riding the band-explode
-shuffle; clusters come from the shared connected-components operator.
+shuffle — except single-key vector blocking (semantic_dedup), where each
+vector lives in exactly ONE block and `_blocked_cosine_edges` shuffles
+vectors once and verifies each capped chunk with one bounded GEMM;
+clusters come from the shared connected-components operator.
 """
 
 from __future__ import annotations
