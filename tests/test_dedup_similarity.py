@@ -258,6 +258,24 @@ def test_semantic_dedup_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # verified edges come from the chunk-GEMM path (one grouped Arrow UDF
+    # over salt-capped cells), not an O(n^2) intra-cell pair self-join —
+    # asserted on the edges subtree itself: the final plan hides it behind
+    # the driver-CC fast path's ExistingRDD scan
+    from pyspark.sql import functions as F
+
+    blocked = emb.select(
+        "vec_id", "embedding", F.lit("0").alias("bk")
+    )
+    edges_plan = (
+        dedup._blocked_cosine_edges(blocked, "vec_id", "embedding", 0.99)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in edges_plan
+    assert "CartesianProduct" not in edges_plan
+    assert "SortMergeJoin" not in edges_plan
 
 
 def test_semantic_dedup_exact_twins_survive_hot_cell_salting(spark):
