@@ -1159,6 +1159,51 @@ def q_ann_lsh_md5(spark, sf_dir):
     )
 
 
+def q_embed_neardup_md5(spark, sf_dir):
+    """Value-checks `dedup.embedding_cosine_pairs` end-to-end (the
+    embedding-near-dup family's oracle, same recipe as ann_lsh_md5):
+    pinned ±1 planes (:func:`_lsh_sign`) + vectors quantized to
+    floor(1000*x) integer-valued doubles, so every plane dot is an exact
+    integer sum (order-independent in both engines) and the band-collision
+    candidate set replays bit-for-bit in SQL; planted near-copies
+    (vec_id % 20 == 0 at id+100000, dim-0 nudged +37 post-quantization)
+    guarantee pairs above the 0.8 cosine threshold. Cosine on
+    integer-valued doubles is also exact-sum deterministic; floored to
+    5dp."""
+    from fel_spark.operators.dedup import embedding_cosine_pairs
+
+    n_planes = _ANN_BANDS * _ANN_BPB
+    planes = np.array(
+        [[_lsh_sign(p, j) for j in range(64)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: F.floor(x * 1000)
+        )
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+    dup = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(37.0)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dup)
+    pairs = embedding_cosine_pairs(
+        corpus, threshold=0.8, n_planes=n_planes, bands=_ANN_BANDS, planes=planes
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine") * 100000).cast("long").alias("cos_5dp"),
+    )
+
+
 def q_entity_embeddings(spark, sf_dir):
     """M3: per-entity LR embedding training (w2v/EntityEmbeddings.java:
     151-282) over a deterministic description table built from the
@@ -1278,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_dice_pairs": q_bigram_dice_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_md5": q_ann_lsh_md5,
+        "embed_neardup_md5": q_embed_neardup_md5,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fixed": q_ann_ivf_fixed,
         "doc_semantic_dedup": q_doc_semantic_dedup,
@@ -1374,6 +1420,55 @@ def _ann_lsh_oracle() -> str:
                CAST(floor(list_cosine_similarity(v.emb, q.emb) * 100000) AS BIGINT) AS cos_5dp
         FROM keys q, keys v
         WHERE q.vec_id < 3 AND v.vec_id != q.vec_id AND ({key_eq})
+    """
+
+
+def _embed_neardup_oracle() -> str:
+    """SQL replay of q_embed_neardup_md5: same ±1 plane literals as
+    _ann_lsh_oracle, band-collision pair set over the quantized corpus
+    (base + planted near-copies), exact-cosine verify at 0.8."""
+    n_planes = _ANN_BANDS * _ANN_BPB
+    plane_lits = [
+        "[" + ",".join(str(_lsh_sign(p, j)) for j in range(64)) + "]"
+        for p in range(n_planes)
+    ]
+    bits = ",\n                   ".join(
+        f"CASE WHEN list_dot_product(v, {plane_lits[p]}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    keys = ", ".join(
+        f"(b{b * _ANN_BPB} + 2*b{b * _ANN_BPB + 1} + 4*b{b * _ANN_BPB + 2}) AS k{b}"
+        for b in range(_ANN_BANDS)
+    )
+    key_eq = " OR ".join(f"a.k{b} = b.k{b}" for b in range(_ANN_BANDS))
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1000)) AS v
+            FROM embeddings
+        ),
+        corpus AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000, list_prepend(v[1] + 37.0, v[2:])
+            FROM base WHERE vec_id % 20 = 0
+        ),
+        bits AS (
+            SELECT vec_id, v,
+                   {bits}
+            FROM corpus
+        ),
+        keys AS (SELECT vec_id, v, {keys} FROM bits),
+        p AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.v, b.v) AS cosine
+            FROM keys a JOIN keys b
+              ON a.vec_id < b.vec_id AND ({key_eq})
+        )
+        SELECT id_a, id_b,
+               CAST(floor(cosine * 100000) AS BIGINT) AS cos_5dp
+        FROM p WHERE cosine >= 0.8
     """
 
 
@@ -2325,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pr LEFT JOIN iv USING (k)
         """,
         "ann_lsh_md5": _ann_lsh_oracle(),
+        "embed_neardup_md5": _embed_neardup_oracle(),
         # IVF with a pinned codebook (first 8 rows): cell = argmax cosine
         # to a centroid (ties -> smaller centroid id, matching the stable
         # argsort in _cell_assign_expr); queries probe top-3 cells; exact

@@ -460,20 +460,26 @@ def embedding_cosine_pairs(
     bands: int = 4,
     seed: int = 1234,
     max_block: int = DEDUP_MAX_BLOCK,
+    planes=None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH + exact cosine.
 
     Sign-of-projection bits bucket the vectors (cosine-LSH); candidate pairs
     sharing a band are verified with the exact cosine (column arithmetic).
-    Hyperplanes are deterministic (numpy seeded) and inlined as literals.
+    Hyperplanes are deterministic (numpy seeded) and inlined as literals;
+    ``planes`` pins an explicit (n_planes, dim) matrix instead — the oracle
+    replay hook (integer-exact ±1 planes make the band keys
+    SQL-reproducible), same contract as ``centroids=`` in semantic_dedup.
     Returns (id_a, id_b, cosine).
     """
     from fel_spark.functions.sim import cosine_sim
     from fel_spark.operators.similarity import _band_keys_expr
 
-    first = docs.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    if planes is None:
+        first = docs.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+        planes = np.random.RandomState(seed).randn(n_planes, dim)
+    planes = np.asarray(planes, dtype=np.float64)
 
     d = docs.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bk", F.explode(_band_keys_expr(planes, bands, F.col(vec_col)))
