@@ -762,6 +762,40 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_conv_integrity(spark, sf_dir):
+    """Conversation-integrity gate (`convstats.conversation_integrity`)
+    value-checked end-to-end: a transcript shape is derived
+    deterministically from events (conv = user, turn index = event rank
+    by (ts, event_id) — unique tiebreak, so the ranking replays exactly),
+    then corrupted in two planted ways (user%11: idx 2 jumps +100 — gap;
+    user%13: idx 1 collapses to 0 — duplicate + gap) so gap/dup/clean
+    signals all fire. Roles/tools are derived from event parity/type to
+    exercise every aggregate."""
+    from fel_spark.operators.convstats import conversation_integrity
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "idx0", (F.row_number().over(w) - 1).cast("long")
+    )
+    corrupted = (
+        F.when((F.col("user_id") % 11 == 0) & (F.col("idx0") == 2), F.col("idx0") + 100)
+        .when((F.col("user_id") % 13 == 0) & (F.col("idx0") == 1), F.lit(0))
+        .otherwise(F.col("idx0"))
+        .cast("long")
+    )
+    tr = t.select(
+        F.col("user_id").alias("conv_id"),
+        corrupted.alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(F.col("event_type") == "click", F.lit("search")).alias("tool"),
+    )
+    return conversation_integrity(tr)
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII scrub (email/phone redaction + audit counts). The corpus is
     synthetic words-only text, so deterministic PII is injected per row
@@ -1308,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_sessionize": q_events_sessionize,
+        "conv_integrity": q_conv_integrity,
         "dict_build_counts": q_dict_build_counts,
         "subngram_qat": q_subngram_qat,
         "type_lm_scores": q_type_lm_scores,
@@ -1727,6 +1762,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    CAST(max(us) - min(us) AS BIGINT) AS span_us
             FROM m GROUP BY 1, 2
+        """,
+        "conv_integrity": """
+            WITH t AS (
+                SELECT user_id AS conv_id, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx0
+                FROM events
+            ),
+            tr AS (
+                SELECT conv_id,
+                       CASE WHEN conv_id % 11 = 0 AND idx0 = 2 THEN idx0 + 100
+                            WHEN conv_id % 13 = 0 AND idx0 = 1 THEN 0
+                            ELSE idx0 END AS turn_idx,
+                       CASE WHEN event_id % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       CASE WHEN event_type = 'click' THEN 'search' END AS tool
+                FROM t
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(DISTINCT turn_idx) AS n_distinct_idx,
+                   min(turn_idx) AS idx_min,
+                   max(turn_idx) AS idx_max,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+                   sum(CASE WHEN tool IS NOT NULL AND tool != '' THEN 1 ELSE 0 END) AS n_tool_calls,
+                   (max(turn_idx) - min(turn_idx) + 1) - count(DISTINCT turn_idx) AS n_gaps,
+                   count(*) - count(DISTINCT turn_idx) AS n_dup_idx,
+                   (conv_id IS NOT NULL
+                    AND (max(turn_idx) - min(turn_idx) + 1) = count(DISTINCT turn_idx)
+                    AND count(*) = count(DISTINCT turn_idx)
+                    AND min(turn_idx) = 0) AS is_clean
+            FROM tr GROUP BY conv_id
         """,
         # hash split: same md5 bucket hash as md5_hash60 (15 hex digits ->
         # 60-bit int), integer % and integer thresholds — no float boundary.
