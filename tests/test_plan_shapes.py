@@ -181,3 +181,47 @@ def test_session_stats_single_exchange(spark):
     plan = _plan(session_stats(e))
     n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_ex == 1, plan
+
+
+def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count must
+    sort-merge join with NO Exchange on either side — the amortize-the-
+    shuffle-into-the-write contract of sources/bucketed.py."""
+    from fel_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt_test LOCATION '{tmp_path}/bkt'"
+    )
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        left = docs.select("doc_id", "source").repartition(4, "doc_id")
+        right = (
+            docs.select("doc_id", "n_chars").repartition(4, "doc_id")
+        )
+        write_bucketed(left, "bkt_test.t1", "doc_id", 4, sort_cols=("doc_id",))
+        write_bucketed(right, "bkt_test.t2", "doc_id", 4, sort_cols=("doc_id",))
+        # pin the sort-merge regime: at production scale neither side
+        # broadcasts, which is exactly when bucketing pays; with the tiny
+        # fixture Spark would broadcast and (correctly) skip the bucketed
+        # scan entirely
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "bkt_test.t1").join(
+                read_bucketed(spark, "bkt_test.t2"), "doc_id"
+            )
+            plan = _plan(j)
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+            # and the join result is correct
+            assert j.count() == docs.count()
+            # a non-bucketed copy of the same join DOES shuffle — the
+            # baseline proving the elision came from the bucket spec
+            nb = docs.select("doc_id", "source").join(
+                docs.select("doc_id", "n_chars"), "doc_id"
+            )
+            assert "Exchange" in _plan(nb)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
