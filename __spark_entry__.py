@@ -1078,7 +1078,11 @@ def q_doc_semantic_dedup(spark, sf_dir):
     the testdata has no natural cosine-0.99 pairs): cell assignment,
     within-cell cosine pairs, component closure, numeric-min cluster ids,
     and the keep-farthest-from-centroid election are all SQL-replayed.
-    All math in double on both engines; cosine floored to 5dp."""
+    All math in double on both engines; cosine floored to 5dp. The GEMM
+    edge verify sums pairwise (BLAS) vs DuckDB's sequential fold — equal
+    to a few ulps, so the planted pairs sit far (>1e-4) from the 0.99
+    threshold by construction; only a pair within rounding distance of
+    the threshold could diverge."""
     import numpy as np
 
     from fel_spark.operators.dedup import semantic_dedup
@@ -1228,8 +1232,17 @@ def q_embed_neardup_md5(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = base.unionByName(dup)
+    # max_block=None: the SQL replay is an UNCAPPED collision join, so the
+    # Spark side must not salt-split hot buckets here (with 8 keys/band a
+    # bigger fixture would cross the 500-row cap and silently diverge);
+    # the capped path stays the scale default and is pytest-covered
     pairs = embedding_cosine_pairs(
-        corpus, threshold=0.8, n_planes=n_planes, bands=_ANN_BANDS, planes=planes
+        corpus,
+        threshold=0.8,
+        n_planes=n_planes,
+        bands=_ANN_BANDS,
+        planes=planes,
+        max_block=None,
     )
     return pairs.select(
         "id_a",

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "doc_span_coverage",
     "doc_pack_chunks",
     "events_sessionize",
+    "conv_integrity",
     "doc_decontaminate",
     "doc_semantic_dedup",
     "knn_bruteforce",

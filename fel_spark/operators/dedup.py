@@ -55,7 +55,7 @@ def _pairs_from_blocks(
     blocked: DataFrame,
     id_col: str,
     carry: list[str],
-    max_block: int = DEDUP_MAX_BLOCK,
+    max_block: int | None = DEDUP_MAX_BLOCK,
 ) -> DataFrame:
     """Bucket self-join with hot-bucket salting.
 
@@ -65,16 +65,20 @@ def _pairs_from_blocks(
     pairs across salt shards are lost by construction, but exact-dup runs
     collapse through exact_dedup first and transitive closure reconnects
     the rest (same mitigation as the ER path, blocking.py:59-81).
+    ``max_block=None`` disables the cap — the oracle-exact replay hook
+    (an uncapped SQL collision join then matches bit-for-bit), same
+    convention as containment_pairs; never use it at corpus scale.
     """
     # FOUR consumers read this subtree (cap_blocks' size agg, its salt
     # join, and both self-join sides); without a persist the (expensive)
     # signature computation upstream re-evaluates per consumer — measured
     # 2.3x on the bench query. MEMORY_AND_DISK: spills, LRU-evicted.
     blocked = blocked.persist()
-    capped = cap_blocks(
-        blocked.withColumnRenamed("bk", "block_key"),
-        max_block=max_block,
-        salt_col=id_col,
+    renamed = blocked.withColumnRenamed("bk", "block_key")
+    capped = (
+        renamed
+        if max_block is None
+        else cap_blocks(renamed, max_block=max_block, salt_col=id_col)
     )
     a = capped.select(
         F.col(id_col).alias("id_a"),
@@ -98,7 +102,7 @@ def _blocked_cosine_edges(
     id_col: str,
     vec_col: str,
     threshold: float,
-    max_block: int = DEDUP_MAX_BLOCK,
+    max_block: int | None = DEDUP_MAX_BLOCK,
 ) -> DataFrame:
     """Verified cosine edges from single-key vector blocks, one BLAS matmul
     per salt-capped chunk -> (src string, dst string).
@@ -115,12 +119,28 @@ def _blocked_cosine_edges(
     should keep the ids-only path: there the explode would shuffle every
     vector bands-times.
 
-    Zero-norm vectors score 0.0 (matches `sim.cosine_sim`'s OOV guard).
+    Zero-norm, NULL, and dimension-mismatched vectors score 0.0 against
+    everything (matching `sim.cosine_sim`'s OOV guard — the shared
+    `similarity._stack` zero-fills them), so malformed rows degrade to
+    singletons instead of failing the task. GEMM summation is pairwise
+    (BLAS), not the sequential fold of the codegen `cosine_sim` it
+    replaces — identical to a few ulps, so thresholds must not be set
+    within float-rounding distance of an expected pair's cosine.
+    ``max_block=None`` disables the salt cap (oracle-exact replay hook,
+    same convention as `_pairs_from_blocks`) — never at corpus scale:
+    the cap is also what bounds the per-chunk matrix.
     """
-    capped = cap_blocks(
-        blocked.withColumnRenamed("bk", "block_key"),
-        max_block=max_block,
-        salt_col=id_col,
+    from fel_spark.operators.similarity import _stack
+
+    # two consumers below the rename (cap_blocks' size agg + its salt
+    # join) — persist so an expensive upstream (UDF cell assignment, band
+    # keys) evaluates once, mirroring _pairs_from_blocks' contract
+    blocked = blocked.persist()
+    renamed = blocked.withColumnRenamed("bk", "block_key")
+    capped = (
+        renamed
+        if max_block is None
+        else cap_blocks(renamed, max_block=max_block, salt_col=id_col)
     )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -129,7 +149,12 @@ def _blocked_cosine_edges(
             return pd.DataFrame({"src": pd.Series(dtype=str), "dst": pd.Series(dtype=str)})
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].astype(str).to_numpy()
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        dim = next(
+            (len(v) for v in pdf[vec_col] if v is not None and len(v) > 0), 0
+        )
+        if dim == 0:
+            return pd.DataFrame({"src": pd.Series(dtype=str), "dst": pd.Series(dtype=str)})
+        V = _stack(pdf[vec_col], dim)
         norms = np.linalg.norm(V, axis=1)
         denom = np.outer(norms, norms)
         G = V @ V.T
@@ -459,7 +484,7 @@ def embedding_cosine_pairs(
     n_planes: int = 12,
     bands: int = 4,
     seed: int = 1234,
-    max_block: int = DEDUP_MAX_BLOCK,
+    max_block: int | None = DEDUP_MAX_BLOCK,
     planes=None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH + exact cosine.
@@ -884,6 +909,9 @@ def semantic_dedup(
     the member FARTHEST from its cell centroid (lowest ``cent_cos``, ties
     by id) — the paper's keep-low-similarity rule, which retains the least
     prototypical (most informative) copy. Singletons keep themselves.
+    Malformed vectors (NULL, empty, or length != the codebook dimension)
+    come back as kept singletons with ``cell_id`` -1 and ``cent_cos`` 0.0
+    — never merged with each other, never silently dropped.
 
     ``centroids`` pins a codebook (oracle replay / cross-run stability);
     None trains Lloyd k-means (`similarity.kmeans_centroids` — executor
@@ -909,14 +937,16 @@ def semantic_dedup(
     from fel_spark.operators.similarity import _cell_assign_expr, kmeans_centroids
 
     d = docs.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
-    # exact-duplicate pre-collapse: one representative (min id) per
-    # distinct vector; verdicts fan back out to members afterwards
-    reps = d.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
-    rep_docs = reps.select(F.col("_rep").alias(id_col), vec_col)
+    valid0 = d.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
 
     if centroids is None:
+        reps0 = (
+            valid0.groupBy(vec_col)
+            .agg(F.min(id_col).alias("_rep"))
+            .select(F.col("_rep").alias(id_col), vec_col)
+        )
         centroids = kmeans_centroids(
-            rep_docs, k=n_cells, n_iters=kmeans_iters,
+            reps0, k=n_cells, n_iters=kmeans_iters,
             id_col=id_col, vec_col=vec_col, seed=seed,
         )
     cents = np.asarray(centroids, dtype=np.float64)
@@ -931,6 +961,19 @@ def semantic_dedup(
             F.lit(0.0).alias("cent_cos"),
             F.lit(True).alias("keep"),
         ).limit(0)
+    # malformed rows (NULL, empty, or dimension-mismatched vs the codebook)
+    # leave the dedup flow HERE as explicit singletons (cell_id -1,
+    # cent_cos 0.0 — the OOV contract): the exact-dup collapse would
+    # otherwise merge all NULLs into one bogus cluster, and the member
+    # fan-out's vector-equality join would silently drop them. One
+    # map-only predicate each side — no extra shuffle.
+    dim = int(cents.shape[1])
+    good = valid0.filter(F.size(vec_col) == dim)
+    bad = d.filter(F.col(vec_col).isNull() | (F.size(vec_col) != dim))
+    # exact-duplicate pre-collapse: one representative (min id) per
+    # distinct vector; verdicts fan back out to members afterwards
+    reps = good.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    rep_docs = reps.select(F.col("_rep").alias(id_col), vec_col)
     spark = docs.sparkSession
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
@@ -961,7 +1004,7 @@ def semantic_dedup(
     # (identical vectors have identical cell_id / cent_cos by construction),
     # then elect ONE keeper per component across ALL members
     members = (
-        d.join(reps, vec_col)
+        good.join(reps, vec_col)
         .select(id_col, "_rep")
         .join(
             assigned.select(
@@ -975,7 +1018,7 @@ def semantic_dedup(
         )
     )
     wc = W.partitionBy("component")
-    return (
+    out = (
         members.withColumn("sem_cluster_id", F.min(id_col).over(wc))
         .withColumn(
             "_rn",
@@ -989,6 +1032,15 @@ def semantic_dedup(
             "cell_id",
             "cent_cos",
             (F.col("_rn") == 1).alias("keep"),
+        )
+    )
+    return out.unionByName(
+        bad.select(
+            F.col(id_col),
+            F.col(id_col).alias("sem_cluster_id"),
+            F.lit(-1).alias("cell_id"),
+            F.lit(0.0).alias("cent_cos"),
+            F.lit(True).alias("keep"),
         )
     )
 

@@ -316,6 +316,36 @@ def test_semantic_dedup_exact_twins_survive_hot_cell_salting(spark):
         assert out[100000 + i]["keep"] is False
 
 
+def test_semantic_dedup_null_and_ragged_vectors_are_singletons(spark):
+    """Malformed rows (NULL embedding, wrong dimension) must degrade to
+    singleton clusters — the cosine-0 OOV contract — not crash the GEMM
+    chunk task (regression: np.stack on a ragged batch raised)."""
+    import numpy as np
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, None),
+        (4, [1.0, 0.0]),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in dedup.semantic_dedup(
+            docs, threshold=0.99, centroids=np.array([[1.0, 0.0, 0.0]])
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["sem_cluster_id"] == out[2]["sem_cluster_id"] == 1
+    # two NULLs must NOT merge with each other
+    for bad in (3, 4, 5):
+        assert out[bad]["sem_cluster_id"] == bad
+        assert out[bad]["keep"] is True
+        assert out[bad]["cell_id"] == -1
+        assert out[bad]["cent_cos"] == 0.0
+
+
 def test_semantic_dedup_empty_input_returns_empty(spark):
     docs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = dedup.semantic_dedup(docs, n_cells=4)
