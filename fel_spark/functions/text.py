@@ -63,15 +63,22 @@ def token_ngrams(tokens: Column, n: int) -> Column:
     This is the span-enumeration primitive (reference
     `FastEntityLinker.java:246-271` enumerates all O(n^2) token spans; we
     bound span length and explode — data-parallel per row).
+
+    Built as zip_with over n shifted slices, not transform(sequence, i ->
+    slice(tokens, i, n)): a non-lambda-variable expression inside a HOF
+    lambda is re-evaluated PER ELEMENT, so when callers pass an expression
+    (e.g. ``F.split(...)``) the old shape re-ran it per gram — O(len²) per
+    row. Here ``tokens`` is evaluated n times per row, top-level.
     """
-    # positions 0 .. size-n ; slice(arr, pos, n) is 1-based.
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    glen = F.size(tokens) - (n - 1)  # number of n-grams when size >= n
+    grams = F.slice(tokens, 1, glen)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(tokens, i + 1, glen), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def all_spans(tokens: Column, max_len: int) -> Column:

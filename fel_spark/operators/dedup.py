@@ -550,9 +550,12 @@ def span_shingles(
     shuffle; the text never leaves the scan stage.
     """
     hf = hash_fn or F.xxhash64
-    toks = normalize_tokens(text_col)
-    fps = F.transform(token_ngrams(toks, window), lambda g: hf(g))
-    return docs.select(
+    # materialize the token array once per row: token_ngrams references its
+    # input n+2 times, and normalize_tokens is regex-backed — feeding it the
+    # raw expression would re-run the normalization per reference
+    base = docs.select(F.col(id_col), normalize_tokens(text_col).alias("_toks"))
+    fps = F.transform(token_ngrams(F.col("_toks"), window), lambda g: hf(g))
+    return base.select(
         F.col(id_col),
         F.posexplode(fps).alias("span_pos", "span_fp"),
     )
