@@ -33,10 +33,14 @@ def pair_features(pairs: DataFrame, bc_emb=None) -> DataFrame:
     toks_a = F.split(F.col("span_a"), " ")
     toks_b = F.split(F.col("span_b"), " ")
     out = (
-        pairs.withColumn("jaccard", array_jaccard(toks_a, toks_b))
-        .withColumn(
-            "dice", bigram_dice(char_bigrams(F.col("span_a")), char_bigrams(F.col("span_b")))
-        )
+        # materialize the bigram arrays: bigram_dice's multiset branch
+        # references its inputs per aggregate element, so feeding it the
+        # char_bigrams expression would rebuild the array per element
+        pairs.withColumn("_bg_a", char_bigrams(F.col("span_a")))
+        .withColumn("_bg_b", char_bigrams(F.col("span_b")))
+        .withColumn("jaccard", array_jaccard(toks_a, toks_b))
+        .withColumn("dice", bigram_dice(F.col("_bg_a"), F.col("_bg_b")))
+        .drop("_bg_a", "_bg_b")
         .withColumn(
             "same_entity", (F.col("entity_id_a") == F.col("entity_id_b")).cast("double")
         )

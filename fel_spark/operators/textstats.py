@@ -196,13 +196,12 @@ def top_token_count(tokens: Column) -> Column:
 
 
 def word_bigrams(tokens: Column) -> Column:
-    """Adjacent-token bigrams (space-joined) of a token array — row-local."""
-    return F.when(F.size(tokens) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.slice(tokens, 1, F.size(tokens) - 1),
-            lambda t, i: F.concat(t, F.lit(" "), F.get(tokens, i + 1)),
-        )
-    )
+    """Adjacent-token bigrams (space-joined) of a token array — row-local.
+    Same zip_with-of-shifted-slices shape as token_ngrams (no per-element
+    re-evaluation of the input when given an expression)."""
+    from fel_spark.functions.text import token_ngrams
+
+    return token_ngrams(tokens, 2)
 
 
 def top_word_4dp_expr(toks: Column) -> Column:

@@ -117,10 +117,15 @@ def propagate_qat_to_subngrams(
     """
     from fel_spark.functions.text import all_spans
 
-    toks = F.split(F.col(alias_col), " ")
+    # materialize the token array before span enumeration: all_spans slices
+    # its input inside nested HOF lambdas, which re-evaluate a non-column
+    # argument per enumerated span
     subs = aliases.select(
         F.col(qat_col).alias("_q"),
-        F.explode(all_spans(toks, max_len)).alias("_sp"),
+        F.split(F.col(alias_col), " ").alias("_toks"),
+    ).select(
+        "_q",
+        F.explode(all_spans(F.col("_toks"), max_len)).alias("_sp"),
     ).select(F.col("_sp.span").alias("_sub"), "_q")
     agg = subs.groupBy("_sub").agg(F.sum("_q").alias(out_col))
     return aliases.join(
