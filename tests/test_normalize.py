@@ -131,3 +131,26 @@ def test_normalize_full_spark(spark):
     rows = df.select("i", normalize_full("s").alias("n")).orderBy("i").collect()
     want = [_java_fold_reference(s) for s in FOLD_FIXTURE]
     assert [r["n"] for r in rows] == want
+
+
+def test_token_ngrams_fuzz_vs_python(spark):
+    """Property check for the zip_with n-gram kernel: Spark output equals a
+    plain-Python sliding window for random token arrays (incl. empties,
+    unicode, repeated tokens, size < n)."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["a", "bb", "ccc", "δδ", "x y"[:1], "tok", "tok", "zz9", "日本", ""]
+    rows = []
+    for i in range(200):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 12))]
+        rows.append((i, toks))
+    df = spark.createDataFrame(rows, "i int, toks array<string>")
+    for n in (1, 2, 3, 7):
+        got = {
+            r["i"]: r["g"]
+            for r in df.select("i", token_ngrams(F.col("toks"), n).alias("g")).collect()
+        }
+        for i, toks in rows:
+            want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            assert got[i] == want, (n, toks, got[i], want)
