@@ -676,8 +676,11 @@ def q_minhash_near_dup(spark, sf_dir):
     Scale shape: ONLY (doc_id, block_key) rides the band explode, the
     persist, the cap's size agg, and the self-join shuffle — the normalized
     text (the heavy payload) attaches by id-join AFTER pair dedup, so the
-    banded working set is two narrow columns instead of full documents
-    (the r2 regression was exactly this payload riding 4 consumers)."""
+    banded working set is two narrow columns instead of full documents.
+    (The r2 bench regression attributed to the salt cap was actually
+    token_ngrams re-running its input expression per gram inside a HOF
+    lambda — fixed in functions/text.py; the cap's extra agg pass is
+    cheap against the persisted narrow banded set.)"""
     from fel_spark.operators.blocking import cap_blocks
 
     # persist the narrow (doc_id, tn) projection: THREE consumers (the
