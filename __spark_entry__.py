@@ -1130,9 +1130,11 @@ def q_bigram_dice_pairs(spark, sf_dir):
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", normalize_fast("p_name").alias("n")
     )
-    a = p.select(F.col("p_partkey").alias("k"), F.col("n").alias("na"))
-    b = p.select((F.col("p_partkey") - 1).alias("k"), F.col("n").alias("nb"))
-    dice = bigram_dice(char_bigrams(F.col("na")), char_bigrams(F.col("nb")))
+    # materialize the bigram arrays before the Dice: the multiset branch
+    # references its inputs per aggregate element (see scoring.pair_features)
+    a = p.select(F.col("p_partkey").alias("k"), char_bigrams(F.col("n")).alias("bga"))
+    b = p.select((F.col("p_partkey") - 1).alias("k"), char_bigrams(F.col("n")).alias("bgb"))
+    dice = bigram_dice(F.col("bga"), F.col("bgb"))
     return a.join(b, "k").select(
         "k", F.floor(dice * 10000).cast("long").alias("dice_4dp")
     )

@@ -198,10 +198,12 @@ def top_token_count(tokens: Column) -> Column:
 def word_bigrams(tokens: Column) -> Column:
     """Adjacent-token bigrams (space-joined) of a token array — row-local.
     Same zip_with-of-shifted-slices shape as token_ngrams (no per-element
-    re-evaluation of the input when given an expression)."""
+    re-evaluation of the input when given an expression). NULL in -> NULL
+    out (token_ngrams maps NULL to []; the doc_repetition digest needs
+    NULL to stay NULL to match the DuckDB oracle replay)."""
     from fel_spark.functions.text import token_ngrams
 
-    return token_ngrams(tokens, 2)
+    return F.when(tokens.isNotNull(), token_ngrams(tokens, 2))
 
 
 def top_word_4dp_expr(toks: Column) -> Column:
@@ -279,12 +281,20 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalize_fast(text_col))
 
 
-def rolling_fingerprints(text_col: str = "text", window: int = 5) -> Column:
+def rolling_fingerprints(
+    text_col: str = "text", window: int = 5, tokens: Column | None = None
+) -> Column:
     """Rolling window fingerprints: xxhash64 of each ``window``-token
-    shingle — the building block for containment/overlap detection."""
+    shingle — the building block for containment/overlap detection.
+
+    At scale pass ``tokens`` as a MATERIALIZED column: token_ngrams embeds
+    its input ~window+2 times top-level, so the default regex-backed
+    normalize_tokens expression is duplicated that many times per row
+    (the production shingle path, `dedup.span_shingles`, materializes the
+    token array first for exactly this reason)."""
     from fel_spark.functions.text import token_ngrams
 
-    toks = normalize_tokens(text_col)
+    toks = tokens if tokens is not None else normalize_tokens(text_col)
     return F.transform(token_ngrams(toks, window), lambda g: F.xxhash64(g))
 
 

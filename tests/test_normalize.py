@@ -140,7 +140,7 @@ def test_token_ngrams_fuzz_vs_python(spark):
     import random
 
     rng = random.Random(20260817)
-    vocab = ["a", "bb", "ccc", "δδ", "x y"[:1], "tok", "tok", "zz9", "日本", ""]
+    vocab = ["a", "bb", "ccc", "δδ", "xy", "tok", "tok", "zz9", "日本", ""]
     rows = []
     for i in range(200):
         toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 12))]

@@ -177,3 +177,25 @@ def test_quality_model_hook(spark):
         textstats.quality_score("text").alias("h"),
     ).collect()
     assert all(abs(r["q"] - r["h"]) < 1e-12 for r in heur)
+
+
+def test_word_bigrams_null_parity(spark):
+    """NULL token array -> NULL bigrams (not []) so the dup_bigram digest
+    stays NULL for NULL text, matching the DuckDB oracle replay."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a", "b"]), (2, None), (3, [])],
+        "i int, toks array<string>",
+    )
+    rows = {
+        r["i"]: (r["bg"], r["d4"])
+        for r in df.select(
+            "i",
+            textstats.word_bigrams(F.col("toks")).alias("bg"),
+            textstats.dup_bigram_4dp_expr(F.col("toks")).alias("d4"),
+        ).collect()
+    }
+    assert rows[1] == (["a b", "b a", "a b"], 3333)
+    assert rows[2] == (None, None)
+    assert rows[3] == ([], 0)
