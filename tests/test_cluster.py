@@ -65,3 +65,45 @@ def test_isolated_vertices_become_singletons(spark):
         for r in cluster_mentions(mentions, edges).collect()
     }
     assert got == {"a": "a", "b": "a", "solo": "solo"}
+
+
+def test_cc_matches_union_find_reference(spark):
+    """Ground truth: both CC paths must equal a plain-Python min-label
+    union-find on random multigraphs (self-loops, duplicate + reversed
+    edges) — path-agreement alone can't catch a bug shared by both."""
+    import random
+
+    def uf_reference(edges_py):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in edges_py:
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp = {}
+        for v in list(parent):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(members) for members in comp.values() for v in members}
+
+    for seed, n, m in [(1, 30, 20), (2, 60, 90), (3, 10, 40)]:
+        rng = random.Random(seed)
+        edges_py = [
+            (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+            for _ in range(m)
+        ]
+        edges_py += [(d, s) for s, d in edges_py[: m // 4]]  # reversed dups
+        want = uf_reference(edges_py)
+        edges = spark.createDataFrame(edges_py, ["src", "dst"])
+        for kw in ({}, {"driver_cc_max_edges": 0}):
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(edges, **kw).collect()
+            }
+            assert got == want, (seed, kw)
