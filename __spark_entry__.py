@@ -54,9 +54,14 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit("").alias("entity_key"),
         F.lit(0.0).alias("score"),
     )
-    # block on minhash bands over token 3-gram shingles
+    # block on minhash bands over token 3-gram shingles (token array
+    # materialized first: token_ngrams references its input n+2 times)
+    docs = docs.withColumn("_toks", F.split(F.col("span"), " "))
     with_sig = minhash_signatures_df(
-        docs, token_ngrams(F.split(F.col("span"), " "), 3), docs.columns, 8
+        docs,
+        token_ngrams(F.col("_toks"), 3),
+        [c for c in docs.columns if c != "_toks"],
+        8,
     )
     blocked = with_sig.withColumn(
         "block_key", F.explode(lsh_band_keys(F.col("sig"), 4, 2))
@@ -691,8 +696,12 @@ def q_minhash_near_dup(spark, sf_dir):
         .select("doc_id", normalize_fast("text").alias("tn"))
         .persist()
     )
-    grams = token_ngrams(F.split(F.col("tn"), " "), 3)
-    with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
+    grams = token_ngrams(F.col("_toks"), 3)
+    with_g = (
+        d.withColumn("_toks", F.split(F.col("tn"), " "))
+        .withColumn("_g", grams)
+        .filter(F.size("_g") > 0)
+    )
     with_sig = minhash_signatures_df(with_g, F.col("_g"), ["doc_id"], 8)
     # persist the banded ids: 4 consumers (cap size agg, salt join, both
     # self-join sides) would otherwise re-run the signature agg each
@@ -925,8 +934,13 @@ def q_minhash_pairs_md5(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", normalize_fast("text").alias("tn")
     )
-    grams = token_ngrams(F.split(F.col("tn"), " "), 3)
-    with_g = d.withColumn("_g", grams).filter(F.size("_g") > 0)
+    grams = token_ngrams(F.col("_toks"), 3)
+    with_g = (
+        d.withColumn("_toks", F.split(F.col("tn"), " "))
+        .withColumn("_g", grams)
+        .drop("_toks")
+        .filter(F.size("_g") > 0)
+    )
     with_sig = minhash_signatures_df(
         with_g, F.col("_g"), ["doc_id", "tn"], 8, hash_fn=md5_hash60
     )

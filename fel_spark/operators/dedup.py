@@ -196,8 +196,12 @@ def minhash_lsh_dedup(
     # band). One hash-agg removes the problem at its root and shrinks the
     # LSH input to distinct texts.
     reps = d.groupBy("_tn").agg(F.min(id_col).alias("_rep"))
-    grams = token_ngrams(F.split(F.col("_tn"), " "), shingle_n)
-    with_g = reps.withColumn("_grams", grams)
+    # materialize the token array before shingling (token_ngrams references
+    # its input n+2 times; one split per row, not n+2)
+    grams = token_ngrams(F.col("_toks"), shingle_n)
+    with_g = reps.withColumn("_toks", F.split(F.col("_tn"), " ")).withColumn(
+        "_grams", grams
+    ).drop("_toks")
     # docs shorter than shingle_n tokens have NO shingles — their minhash
     # signature would be the constant xxhash64(null) vector, putting all of
     # them in one giant bucket. They can't be near-dups by this measure;
@@ -368,10 +372,16 @@ def ngram_jaccard_pairs(
     proportional to Jaccard; the score is then exact on the pair.
     """
     d = docs.select(F.col(id_col), normalize_fast(text_col).alias("_tn"))
-    grams_expr = token_ngrams(F.split(F.col("_tn"), " "), ngram_n)
+    # materialize the token array before shingling (see minhash_lsh_dedup)
+    grams_expr = token_ngrams(F.col("_toks"), ngram_n)
     # empty gram arrays (docs shorter than n tokens) would all share the
     # constant null-signature bucket — exclude from banding
-    with_g = d.withColumn("_grams", grams_expr).filter(F.size("_grams") > 0)
+    with_g = (
+        d.withColumn("_toks", F.split(F.col("_tn"), " "))
+        .withColumn("_grams", grams_expr)
+        .drop("_toks")
+        .filter(F.size("_grams") > 0)
+    )
     with_sig = minhash_signatures_df(
         with_g, F.col("_grams"), [id_col], bands * rows_per_band, hash_fn=hash_fn
     )
