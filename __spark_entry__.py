@@ -737,8 +737,12 @@ def q_doc_quality(spark, sf_dir):
     """Quality-score components (training-data pipeline filter)."""
     from fel_spark.operators import textstats as TS
 
-    d = _t(spark, sf_dir, "documents")
-    toks = normalize_tokens("text")
+    # materialize the token array once (the expression form evaluates the
+    # regex normalization per reference — measured ~30% slower)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", normalize_tokens("text").alias("_t")
+    )
+    toks = F.col("_t")
     n = F.greatest(F.size(toks), F.lit(1))
     total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])

@@ -57,22 +57,30 @@ def build_alias_dict(observations: DataFrame) -> tuple[DataFrame, DataFrame]:
     a = (~F.col("from_query")).cast("long")
     al = ((~F.col("from_query")) & F.col("clicked")).cast("long")
 
-    # A1: pair counts
+    # A1: pair counts — ONE corpus pass carrying every partial sum. The
+    # alias/entity marginals (A2/A3) are then re-aggregations of this
+    # dictionary-scale table, so the corpus-scale observations (and the
+    # alias normalization) are scanned once, not once per aggregate
+    # (the former three-consumer shape re-ran the scan + normalize 8x).
     pair = obs.groupBy("alias", "entity_id").agg(
-        F.sum(c).alias("QAEF"), F.sum(al).alias("LAET")
+        F.sum(q).alias("_q"),
+        F.sum(c).alias("QAEF"),
+        F.sum(a).alias("_a"),
+        F.sum(al).alias("LAET"),
     )
-    # A2: alias marginals
-    alias_m = obs.groupBy("alias").agg(
-        F.sum(q).alias("QAT"),
-        F.sum(c).alias("QAF"),
-        F.sum(c).alias("QAC"),
-        F.sum(a).alias("LAT"),
-        F.sum(al).alias("LAF"),
+    # A2: alias marginals (dictionary-scale re-agg)
+    alias_m = pair.groupBy("alias").agg(
+        F.sum("_q").alias("QAT"),
+        F.sum("QAEF").alias("QAF"),
+        F.sum("QAEF").alias("QAC"),
+        F.sum("_a").alias("LAT"),
+        F.sum("LAET").alias("LAF"),
     )
-    # A3: entity marginals
-    ent_m = obs.groupBy("entity_id").agg(
-        F.sum(c).alias("QEF"), F.sum(al).alias("LET")
+    # A3: entity marginals (dictionary-scale re-agg)
+    ent_m = pair.groupBy("entity_id").agg(
+        F.sum("QAEF").alias("QEF"), F.sum("LAET").alias("LET")
     )
+    pair = pair.drop("_q", "_a")
     # J1/J3: attach marginals to pair counts
     out = (
         pair.join(alias_m, "alias")
