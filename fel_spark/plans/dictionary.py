@@ -49,25 +49,27 @@ def build_alias_dict(observations: DataFrame) -> tuple[DataFrame, DataFrame]:
         observations.withColumn("alias", normalize_fast("alias"))
         .filter((F.length("alias") > 0) & F.col("entity_name").isNotNull())
     )
-    ids = assign_entity_ids(obs)
-    obs = obs.join(F.broadcast(ids), "entity_name")
 
     q = F.col("from_query").cast("long")
     c = (F.col("from_query") & F.col("clicked")).cast("long")
     a = (~F.col("from_query")).cast("long")
     al = ((~F.col("from_query")) & F.col("clicked")).cast("long")
 
-    # A1: pair counts — ONE corpus pass carrying every partial sum. The
-    # alias/entity marginals (A2/A3) are then re-aggregations of this
-    # dictionary-scale table, so the corpus-scale observations (and the
-    # alias normalization) are scanned once, not once per aggregate
-    # (the former three-consumer shape re-ran the scan + normalize 8x).
-    pair = obs.groupBy("alias", "entity_id").agg(
+    # A1: pair counts — ONE corpus pass carrying every partial sum, keyed
+    # on the raw entity NAME so the dense-id assignment and its join both
+    # run at dictionary scale afterwards. The alias/entity marginals
+    # (A2/A3) are then re-aggregations of this dictionary-scale table, so
+    # the corpus-scale observations (and the alias normalization) are
+    # scanned once, not once per aggregate (the former shape re-ran the
+    # scan + normalize 8x and broadcast-joined ids against the corpus).
+    pair_n = obs.groupBy("alias", "entity_name").agg(
         F.sum(q).alias("_q"),
         F.sum(c).alias("QAEF"),
         F.sum(a).alias("_a"),
         F.sum(al).alias("LAET"),
     )
+    ids = assign_entity_ids(pair_n)
+    pair = pair_n.join(F.broadcast(ids), "entity_name").drop("entity_name")
     # A2: alias marginals (dictionary-scale re-agg)
     alias_m = pair.groupBy("alias").agg(
         F.sum("_q").alias("QAT"),
