@@ -700,6 +700,7 @@ def q_minhash_near_dup(spark, sf_dir):
     with_g = (
         d.withColumn("_toks", F.split(F.col("tn"), " "))
         .withColumn("_g", grams)
+        .drop("_toks")
         .filter(F.size("_g") > 0)
     )
     with_sig = minhash_signatures_df(with_g, F.col("_g"), ["doc_id"], 8)

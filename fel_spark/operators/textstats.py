@@ -200,7 +200,9 @@ def word_bigrams(tokens: Column) -> Column:
     Same zip_with-of-shifted-slices shape as token_ngrams (no per-element
     re-evaluation of the input when given an expression). NULL in -> NULL
     out (token_ngrams maps NULL to []; the doc_repetition digest needs
-    NULL to stay NULL to match the DuckDB oracle replay)."""
+    NULL to stay NULL to match the DuckDB oracle replay). Pass a
+    MATERIALIZED column: the NULL guard plus token_ngrams reference the
+    input n+3 times."""
     from fel_spark.functions.text import token_ngrams
 
     return F.when(tokens.isNotNull(), token_ngrams(tokens, 2))

@@ -199,3 +199,26 @@ def test_word_bigrams_null_parity(spark):
     assert rows[1] == (["a b", "b a", "a b"], 3333)
     assert rows[2] == (None, None)
     assert rows[3] == ([], 0)
+
+
+def test_rolling_fingerprints_tokens_column(spark):
+    """The materialized-tokens fast path must equal the default
+    normalize_tokens path."""
+    from pyspark.sql import functions as F
+
+    from fel_spark.functions.text import normalize_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x"), (3, "")], ["doc_id", "text"]
+    )
+    base = docs.withColumn("_t", normalize_tokens("text"))
+    via_col = base.select(
+        "doc_id",
+        textstats.rolling_fingerprints(window=5, tokens=F.col("_t")).alias("fps"),
+    )
+    via_text = docs.select(
+        "doc_id", textstats.rolling_fingerprints("text", window=5).alias("fps")
+    )
+    a = {r["doc_id"]: r["fps"] for r in via_col.collect()}
+    b = {r["doc_id"]: r["fps"] for r in via_text.collect()}
+    assert a == b and len(a[1]) == 2 and a[2] == [] and a[3] == []
