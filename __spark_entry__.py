@@ -782,17 +782,29 @@ def q_events_sessionize(spark, sf_dir):
 def q_conv_integrity(spark, sf_dir):
     """Conversation-integrity gate (`convstats.conversation_integrity`)
     value-checked end-to-end: a transcript shape is derived
-    deterministically from events (conv = user, turn index = event rank
-    by (ts, event_id) — unique tiebreak, so the ranking replays exactly),
+    deterministically from events (conv = user, turn index = event rank),
     then corrupted in two planted ways (user%11: idx 2 jumps +100 — gap;
     user%13: idx 1 collapses to 0 — duplicate + gap) so gap/dup/clean
     signals all fire. Roles/tools are derived from event parity/type to
-    exercise every aggregate."""
+    exercise every aggregate.
+
+    The rank key is engine-neutral by construction: ts with explicit
+    NULLS LAST (Spark windows default NULLS FIRST, DuckDB NULLS LAST — the
+    r3 driver-hash divergence risk), tie-broken by sentinel-coalesced
+    event_id then event_type. A residual tie then means the rows agree on
+    every column the derivation reads (role/tool are functions of the
+    key), so the output is invariant under tie permutation — the planted
+    corruption cannot land differently between the two engines whatever
+    the driver's events table contains."""
     from fel_spark.operators.convstats import conversation_integrity
     from pyspark.sql import Window as W
 
     e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.coalesce(F.col("event_id"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("event_type"), F.lit("")),
+    )
     t = e.select("user_id", "ts", "event_id", "event_type").withColumn(
         "idx0", (F.row_number().over(w) - 1).cast("long")
     )
@@ -1804,7 +1816,10 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT user_id AS conv_id, event_id, event_type,
                        row_number() OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx0
+                           PARTITION BY user_id ORDER BY
+                               ts ASC NULLS LAST,
+                               coalesce(event_id, -4611686018427387904),
+                               coalesce(event_type, '')) - 1 AS idx0
                 FROM events
             ),
             tr AS (

@@ -86,3 +86,52 @@ def test_integrity_on_minimal_schema(spark):
     assert integ["is_clean"] and integ["n_user"] == 0 and integ["n_tool_calls"] == 0
     clean, dirty = quarantine_conversations(t)
     assert clean.count() == 2 and dirty.count() == 0
+
+
+def test_conv_integrity_oracle_with_null_ts_and_ties(spark, tmp_path):
+    """Regression for the driver's r3 hash mismatch: the conv_integrity
+    derivation must agree with its DuckDB oracle even when the events
+    table contains NULL ts (Spark windows default NULLS FIRST, DuckDB
+    NULLS LAST), exact (ts, event_id) ties, fully duplicated rows, and
+    NULL event_id/event_type — the rank key coalesces every component, so
+    the planted corruption lands identically in both engines."""
+    import duckdb
+    from datetime import datetime
+
+    import __spark_entry__ as E
+    from scripts.check_oracle import table_hash
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # users 11 and 22 hit the %11 gap branch; 13 and 26 the %13 dup branch
+    for uid in (1, 2, 11, 13, 22, 26, 143):  # 143 hits BOTH branches
+        rows += [
+            (uid * 10 + 0, t0, uid, "view", 1.0, "p"),
+            (uid * 10 + 1, t0, uid, "click", 1.0, "p"),  # tie on ts
+            (uid * 10 + 1, t0, uid, "click", 1.0, "p"),  # full duplicate row
+            (None, t0, uid, "view", 1.0, "p"),  # NULL event_id
+            (uid * 10 + 3, None, uid, None, 1.0, "p"),  # NULL ts + event_type
+            (uid * 10 + 4, datetime(2024, 3, 2), uid, "buy", 1.0, "p"),
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    res = E.queries()["conv_integrity"](spark, str(tmp_path))
+    cols, srows = res.columns, [tuple(r) for r in res.collect()]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    rel = con.sql(E.oracle_sql()["conv_integrity"])
+    ocols, orows = list(rel.columns), rel.fetchall()
+    assert sorted(cols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert table_hash(cols, srows) == table_hash(ocols, orows)
+    # the hostile rows actually exercised the signals
+    by_id = {r[0]: r for r in srows}
+    assert any(r["n_dup_idx"] > 0 for r in res.collect())
+    assert by_id[11] != by_id[1]  # corruption branch fired
