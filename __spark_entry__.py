@@ -1424,10 +1424,17 @@ def _langid_model_oracle() -> str:
     """SQL replay of q_doc_langid_model, generated from the same
     _LANGID_MODEL dict (no transcription drift): per-language weight sums
     via list_transform CASE, argmax with the model's sorted-lang-first tie
-    cascade, 'other' when no token hits."""
+    cascade, 'other' only on zero vocabulary hits (the operator's
+    fallback gate — NOT on non-positive max, so negative/zero model
+    weights still label documents that hit the vocabulary)."""
     langs = sorted(_LANGID_MODEL)
     toks = _TOKS.format(c="text")
-    sums = []
+    vocab = sorted({t for tw in _LANGID_MODEL.values() for t in tw})
+    hit_cases = " ".join(f"WHEN '{t}' THEN 1" for t in vocab)
+    sums = [
+        f"coalesce(list_sum(list_transform(toks, w -> CASE w {hit_cases} "
+        f"ELSE 0 END)), 0) AS n_hits"
+    ]
     for lang in langs:
         cases = " ".join(
             f"WHEN '{t}' THEN {w}" for t, w in _LANGID_MODEL[lang].items()
@@ -1445,7 +1452,7 @@ def _langid_model_oracle() -> str:
         WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
         s AS (SELECT doc_id, {", ".join(sums)} FROM t)
         SELECT doc_id,
-               CASE WHEN greatest({", ".join(f"s_{lang}" for lang in langs)}) <= 0.0 THEN 'other'
+               CASE WHEN n_hits = 0 THEN 'other'
                     {cascade}
                     ELSE '{langs[-1]}' END AS lang_pred
         FROM s

@@ -928,7 +928,9 @@ def semantic_dedup(
 
     ``centroids`` pins a codebook (oracle replay / cross-run stability);
     None trains Lloyd k-means (`similarity.kmeans_centroids` — executor
-    partial sums, only k x dim reaches the driver).
+    partial sums, only k x dim reaches the driver). An EMPTY codebook
+    (pinned empty, or trained from empty input) makes every row an OOV
+    singleton — all rows return kept with ``cell_id`` -1.
 
     Scale shape: exact-identical vectors collapse to one representative
     BEFORE any pair generation (same rationale as minhash_lsh_dedup:
@@ -964,16 +966,17 @@ def semantic_dedup(
         )
     cents = np.asarray(centroids, dtype=np.float64)
     if cents.ndim != 2 or cents.shape[0] == 0:
-        # empty input (or an empty pinned codebook): no cells, no dups —
-        # return the empty result with the right schema instead of letting
-        # the NumPy kernels throw on zero-width matrices
+        # no codebook (empty input trained nothing, or an empty pinned
+        # centroids= argument): no cells exist, so EVERY row is an OOV
+        # singleton under the malformed-vector contract (cell_id -1, kept,
+        # never merged) — rows must come back, not silently vanish
         return d.select(
             F.col(id_col),
             F.col(id_col).alias("sem_cluster_id"),
-            F.lit(0).alias("cell_id"),
+            F.lit(-1).alias("cell_id"),
             F.lit(0.0).alias("cent_cos"),
             F.lit(True).alias("keep"),
-        ).limit(0)
+        )
     # malformed rows (NULL, empty, or dimension-mismatched vs the codebook)
     # leave the dedup flow HERE as explicit singletons (cell_id -1,
     # cent_cos 0.0 — the OOV contract): the exact-dup collapse would

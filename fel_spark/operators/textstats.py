@@ -114,10 +114,13 @@ def language_id(
         ok = pos >= 0
         scores = np.zeros((n, len(model.langs)))
         np.add.at(scores, rows[ok], model.weights[pos[ok]])
+        # fall back only on genuinely zero vocabulary hits — a fastText-style
+        # table may carry negative/zero weights, and a document that DID hit
+        # the vocabulary must be labeled by argmax, not defaulted
+        hits = np.zeros(n)
+        np.add.at(hits, rows[ok], 1.0)
         langs = np.asarray(model.langs, dtype=object)
-        out = np.where(
-            scores.max(axis=1) > 0, langs[scores.argmax(axis=1)], default_lang
-        )
+        out = np.where(hits > 0, langs[scores.argmax(axis=1)], default_lang)
         return pd.Series(out, index=toks.index, dtype=object)
 
     return _lid(normalize_tokens(text_col))

@@ -42,13 +42,53 @@ class StageRunner:
     def is_done(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
 
+    def _read_manifest(self, name: str) -> dict:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def snapshot_id(self, name: str) -> int | None:
+        """The stage's snapshot id: a run-level monotonic build counter
+        stamped into the manifest at write time (the Iceberg snapshot-id
+        analogue). None for missing/legacy manifests."""
+        gen = self._read_manifest(name).get("generation")
+        return int(gen) if gen is not None else None
+
+    def _next_generation(self) -> int:
+        """Monotonic per-run build counter. Unlike mtimes it is immune to
+        coarse (1 s) filesystem timestamp granularity — an input rebuilt in
+        the same second as a downstream snapshot still gets a strictly
+        larger generation (ADVICE r3)."""
+        path = os.path.join(self.run_dir, "_GENERATION")
+        try:
+            with open(path) as f:
+                gen = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            gen = 0
+        gen += 1
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(str(gen))
+        return gen
+
     def _is_stale(self, name: str, inputs: tuple[str, ...]) -> bool:
-        """A completed stage is stale when any input stage's manifest is
-        newer than its own — e.g. a pipeline re-run that inserted a new
-        upstream stage (decontamination added to a finished corpus run)
-        rebuilt an input AFTER this stage's snapshot was written. Without
-        this check the downstream snapshots would be silently reused and
-        the run would return pre-insertion results."""
+        """A completed stage is stale when any input stage's snapshot id
+        differs from the one recorded when this stage was built — e.g. a
+        pipeline re-run that inserted a new upstream stage (decontamination
+        added to a finished corpus run) rebuilt an input AFTER this stage's
+        snapshot was written. Without this check the downstream snapshots
+        would be silently reused and the run would return pre-insertion
+        results. Legacy manifests without generations fall back to the
+        mtime comparison."""
+        mani = self._read_manifest(name)
+        recorded = mani.get("input_generations")
+        if mani.get("generation") is not None and recorded is not None:
+            return any(
+                self.is_done(i) and self.snapshot_id(i) != recorded.get(i)
+                for i in inputs
+            )
         mine = os.path.getmtime(self._manifest_path(name))
         return any(
             self.is_done(i) and os.path.getmtime(self._manifest_path(i)) > mine
@@ -88,6 +128,8 @@ class StageRunner:
         stage_metrics = {
             "stage": name,
             "inputs": list(inputs),
+            "generation": self._next_generation(),
+            "input_generations": {i: self.snapshot_id(i) for i in inputs},
             "wall_sec": round(wall, 3),
             "rows": int(sum(r["rows"] for r in part_stats)),
             "partitions": len(part_stats),

@@ -351,3 +351,17 @@ def test_semantic_dedup_empty_input_returns_empty(spark):
     out = dedup.semantic_dedup(docs, n_cells=4)
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "sem_cluster_id", "cell_id", "cent_cos", "keep"}
+
+
+def test_semantic_dedup_empty_codebook_keeps_all_rows(spark):
+    """ADVICE r3: a NON-empty corpus with an empty pinned codebook must not
+    vanish — every row comes back as a kept OOV singleton (cell_id -1),
+    matching the malformed-vector contract."""
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in dedup.semantic_dedup(docs, centroids=[]).collect()}
+    assert set(rows) == {1, 2, 3}
+    for vid, r in rows.items():
+        assert r["keep"] and r["cell_id"] == -1 and r["sem_cluster_id"] == vid

@@ -43,6 +43,36 @@ def test_stage_runner_resumes(spark, tmp_path):
     assert os.path.exists(os.path.join(run_dir, "stage_a", MX.MANIFEST))
 
 
+def test_stage_runner_same_second_rebuild_invalidates(spark, tmp_path):
+    """ADVICE r3: staleness is a generation (snapshot-id) comparison, not
+    an mtime one — an input rebuilt in the same 1 s filesystem-timestamp
+    window as the downstream snapshot must still invalidate it."""
+    run_dir = str(tmp_path / "run_gen")
+    calls = {"up": 0, "down": 0}
+
+    def build_up(r):
+        calls["up"] += 1
+        return spark.range(5).withColumn("v", F.col("id") + calls["up"])
+
+    def build_down(r):
+        calls["down"] += 1
+        return r.read_stage("up").withColumn("w", F.col("v") * 10)
+
+    runner = MX.StageRunner(spark, run_dir)
+    runner.run_stage("up", build_up)
+    runner.run_stage("down", build_down, inputs=("up",))
+    gen_up1 = runner.snapshot_id("up")
+    # rebuild the input immediately (same wall-clock second as 'down')
+    os.remove(os.path.join(run_dir, "up", MX.MANIFEST))
+    runner.run_stage("up", build_up)
+    assert runner.snapshot_id("up") > gen_up1  # monotonic snapshot ids
+    # downstream must rebuild even though mtimes may tie at 1 s granularity
+    runner2 = MX.StageRunner(spark, run_dir)
+    out = runner2.run_stage("down", build_down, inputs=("up",))
+    assert calls["down"] == 2
+    assert out.agg(F.min("v")).collect()[0][0] == 2  # built from rebuilt input
+
+
 def test_er_checkpointed_end_to_end(spark, dict_pack, tiny_corpus, tmp_path):
     t = transcripts(tiny_corpus)
     ad = alias_dict_df(spark, dict_pack)

@@ -70,6 +70,31 @@ def test_language_id_model_hook(spark):
     assert heur[1] == "en"
 
 
+def test_language_id_negative_weights(spark):
+    """The fallback gates on zero vocabulary HITS, not non-positive max:
+    a fastText-style table with negative/zero weights must still label
+    documents that hit the vocabulary (ADVICE r3)."""
+    model = textstats.LangIdModel(
+        {
+            "en": {"the": -0.1, "dog": -0.5},
+            "de": {"der": -0.2, "the": -0.9, "dog": -0.9},
+        }
+    )
+    bc = spark.sparkContext.broadcast(model)
+    docs = spark.createDataFrame(
+        [(1, "the dog runs"), (2, "der zug"), (3, "zzz qqq")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", textstats.language_id("text", bc_model=bc).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"  # hit vocab, negative scores: argmax, no fallback
+    assert out[2] == "de"
+    assert out[3] == "other"  # genuinely zero hits
+
+
 def test_rolling_fingerprints(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     fps = docs.select(
