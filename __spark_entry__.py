@@ -907,6 +907,85 @@ def q_type_lm_scores(spark, sf_dir):
     )
 
 
+def q_wiki_dict_counts(spark, sf_dir):
+    """Datapack assembly e2e (plans/wikipack + sources/wikixml): a
+    deterministic synthetic Wikipedia dump is generated FROM the nation
+    table (one article per nation linking [[next]] and
+    [[RD_name2|name2 link]], redirect pages for odd keys — markup-style
+    for k%4==1, explicit-element for k%4==3, both resolved by the
+    pointer-jumping closure), then parsed by the real ElementTree
+    mapInPandas path, anchors extracted with the reference's filters, and
+    the alias dictionary built (`mine-datapack.sh:18-236`,
+    `io/Datapack.java:98-213`). The oracle replays the COUNTS analytically
+    from nation — the generating rule is relational, so the expected
+    pair/marginal table is one SQL derivation, no XML in DuckDB."""
+    from fel_spark.plans.dictionary import build_alias_dict
+    from fel_spark.plans.wikipack import wiki_observations
+    from fel_spark.sources.wikixml import parse_page_fragments
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("name")
+    )
+    m = n.count()  # 25 — dictionary scale
+    nxt = n.select(F.col("k").alias("k1"), F.col("name").alias("next_name"))
+    n2 = n.select(F.col("k").alias("k2"), F.col("name").alias("name2"))
+    base = n.join(F.broadcast(nxt), ((F.col("k") + 1) % m) == F.col("k1")).join(
+        F.broadcast(n2), ((F.col("k") + 2) % m) == F.col("k2")
+    )
+    art_text = F.concat(
+        F.lit("[["),
+        F.col("next_name"),
+        F.lit("]] and [[RD_"),
+        F.col("name2"),
+        F.lit("|"),
+        F.col("name2"),
+        F.lit(" link]]"),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.concat(
+                F.lit(" plus [["),
+                F.col("next_name"),
+                F.lit("|"),
+                F.col("next_name"),
+                F.lit("]]"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    articles = base.select(
+        F.concat(
+            F.lit("<page><title>"),
+            F.col("name"),
+            F.lit("</title><ns>0</ns><id>"),
+            (F.col("k") + 1000).cast("string"),
+            F.lit("</id><revision><id>1</id><text>"),
+            art_text,
+            F.lit("</text></revision>"),
+        ).alias("value")
+    )
+    redirects = n.filter(F.col("k") % 2 == 1).select(
+        F.concat(
+            F.lit("<page><title>RD_"),
+            F.col("name"),
+            F.lit("</title><ns>0</ns><id>"),
+            (F.col("k") + 2000).cast("string"),
+            F.lit("</id>"),
+            F.when(
+                F.col("k") % 4 == 3,
+                F.concat(F.lit('<redirect title="'), F.col("name"), F.lit('" />')),
+            ).otherwise(F.lit("")),
+            F.lit("<revision><id>2</id><text>"),
+            F.when(
+                F.col("k") % 4 == 1,
+                F.concat(F.lit("#REDIRECT [["), F.col("name"), F.lit("]]")),
+            ).otherwise(F.lit("")),
+            F.lit("</text></revision>"),
+        ).alias("value")
+    )
+    pages = parse_page_fragments(articles.unionByName(redirects))
+    ad, _names = build_alias_dict(wiki_observations(pages))
+    return ad.select("alias", "entity_id", "LAT", "LAF", "LAET", "LET", "QAT")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (no SQL oracle — bit-sliced banding)."""
     from fel_spark.operators.dedup import simhash_dedup
@@ -1393,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "conv_integrity": q_conv_integrity,
         "dict_build_counts": q_dict_build_counts,
+        "wiki_dict_counts": q_wiki_dict_counts,
         "subngram_qat": q_subngram_qat,
         "type_lm_scores": q_type_lm_scores,
         "simhash_pairs": q_simhash_pairs,
@@ -2152,6 +2232,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT alias, entity_id, QAT, QAF, QAEF, LAT, LAET, QEF
             FROM pair JOIN am USING (alias) JOIN em USING (entity_id)
+        """,
+        # wikipack e2e: the synthetic dump's link structure is a relational
+        # function of nation, so the expected dictionary is derived
+        # analytically — article k links [[next=(k+1)%m]] (twice when k%3=0)
+        # and [[RD_name2=(k+2)%m|name2 link]], the RD_ page existing (and
+        # resolving) only for odd keys; anchors are corpus-space events
+        # (clicked link occurrences), so QAT=0 and LAT=LAF here.
+        "wiki_dict_counts": """
+            WITH n AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+            ),
+            c AS (SELECT count(*) AS m FROM n),
+            l1 AS (
+                SELECT b.name AS ent,
+                       trim(regexp_replace(lower(b.name), '[^a-z0-9]+', ' ', 'g')) AS alias,
+                       CASE WHEN a.k % 3 = 0 THEN 2 ELSE 1 END AS cnt
+                FROM n a, c, n b WHERE b.k = (a.k + 1) % c.m
+            ),
+            l2 AS (
+                SELECT b.name AS ent,
+                       trim(regexp_replace(lower(b.name || ' link'), '[^a-z0-9]+', ' ', 'g')) AS alias,
+                       1 AS cnt
+                FROM n a, c, n b WHERE b.k = (a.k + 2) % c.m AND b.k % 2 = 1
+            ),
+            pair AS (
+                SELECT alias, ent, CAST(sum(cnt) AS BIGINT) AS LAET
+                FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2) u
+                GROUP BY 1, 2
+            ),
+            ids AS (
+                SELECT ent, CAST(row_number() OVER (ORDER BY ent) - 1 AS INT) AS entity_id
+                FROM (SELECT DISTINCT ent FROM pair)
+            ),
+            am AS (
+                SELECT alias, CAST(sum(LAET) AS BIGINT) AS LAT,
+                       CAST(sum(LAET) AS BIGINT) AS LAF
+                FROM pair GROUP BY 1
+            ),
+            em AS (SELECT ent, CAST(sum(LAET) AS BIGINT) AS LET FROM pair GROUP BY 1)
+            SELECT alias, entity_id, LAT, LAF, LAET, LET, CAST(0 AS BIGINT) AS QAT
+            FROM pair JOIN ids USING (ent) JOIN am USING (alias) JOIN em USING (ent)
         """,
         # exact Jaccard>=0.5 graph + transitive closure: all-pairs join +
         # recursive min-label propagation (the Spark side uses prefix-filter

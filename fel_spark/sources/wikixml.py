@@ -66,7 +66,15 @@ def read_wikipedia_pages(spark: SparkSession, path: str) -> DataFrame:
     parses with stdlib ElementTree inside mapInPandas — no driver-side I/O,
     no custom InputFormat.
     """
-    raw = spark.read.option("lineSep", "</page>").text(path)
+    return parse_page_fragments(spark.read.option("lineSep", "</page>").text(path))
+
+
+def parse_page_fragments(fragments: DataFrame) -> DataFrame:
+    """One-column (``value``) DataFrame of ``</page>``-less page fragments
+    -> (title, ns, page_id, redirect, markup). The parse half of
+    :func:`read_wikipedia_pages`, factored so in-memory page records (test
+    fixtures, oracle replays) run the identical ElementTree path as dump
+    files."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,7 +109,7 @@ def read_wikipedia_pages(spark: SparkSession, path: str) -> DataFrame:
                 rows, columns=["title", "ns", "page_id", "redirect", "markup"]
             )
 
-    return raw.mapInPandas(gen, schema=PAGE_SCHEMA)
+    return fragments.mapInPandas(gen, schema=PAGE_SCHEMA)
 
 
 def _capitalize_first(col):
