@@ -589,22 +589,16 @@ def q_doc_pack_chunks(spark, sf_dir):
 # toy broadcast language-ID model for the oracled model-path query: dyadic
 # weights (1.0 / 0.5 / 0.25) so per-language weight sums are EXACT doubles
 # in any summation order — equality-safe across Spark/NumPy/DuckDB
-_LANGID_MODEL = {
-    "en": {"the": 1.0, "a": 0.5, "of": 0.5, "and": 0.5, "data": 0.25},
-    "es": {"el": 1.0, "la": 1.0, "de": 0.5, "y": 0.5},
-    "fr": {"le": 1.0, "la": 0.5, "et": 0.5, "des": 0.5},
-}
-
-
-# toy broadcast quality model (same dyadic-exactness rule as
-# _LANGID_MODEL): linear token weights + bias; the oracled digest is the
-# raw log-odds (pure +-*/, engine-exact), the production output is its
-# sigmoid
-_QUALITY_MODEL = {
-    "the": 0.5, "a": 0.25, "of": 0.25, "and": 0.25, "data": 1.0,
-    "analysis": 1.0, "spam": -2.0, "click": -1.0, "buy": -1.5, "free": -0.5,
-}
-_QUALITY_BIAS = -0.25
+# the SHIPPED model tables (fel_spark/models/langmodels.py — the
+# datapack-as-shipped-data pattern): the driver gate runs the real
+# default weights, not a toy stand-in. Both tables are dyadic-rational,
+# so weight sums are bit-exact across engines and the oracle generators
+# below replay them verbatim.
+from fel_spark.models import (  # noqa: E402
+    LANGID_WEIGHTS as _LANGID_MODEL,
+    QUALITY_BIAS as _QUALITY_BIAS,
+    QUALITY_WEIGHTS as _QUALITY_MODEL,
+)
 
 
 def q_doc_quality_model(spark, sf_dir):
@@ -625,11 +619,11 @@ def q_doc_quality_model(spark, sf_dir):
 
 
 def q_doc_langid_model(spark, sf_dir):
-    """Model-backed language ID: broadcast token->lang-weight voting
-    (the pluggable fastText-shaped hook, textstats.LangIdModel). Weights
-    sum per language per document; argmax with first-alphabetical-lang
-    tie-break; no vocabulary hit -> 'other'. The oracle replays the voting
-    with list_transform CASE weights and the same tie cascade."""
+    """Model-backed language ID with the SHIPPED weight table
+    (fel_spark/models): per-language weight sums, argmax restricted to
+    languages with >= 1 vocabulary hit (first-alphabetical tie-break); no
+    hit anywhere -> 'other'. The oracle replays the voting with
+    list_transform CASE weights and the same hit-gated cascade."""
     from fel_spark.operators.textstats import LangIdModel, language_id
 
     bc = spark.sparkContext.broadcast(LangIdModel(_LANGID_MODEL))
@@ -1184,6 +1178,94 @@ def q_ann_ivf_fixed(spark, sf_dir):
     )
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Driver-gated QUALITY metric for the approximate IVF path: recall@5
+    of the real `ivf_topk` operator (pinned first-8-rows codebook,
+    n_probe=3) against the exact `brute_force_topk` ground truth, one row
+    per query. The oracle recomputes BOTH result sets and the same
+    hit-count join, so the recall number itself is value-checked — the
+    approximate scale path carries a quantified, driver-checked quality
+    figure instead of a rows-only smoke."""
+    from fel_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(e, q, k=5, n_probe=3, centroids=cents).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    bf = brute_force_topk(e, q, k=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("_h")
+    )
+    base = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+        F.floor(F.coalesce("_h", F.lit(0)) * 10000 / F.col("n_true"))
+        .cast("long")
+        .alias("recall_4dp"),
+    )
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Driver-gated QUALITY metric for the approximate LSH path: recall@5
+    of the real `lsh_topk` operator (banded hyperplane buckets + exact
+    in-bucket re-rank) against `brute_force_topk`, one row per query. The
+    hyperplanes are pinned ±1 (:func:`_lsh_sign`) and the corpus is
+    quantized to floor(1000·x) integer-valued doubles, so every sign bit
+    is an exact integer dot — both result sets and the hit-count join
+    replay bit-for-bit in SQL (same recipe as ann_lsh_md5, now measuring
+    the banding's recall instead of dumping candidates)."""
+    from fel_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    n_planes = _ANN_BANDS * _ANN_BPB
+    planes = np.array(
+        [[_lsh_sign(p, j) for j in range(64)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: F.floor(x * 1000)
+        )
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_topk(e, q, k=5, bands=_ANN_BANDS, planes=planes).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    bf = brute_force_topk(e, q, k=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    hits = bf.join(lsh, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("_h")
+    )
+    base = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+        F.floor(F.coalesce("_h", F.lit(0)) * 10000 / F.col("n_true"))
+        .cast("long")
+        .alias("recall_4dp"),
+    )
+
+
 def q_doc_semantic_dedup(spark, sf_dir):
     """SemDeDup (`dedup.semantic_dedup`) value-checked end-to-end with a
     pinned codebook (first 4 embedding rows) and planted near-copies
@@ -1224,6 +1306,44 @@ def q_doc_semantic_dedup(spark, sf_dir):
         "cell_id",
         F.floor(F.col("cent_cos") * 100000).cast("long").alias("cent_cos_5dp"),
         "keep",
+    )
+
+
+def q_coherence_lattice(spark, sf_dir):
+    """C1/C2 in the driver gate: the REAL `coherent_assignments` operator
+    (forward+backward lattice DP, mapInPandas per conversation) on a pinned
+    4-mention n-best lattice — the hard-coded-lattice pattern of
+    `CoherentEntityLinker.main` (:86-141) incl. the test.txt canonical
+    case: the bare "clinton" mention node-prefers the wrong entity
+    ("clinton park" — higher surface Dice), and the coherence transition
+    from the neighboring "hillary clinton" mention must flip it so both
+    Clintons land on ONE entity. Entity keys are deliberately OOV (empty
+    broadcast matrix), so the blend is exactly 0.5·lexical-Dice — exact
+    rational arithmetic both engines — and the oracle unrolls the same DP
+    in SQL (argmax margins ~0.7 in log space, far from float noise)."""
+    from fel_spark.operators.coherence import coherent_assignments
+    from fel_spark.operators.context import EmbeddingMatrix
+
+    rows = [
+        ("conv1", "m0", 0, "huma abedin",
+         [(1, "e1", "huma abedin"), (2, "e2", "uma thurman")]),
+        ("conv1", "m1", 1, "hillary clinton",
+         [(3, "e3", "hillary clinton"), (4, "e4", "clinton park")]),
+        ("conv1", "m2", 2, "clinton",
+         [(4, "e4", "clinton park"), (3, "e3", "hillary clinton")]),
+        ("conv1", "m3", 3, "abedin",
+         [(1, "e1", "huma abedin"), (5, "e5", "abedin village")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, mention_id string, order_idx int, surface string, "
+        "candidates array<struct<entity_id:int, entity_key:string, name:string>>",
+    )
+    bc = spark.sparkContext.broadcast(
+        EmbeddingMatrix({}, np.zeros((0, 4), dtype=np.float32))
+    )
+    return coherent_assignments(df, bc).select(
+        "conv_id", "mention_id", "surface", "entity_id"
     )
 
 
@@ -1485,11 +1605,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_model": q_doc_langid_model,
         "doc_quality_model": q_doc_quality_model,
         "bigram_dice_pairs": q_bigram_dice_pairs,
+        "coherence_lattice": q_coherence_lattice,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_md5": q_ann_lsh_md5,
         "embed_neardup_md5": q_embed_neardup_md5,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fixed": q_ann_ivf_fixed,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "doc_semantic_dedup": q_doc_semantic_dedup,
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
@@ -1503,38 +1626,43 @@ _TOKS = "list_filter(string_split(" + _NORM + ", ' '), t -> len(t) > 0)"
 def _langid_model_oracle() -> str:
     """SQL replay of q_doc_langid_model, generated from the same
     _LANGID_MODEL dict (no transcription drift): per-language weight sums
-    via list_transform CASE, argmax with the model's sorted-lang-first tie
-    cascade, 'other' only on zero vocabulary hits (the operator's
-    fallback gate — NOT on non-positive max, so negative/zero model
-    weights still label documents that hit the vocabulary)."""
+    AND per-language hit counts via list_transform CASE; the winner is the
+    first (sorted-lang order — the np.argmax first-max convention) language
+    that has >= 1 vocabulary hit and whose score is >= every other HIT
+    language's score; zero hits everywhere -> 'other' (the operator's
+    hit-restricted argmax: a no-hit language's 0.0 sum never wins, so
+    negative/zero model weights still label correctly)."""
     langs = sorted(_LANGID_MODEL)
     toks = _TOKS.format(c="text")
-    vocab = sorted({t for tw in _LANGID_MODEL.values() for t in tw})
-    hit_cases = " ".join(f"WHEN '{t}' THEN 1" for t in vocab)
-    sums = [
-        f"coalesce(list_sum(list_transform(toks, w -> CASE w {hit_cases} "
-        f"ELSE 0 END)), 0) AS n_hits"
-    ]
+    sums = []
     for lang in langs:
         cases = " ".join(
             f"WHEN '{t}' THEN {w}" for t, w in _LANGID_MODEL[lang].items()
         )
+        hit_cases = " ".join(f"WHEN '{t}' THEN 1" for t in _LANGID_MODEL[lang])
         sums.append(
             f"coalesce(list_sum(list_transform(toks, w -> CASE w {cases} "
             f"ELSE 0.0 END)), 0.0) AS s_{lang}"
         )
-    cascade = " ".join(
-        f"WHEN {' AND '.join(f's_{langs[i]} >= s_{o}' for o in langs[i + 1:]) or 'TRUE'} "
-        f"THEN '{langs[i]}'"
-        for i in range(len(langs) - 1)
-    )
+        sums.append(
+            f"coalesce(list_sum(list_transform(toks, w -> CASE w {hit_cases} "
+            f"ELSE 0 END)), 0) AS h_{lang}"
+        )
+    conds = []
+    for i, lang in enumerate(langs):
+        others = [
+            f"(h_{o} = 0 OR s_{lang} >= s_{o})" for o in langs if o != lang
+        ]
+        conds.append(
+            f"WHEN h_{lang} > 0 AND {' AND '.join(others) or 'TRUE'} THEN '{lang}'"
+        )
+    cascade = " ".join(conds)
     return f"""
         WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
         s AS (SELECT doc_id, {", ".join(sums)} FROM t)
         SELECT doc_id,
-               CASE WHEN n_hits = 0 THEN 'other'
-                    {cascade}
-                    ELSE '{langs[-1]}' END AS lang_pred
+               CASE {cascade}
+                    ELSE 'other' END AS lang_pred
         FROM s
     """
 
@@ -1591,6 +1719,74 @@ def _ann_lsh_oracle() -> str:
                CAST(floor(list_cosine_similarity(v.emb, q.emb) * 100000) AS BIGINT) AS cos_5dp
         FROM keys q, keys v
         WHERE q.vec_id < 3 AND v.vec_id != q.vec_id AND ({key_eq})
+    """
+
+
+def _ann_lsh_recall_oracle() -> str:
+    """SQL replay of q_ann_lsh_recall: quantized corpus, ±1 plane literals
+    (same :func:`_lsh_sign` generator), banded candidate join + exact
+    cosine top-5 re-rank for the LSH side, brute-force top-5 for the
+    truth side, per-query hit-count recall."""
+    n_planes = _ANN_BANDS * _ANN_BPB
+    plane_lits = [
+        "[" + ",".join(str(_lsh_sign(p, j)) for j in range(64)) + "]"
+        for p in range(n_planes)
+    ]
+    bits = ",\n                   ".join(
+        f"CASE WHEN list_dot_product(qi, {plane_lits[p]}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    keys = ", ".join(
+        f"(b{b * _ANN_BPB} + 2*b{b * _ANN_BPB + 1} + 4*b{b * _ANN_BPB + 2}) AS k{b}"
+        for b in range(_ANN_BANDS)
+    )
+    key_eq = " OR ".join(f"q.k{b} = v.k{b}" for b in range(_ANN_BANDS))
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1000)) AS emb,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS qi
+            FROM embeddings
+        ),
+        bits AS (
+            SELECT vec_id, emb,
+                   {bits}
+            FROM base
+        ),
+        keys AS (SELECT vec_id, emb, {keys} FROM bits),
+        lsh AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, q.emb) DESC,
+                                    v.vec_id ASC) AS rk
+                FROM keys q, keys v
+                WHERE q.vec_id < 3 AND v.vec_id != q.vec_id AND ({key_eq})
+            ) WHERE rk <= 5
+        ),
+        bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, q.emb) DESC,
+                                    v.vec_id ASC) AS rk
+                FROM base q, base v
+                WHERE q.vec_id < 3 AND v.vec_id != q.vec_id
+            ) WHERE rk <= 5
+        ),
+        hits AS (
+            SELECT bf.query_id, count(*) AS h
+            FROM bf JOIN lsh USING (query_id, neighbor_id) GROUP BY 1
+        ),
+        tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM bf GROUP BY 1)
+        SELECT tot.query_id, n_true,
+               CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+               CAST(floor(coalesce(h, 0) * 10000 / n_true) AS BIGINT) AS recall_4dp
+        FROM tot LEFT JOIN hits USING (query_id)
     """
 
 
@@ -2667,7 +2863,133 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS dice_4dp
             FROM pr LEFT JOIN iv USING (k)
         """,
+        # coherence lattice replay: same pinned 4-mention lattice, Dice via
+        # the multiset bigram machinery, forward/backward DP unrolled (f0-f3
+        # / b3-b0), merged argmax with first-max (pos ASC) tie-break — the
+        # np.argmax convention.
+        "coherence_lattice": """
+            WITH strs AS (
+                SELECT * FROM (VALUES ('huma abedin'), ('hillary clinton'),
+                    ('clinton'), ('abedin'), ('uma thurman'),
+                    ('clinton park'), ('abedin village')) AS t(s)
+            ),
+            bgl AS (
+                SELECT s, flatten(list_transform(string_split(s, ' '),
+                    w -> list_transform(range(1, len(w)), i -> substr(w, i, 2)))) AS bgs
+                FROM strs
+            ),
+            cnt AS (
+                SELECT s, bg, count(*) AS c
+                FROM (SELECT s, unnest(bgs) AS bg FROM bgl) GROUP BY 1, 2
+            ),
+            tot AS (SELECT s, len(bgs) AS n FROM bgl),
+            iv AS (
+                SELECT ca.s AS sa, cb.s AS sb, sum(least(ca.c, cb.c)) AS i
+                FROM cnt ca JOIN cnt cb ON ca.bg = cb.bg GROUP BY 1, 2
+            ),
+            dice AS (
+                SELECT a.s AS sa, b.s AS sb,
+                       CASE WHEN ta.n + tb.n > 0
+                            THEN (2.0 * coalesce(iv.i, 0)) / (ta.n + tb.n)
+                            ELSE CASE WHEN a.s = b.s THEN 1.0 ELSE 0.0 END END AS d
+                FROM strs a
+                CROSS JOIN strs b
+                JOIN tot ta ON ta.s = a.s
+                JOIN tot tb ON tb.s = b.s
+                LEFT JOIN iv ON iv.sa = a.s AND iv.sb = b.s
+            ),
+            men AS (
+                SELECT * FROM (VALUES (0, 'm0', 'huma abedin'),
+                    (1, 'm1', 'hillary clinton'), (2, 'm2', 'clinton'),
+                    (3, 'm3', 'abedin')) AS t(idx, mention_id, surface)
+            ),
+            cand AS (
+                SELECT * FROM (VALUES
+                    (0, 0, 1, 'huma abedin'), (0, 1, 2, 'uma thurman'),
+                    (1, 0, 3, 'hillary clinton'), (1, 1, 4, 'clinton park'),
+                    (2, 0, 4, 'clinton park'), (2, 1, 3, 'hillary clinton'),
+                    (3, 0, 1, 'huma abedin'), (3, 1, 5, 'abedin village')
+                ) AS t(idx, pos, eid, name)
+            ),
+            node AS (
+                SELECT c.idx, c.pos, c.eid, c.name,
+                       greatest(CASE WHEN d.d > 0 THEN ln(0.5 * d.d)
+                                     ELSE -10000.0 END, -10000.0) AS nv
+                FROM cand c
+                JOIN men m ON m.idx = c.idx
+                JOIN dice d ON d.sa = c.name AND d.sb = m.surface
+            ),
+            tr AS (
+                SELECT sa, sb, CASE WHEN d > 0 THEN ln(0.5 * d)
+                                    ELSE -10000.0 END AS tv
+                FROM dice
+            ),
+            f0 AS (SELECT pos, name, nv AS v FROM node WHERE idx = 0),
+            f1 AS (
+                SELECT n.pos, n.name, greatest(max(p.v + t.tv + n.nv), -10000.0) AS v
+                FROM node n JOIN f0 p ON TRUE
+                JOIN tr t ON t.sa = p.name AND t.sb = n.name
+                WHERE n.idx = 1 GROUP BY n.pos, n.name
+            ),
+            f2 AS (
+                SELECT n.pos, n.name, greatest(max(p.v + t.tv + n.nv), -10000.0) AS v
+                FROM node n JOIN f1 p ON TRUE
+                JOIN tr t ON t.sa = p.name AND t.sb = n.name
+                WHERE n.idx = 2 GROUP BY n.pos, n.name
+            ),
+            f3 AS (
+                SELECT n.pos, n.name, greatest(max(p.v + t.tv + n.nv), -10000.0) AS v
+                FROM node n JOIN f2 p ON TRUE
+                JOIN tr t ON t.sa = p.name AND t.sb = n.name
+                WHERE n.idx = 3 GROUP BY n.pos, n.name
+            ),
+            b3 AS (SELECT pos, name, nv AS v FROM node WHERE idx = 3),
+            b2 AS (
+                SELECT n.pos, n.name, greatest(max(p.v + t.tv + n.nv), -10000.0) AS v
+                FROM node n JOIN b3 p ON TRUE
+                JOIN tr t ON t.sa = p.name AND t.sb = n.name
+                WHERE n.idx = 2 GROUP BY n.pos, n.name
+            ),
+            b1 AS (
+                SELECT n.pos, n.name, greatest(max(p.v + t.tv + n.nv), -10000.0) AS v
+                FROM node n JOIN b2 p ON TRUE
+                JOIN tr t ON t.sa = p.name AND t.sb = n.name
+                WHERE n.idx = 1 GROUP BY n.pos, n.name
+            ),
+            b0 AS (
+                SELECT n.pos, n.name, greatest(max(p.v + t.tv + n.nv), -10000.0) AS v
+                FROM node n JOIN b1 p ON TRUE
+                JOIN tr t ON t.sa = p.name AND t.sb = n.name
+                WHERE n.idx = 0 GROUP BY n.pos, n.name
+            ),
+            fwd AS (
+                SELECT 0 AS idx, pos, v FROM f0 UNION ALL
+                SELECT 1, pos, v FROM f1 UNION ALL
+                SELECT 2, pos, v FROM f2 UNION ALL
+                SELECT 3, pos, v FROM f3
+            ),
+            bwd AS (
+                SELECT 3 AS idx, pos, v FROM b3 UNION ALL
+                SELECT 2, pos, v FROM b2 UNION ALL
+                SELECT 1, pos, v FROM b1 UNION ALL
+                SELECT 0, pos, v FROM b0
+            ),
+            sel AS (
+                SELECT m.mention_id, m.surface, c.eid,
+                       row_number() OVER (
+                           PARTITION BY f.idx
+                           ORDER BY f.v + b.v DESC, c.pos ASC) AS rk
+                FROM fwd f
+                JOIN bwd b ON b.idx = f.idx AND b.pos = f.pos
+                JOIN cand c ON c.idx = f.idx AND c.pos = f.pos
+                JOIN men m ON m.idx = f.idx
+            )
+            SELECT 'conv1' AS conv_id, mention_id, surface,
+                   CAST(eid AS INT) AS entity_id
+            FROM sel WHERE rk = 1
+        """,
         "ann_lsh_md5": _ann_lsh_oracle(),
+        "ann_lsh_recall": _ann_lsh_recall_oracle(),
         "embed_neardup_md5": _embed_neardup_oracle(),
         # IVF with a pinned codebook (first 8 rows): cell = argmax cosine
         # to a centroid (ties -> smaller centroid id, matching the stable
@@ -2717,6 +3039,71 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
                 FROM cand
             ) WHERE rk <= 5
+        """,
+        # recall@5 of the pinned-codebook IVF path vs brute force: the
+        # ann_ivf_fixed candidate derivation + a bf twin + hit-count join.
+        "ann_ivf_recall": """
+            WITH cents AS (
+                SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            vcell AS (
+                SELECT vec_id, embedding, cent_id AS cell_id FROM (
+                    SELECT e.vec_id, e.embedding, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                                        c.cent_id ASC) AS rnk
+                    FROM embeddings e, cents c
+                ) WHERE rnk = 1
+            ),
+            qcell AS (
+                SELECT query_id, qv, cent_id AS cell_id FROM (
+                    SELECT q.vec_id AS query_id,
+                           CAST(q.embedding AS DOUBLE[]) AS qv, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(q.embedding AS DOUBLE[]), c.cv) DESC,
+                                        c.cent_id ASC) AS rnk
+                    FROM embeddings q, cents c WHERE q.vec_id < 3
+                ) WHERE rnk <= 3
+            ),
+            ivf AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT qc.query_id, v.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY qc.query_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(v.embedding AS DOUBLE[]), qc.qv) DESC,
+                                        v.vec_id ASC) AS rk
+                    FROM vcell v JOIN qcell qc USING (cell_id)
+                    WHERE v.vec_id != qc.query_id
+                ) WHERE rk <= 5
+            ),
+            bf AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])) DESC,
+                                        e.vec_id ASC) AS rk
+                    FROM embeddings e, embeddings q
+                    WHERE q.vec_id < 3 AND e.vec_id != q.vec_id
+                ) WHERE rk <= 5
+            ),
+            hits AS (
+                SELECT bf.query_id, count(*) AS h
+                FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1
+            ),
+            tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM bf GROUP BY 1)
+            SELECT tot.query_id, n_true,
+                   CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+                   CAST(floor(coalesce(h, 0) * 10000 / n_true) AS BIGINT) AS recall_4dp
+            FROM tot LEFT JOIN hits USING (query_id)
         """,
         # leak provenance: distinct (id, fp) both sides, join on eval fps,
         # per-eval-doc rollup.

@@ -94,17 +94,21 @@ def _pair_trans_matrix(emb, dice: _DiceTable, prev_cands, cands) -> np.ndarray:
     nothing per-pair in Python."""
     kp = [c["entity_key"] for c in prev_cands]
     kc = [c["entity_key"] for c in cands]
-    ip = emb.ids_for(np.asarray(kp, dtype=object))
-    ic = emb.ids_for(np.asarray(kc, dtype=object))
-    vp = emb.matrix[np.clip(ip, 0, None)].astype(np.float64)
-    vp[ip < 0] = 0.0
-    vc = emb.matrix[np.clip(ic, 0, None)].astype(np.float64)
-    vc[ic < 0] = 0.0
-    np_n = np.linalg.norm(vp, axis=1)
-    nc_n = np.linalg.norm(vc, axis=1)
-    denom = np.outer(np_n, nc_n)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        e2e = np.where(denom > 0, (vp @ vc.T) / np.where(denom == 0, 1, denom), 0.0)
+    if len(emb.matrix) == 0:
+        # all-OOV matrix (e.g. lexical-only lattice): cosine term is 0
+        e2e = np.zeros((len(prev_cands), len(cands)))
+    else:
+        ip = emb.ids_for(np.asarray(kp, dtype=object))
+        ic = emb.ids_for(np.asarray(kc, dtype=object))
+        vp = emb.matrix[np.clip(ip, 0, None)].astype(np.float64)
+        vp[ip < 0] = 0.0
+        vc = emb.matrix[np.clip(ic, 0, None)].astype(np.float64)
+        vc[ic < 0] = 0.0
+        np_n = np.linalg.norm(vp, axis=1)
+        nc_n = np.linalg.norm(vc, axis=1)
+        denom = np.outer(np_n, nc_n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e2e = np.where(denom > 0, (vp @ vc.T) / np.where(denom == 0, 1, denom), 0.0)
     lex = dice.D[
         np.ix_(
             dice.rows([p["name"] for p in prev_cands]),

@@ -60,6 +60,9 @@ class EmbeddingMatrix:
             )
         if len(tokens) == 0:
             return np.empty(0, dtype=np.int64)
+        if len(self.vocab) == 0:
+            # all-OOV: indexing an empty id array with -1 would raise
+            return np.full(len(tokens), -1, dtype=np.int64)
         pos = self._index.get_indexer(np.asarray(tokens, dtype=object))
         return np.where(pos >= 0, self._index_ids[pos], -1)
 

@@ -106,13 +106,21 @@ def lsh_topk(
     n_planes: int = 12,
     bands: int = 4,
     seed: int = 1234,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: both sides bucketed by random-hyperplane bands;
     candidates = bucket collisions; exact cosine re-rank. Recall grows with
-    ``bands`` (multi-probe), cost shrinks with ``n_planes/bands`` bits."""
-    first = vectors.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    ``bands`` (multi-probe), cost shrinks with ``n_planes/bands`` bits.
+
+    ``planes`` pins the hyperplane matrix (replacing the seeded Gaussian
+    draw) — the hook that makes the chain SQL-replayable in the driver
+    gate (`ann_lsh_recall`), same pattern as `ivf_topk`'s ``centroids``."""
+    if planes is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+        planes = np.random.RandomState(seed).randn(n_planes, dim)
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
 
     v = vectors.select(id_col, vec_col).withColumn(
         "bk", F.explode(_band_keys_expr(planes, bands, F.col(vec_col)))

@@ -83,9 +83,15 @@ class LangIdModel:
                 vocab.setdefault(t, len(vocab))
         self.token_index = pd.Index(list(vocab))
         self.weights = np.zeros((max(len(vocab), 1), len(self.langs)))
+        # presence distinguishes "token in this language's table (weight may
+        # be 0 or negative)" from "absent": the argmax is restricted to
+        # languages with >= 1 vocabulary hit, so a no-hit language's 0.0 sum
+        # can never beat a negative-scored language that DID hit
+        self.presence = np.zeros_like(self.weights)
         for li, lang in enumerate(self.langs):
             for t, w in lang_token_weights[lang].items():
                 self.weights[vocab[t], li] = w
+                self.presence[vocab[t], li] = 1.0
 
 
 def language_id(
@@ -114,13 +120,17 @@ def language_id(
         ok = pos >= 0
         scores = np.zeros((n, len(model.langs)))
         np.add.at(scores, rows[ok], model.weights[pos[ok]])
-        # fall back only on genuinely zero vocabulary hits — a fastText-style
-        # table may carry negative/zero weights, and a document that DID hit
-        # the vocabulary must be labeled by argmax, not defaulted
-        hits = np.zeros(n)
-        np.add.at(hits, rows[ok], 1.0)
+        # per-language hit counts: the argmax runs over hit languages only
+        # (a fastText-style table may carry negative/zero weights — a
+        # language the document never touched must not win on its 0.0 sum),
+        # and a document with zero hits anywhere falls back to default_lang
+        lang_hits = np.zeros((n, len(model.langs)))
+        np.add.at(lang_hits, rows[ok], model.presence[pos[ok]])
+        masked = np.where(lang_hits > 0, scores, -np.inf)
         langs = np.asarray(model.langs, dtype=object)
-        out = np.where(hits > 0, langs[scores.argmax(axis=1)], default_lang)
+        out = np.where(
+            lang_hits.sum(axis=1) > 0, langs[masked.argmax(axis=1)], default_lang
+        )
         return pd.Series(out, index=toks.index, dtype=object)
 
     return _lid(normalize_tokens(text_col))

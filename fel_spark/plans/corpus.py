@@ -71,8 +71,18 @@ def run_corpus_prep(
     runner = StageRunner(spark, run_dir)
 
     def _filtered(r: StageRunner) -> DataFrame:
+        fk = dict(filter_kwargs or {})
+        if "bc_lang_model" not in fk:
+            # default to the SHIPPED weight table (fel_spark/models) — the
+            # stopword heuristic is only the explicit bc_lang_model=None
+            # opt-out, never the silent default of a production run
+            from fel_spark.models import default_langid_model
+
+            fk["bc_lang_model"] = spark.sparkContext.broadcast(
+                default_langid_model()
+            )
         dec = corpus_filter_decisions(
-            docs, id_col=id_col, text_col=text_col, **(filter_kwargs or {})
+            docs, id_col=id_col, text_col=text_col, **fk
         )
         r.log_aux("filter_audit", filter_audit(dec))
         return docs.join(

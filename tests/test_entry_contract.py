@@ -28,6 +28,10 @@ SUBSET = [
     "knn_bruteforce",
     "ann_lsh_md5",
     "ann_ivf_fixed",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "coherence_lattice",
+    "wiki_dict_counts",
     "doc_repetition",
     "doc_pii_scrub",
     "events_sessionize",
@@ -71,6 +75,33 @@ def test_queries_have_oracles_or_reason():
         "ann_ivf",
         "entity_embeddings",
     }
+
+
+def test_coherence_lattice_clinton_flip(spark):
+    """The driver lattice row must encode the reference's canonical
+    test.txt behavior: the bare 'clinton' mention node-prefers 'clinton
+    park' but coherence flips it onto the SAME entity as the neighboring
+    'hillary clinton' mention (CoherentEntityLinkerWrapper.main,
+    :126-150)."""
+    out = {
+        r["mention_id"]: r["entity_id"]
+        for r in E.queries()["coherence_lattice"](spark, SF_DIR).collect()
+    }
+    assert out["m1"] == out["m2"] == 3  # both Clintons -> Hillary Clinton
+    assert out["m0"] == 1
+
+
+def test_ann_recall_values(spark):
+    """The driver-gated recall rows must certify real quality, not just
+    match the oracle: mean recall@5 over the probe queries >= 0.8 (IVF,
+    n_probe=3; observed 0.93) and >= 0.6 (12-plane/4-band LSH; observed
+    0.67-0.8) — the gate catches a silent candidate-generation
+    regression."""
+    for name, floor in (("ann_ivf_recall", 8000), ("ann_lsh_recall", 6000)):
+        rows = E.queries()[name](spark, SF_DIR).collect()
+        assert len(rows) == 3
+        mean = sum(r["recall_4dp"] for r in rows) / len(rows)
+        assert mean >= floor, (name, [tuple(r) for r in rows])
 
 
 @pytest.mark.parametrize("name", SUBSET)
