@@ -1544,13 +1544,24 @@ def q_media_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """CURATED ORDER: the driver's correctness battery runs a ~50-query
+    prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
+    first 50 entries carry one VALUE-CHECKED representative of every
+    operator family — relational core, windows, events, text functions,
+    dictionary build (incl. the wikipack e2e), coherence lattice, the
+    entire dedup family (exact, minhash-CC, exact-Jaccard-CC, simhash,
+    ngram, embedding, semantic), span/containment/decontamination,
+    filtering/quality/langid (shipped-model variants), splits/packing,
+    and the ANN recall gates. Entries after #50 are variants of
+    already-covered families (heuristic twins, rows-only scale paths,
+    md5 sub-chains) — all still oracle-checkable via
+    scripts/check_oracle.py and pytest."""
     return {
+        # --- relational core (P1/P2, A1-A8, J1-J5, semi) ---
         "filter_project": q_filter_project,
         "agg_pair_counts": q_agg_pair_counts,
-        "agg_marginal": q_agg_marginal,
         "agg_mixed": q_agg_mixed,
         "global_totals_cross": q_global_totals_cross,
-        "distinct_rows": q_distinct_rows,
         "count_distinct_group": q_count_distinct_group,
         "collect_pack": q_collect_pack,
         "join_chain": q_join_chain,
@@ -1558,64 +1569,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_key_join": q_composite_key_join,
         "broadcast_dim_join": q_broadcast_dim_join,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
+        # --- windows / sort / set (W1-W6, §2.6) ---
         "topk_window": q_topk_window,
         "top1_group": q_top1_group,
         "global_sort_limit": q_global_sort_limit,
         "dense_id": q_dense_id,
         "union_merge": q_union_merge,
+        # --- events / transcripts ---
         "events_lag_window": q_events_lag_window,
-        "events_daily_rollup": q_events_daily_rollup,
-        "doc_normalize": q_doc_normalize,
+        "events_sessionize": q_events_sessionize,
+        "conv_integrity": q_conv_integrity,
+        # --- text functions (P3-P8, P12, fingerprint) ---
         "doc_normalize_full": q_doc_normalize_full,
-        "url_codec": q_url_codec,
         "doc_token_stats": q_doc_token_stats,
-        "intent_part": q_intent_part,
         "doc_fingerprint": q_doc_fingerprint,
+        "media_features": q_media_features,
+        # --- dictionary build / ER kernels (A1-A12, J7, M9, C1/C2, M3) ---
+        "dict_build_counts": q_dict_build_counts,
+        "subngram_qat": q_subngram_qat,
+        "type_lm_scores": q_type_lm_scores,
+        "bigram_dice_pairs": q_bigram_dice_pairs,
+        "wiki_dict_counts": q_wiki_dict_counts,
+        "coherence_lattice": q_coherence_lattice,
+        "entity_embeddings": q_entity_embeddings,
+        # --- dedup family (one value-checked row per variant) ---
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_hash_split": q_doc_hash_split,
-        "doc_span_dup": q_doc_span_dup,
+        "dedup_clusters_md5": q_dedup_clusters_md5,
+        "dedup_clusters_exact": q_dedup_clusters_exact,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
+        "ngram_jaccard_md5": q_ngram_jaccard_md5,
+        "embed_neardup_md5": q_embed_neardup_md5,
+        "doc_semantic_dedup": q_doc_semantic_dedup,
+        # --- span dedup / containment / decontamination ---
         "doc_span_coverage": q_doc_span_coverage,
-        "doc_filter": q_doc_filter,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_pack_chunks": q_doc_pack_chunks,
         "doc_span_excise": q_doc_span_excise,
         "doc_containment": q_doc_containment,
         "doc_decontaminate": q_doc_decontaminate,
-        "doc_decontaminate_report": q_doc_decontaminate_report,
-        "doc_langid": q_doc_langid,
-        "knn_bruteforce": q_knn_bruteforce,
-        "minhash_near_dup": q_minhash_near_dup,
-        "doc_quality": q_doc_quality,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "events_sessionize": q_events_sessionize,
-        "conv_integrity": q_conv_integrity,
-        "dict_build_counts": q_dict_build_counts,
-        "wiki_dict_counts": q_wiki_dict_counts,
-        "subngram_qat": q_subngram_qat,
-        "type_lm_scores": q_type_lm_scores,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_pairs_md5": q_simhash_pairs_md5,
-        "minhash_pairs_md5": q_minhash_pairs_md5,
-        "ngram_jaccard_md5": q_ngram_jaccard_md5,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_md5": q_dedup_clusters_md5,
-        "dedup_clusters_exact": q_dedup_clusters_exact,
+        # --- filtering / quality / langid (shipped-model defaults) ---
+        "doc_filter": q_doc_filter,
         "doc_langid_model": q_doc_langid_model,
         "doc_quality_model": q_doc_quality_model,
-        "bigram_dice_pairs": q_bigram_dice_pairs,
-        "coherence_lattice": q_coherence_lattice,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_md5": q_ann_lsh_md5,
-        "embed_neardup_md5": q_embed_neardup_md5,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_fixed": q_ann_ivf_fixed,
-        "ann_ivf_recall": q_ann_ivf_recall,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        # --- splits / packing ---
+        "doc_hash_split": q_doc_hash_split,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        # --- ANN quality gates (close the 50-entry battery prefix) ---
         "ann_lsh_recall": q_ann_lsh_recall,
-        "doc_semantic_dedup": q_doc_semantic_dedup,
-        "entity_embeddings": q_entity_embeddings,
-        "media_features": q_media_features,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        # ================= beyond the driver's ~50-query cap ==============
+        # variants of families already value-checked above
+        "knn_bruteforce": q_knn_bruteforce,
+        "ann_lsh_md5": q_ann_lsh_md5,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
+        "agg_marginal": q_agg_marginal,
+        "distinct_rows": q_distinct_rows,
+        "anti_join": q_anti_join,
+        "events_daily_rollup": q_events_daily_rollup,
+        "doc_normalize": q_doc_normalize,
+        "url_codec": q_url_codec,
+        "intent_part": q_intent_part,
+        "doc_langid": q_doc_langid,
+        "doc_quality": q_doc_quality,
+        "doc_span_dup": q_doc_span_dup,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_decontaminate_report": q_doc_decontaminate_report,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
+        # rows-only scale paths (no SQL oracle by nature)
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

@@ -416,14 +416,21 @@ def link_mentions(
     entities: DataFrame,
     bc_emb=None,
     max_span: int = MAX_SPAN_TOKENS,
+    cand_dict: DataFrame | None = None,
 ) -> DataFrame:
     """transcripts -> linked mentions (one row per chosen mention).
 
     Output: conv_id, turn_idx, start, length, span, entity_id, entity_key,
     score, mention_id.
+
+    ``cand_dict`` injects a pre-built `prepare_candidate_dict` result
+    (persist it once per job, the FEL load-datapack-at-startup analogue,
+    `FastEntityLinker.java:474`) so repeated linking runs don't re-score
+    and re-sort the dictionary.
     """
     spans = enumerate_spans(transcripts, max_span)
-    cand_dict = prepare_candidate_dict(alias_dict, entities)
+    if cand_dict is None:
+        cand_dict = prepare_candidate_dict(alias_dict, entities)
     cands = candidate_mentions(spans, cand_dict)
     scored = score_candidates(cands, transcripts=transcripts, bc_emb=bc_emb)
     best = best_candidate_per_span(scored)

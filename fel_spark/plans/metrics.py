@@ -158,7 +158,21 @@ class StageRunner:
         trail."""
         df.write.mode("append").parquet(os.path.join(self.run_dir, "_aux", name))
 
-    def read_stage(self, name: str) -> DataFrame:
+    def read_stage(self, name: str, snapshot: int | None = None) -> DataFrame:
+        """Read a stage's materialized snapshot. ``snapshot`` pins the read
+        to a specific snapshot id (the Iceberg snapshot-id-addressed-read
+        analogue): if the stage on disk is NOT that snapshot — rebuilt
+        since the caller recorded the id — the read fails loudly instead
+        of silently serving different data."""
+        if snapshot is not None:
+            cur = self.snapshot_id(name)
+            if cur != snapshot:
+                raise ValueError(
+                    f"stage '{name}' is at snapshot {cur}, not the requested "
+                    f"{snapshot}; it was rebuilt since the id was recorded "
+                    "(parquet-with-manifest keeps only the latest snapshot — "
+                    "re-resolve or re-run the downstream stage)"
+                )
         return self.spark.read.parquet(self._stage_path(name))
 
     def metrics_df(self) -> DataFrame:

@@ -35,6 +35,7 @@ def run_er(
     bc_emb=None,
     threshold: float = scoring.DEFAULT_THRESHOLD,
     max_block: int = blocking.DEFAULT_MAX_BLOCK,
+    cand_dict: DataFrame | None = None,
 ) -> ERResult:
     """transcripts -> linked mentions -> representative dedup -> blocked
     self-join -> pairwise scoring -> connected components -> clusters.
@@ -49,7 +50,9 @@ def run_er(
     dedup-then-score. Salted block caps remain as the backstop for residual
     skew among *distinct* surfaces, and AQE skew-join handles the shuffle.
     """
-    linked = M.link_mentions(transcripts, alias_dict, entities, bc_emb=bc_emb)
+    linked = M.link_mentions(
+        transcripts, alias_dict, entities, bc_emb=bc_emb, cand_dict=cand_dict
+    )
     # EAGER: three consumers (reps, blocked_m, the final fan-out join) plus
     # AQE query-stage jobs each re-plan the DataFrame — a lazy checkpoint is
     # not reliably reused across those jobs (observed 3x recomputation of

@@ -71,6 +71,10 @@ def test_stage_runner_same_second_rebuild_invalidates(spark, tmp_path):
     out = runner2.run_stage("down", build_down, inputs=("up",))
     assert calls["down"] == 2
     assert out.agg(F.min("v")).collect()[0][0] == 2  # built from rebuilt input
+    # snapshot-id-addressed read: a pinned stale id fails loudly
+    assert runner2.read_stage("up", snapshot=runner2.snapshot_id("up")).count() == 5
+    with pytest.raises(ValueError, match="rebuilt"):
+        runner2.read_stage("up", snapshot=gen_up1)
 
 
 def test_er_checkpointed_end_to_end(spark, dict_pack, tiny_corpus, tmp_path):
@@ -223,6 +227,71 @@ def test_incremental_cluster_stream_stateful(spark, tmp_path):
     assert rows["r003"] == "r003"
     assert rows["r010"] == "r001", rows  # cross-micro-batch state adoption
     assert rows["r011"] == "r011"
+
+
+def test_incremental_cluster_stream_equals_batch(spark, tmp_path):
+    """VERDICT r3 #8: on a replayed corpus of WELL-SEPARATED near-dup
+    groups (within-group Jaccard >= 0.5, cross-group < 0.5 — the regime
+    where greedy first-match and transitive closure provably coincide),
+    the streaming cluster PARTITIONS equal the batch
+    `jaccard_exact_clusters` partitions. Labels differ by design (stream:
+    first-arriving rep; batch: numeric min id), so the comparison is on
+    member sets."""
+    from pyspark.sql import functions as F
+
+    from fel_spark.operators.dedup import jaccard_exact_clusters
+    from fel_spark.streaming.incremental import incremental_cluster_stream
+
+    # 6 planted groups x 3 members: member toks = group core (6 tokens) +
+    # one member-specific token -> within-group J = 5/7 or 6/7 >= 0.5;
+    # cores are disjoint -> cross-group J = 0
+    rows = []
+    for g in range(6):
+        core = [f"g{g}tok{j}" for j in range(6)]
+        for m in range(3):
+            toks = core[: 5 + (m % 2)] + [f"g{g}extra{m}"]
+            rows.append((f"blk{g % 2}", 100 * g + m, toks))
+    schema = "block_key string, rep_id long, toks array<string>"
+    df = spark.createDataFrame(rows, schema)
+
+    batch = jaccard_exact_clusters(
+        df.select(
+            F.col("rep_id").alias("doc_id"),
+            F.array_join("toks", " ").alias("text"),
+        ),
+        threshold=0.5,
+    )
+    batch_parts = {
+        frozenset(r["ids"])
+        for r in batch.groupBy("cluster_id")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    }
+
+    src = str(tmp_path / "reps_eq")
+    df.select(
+        "block_key", F.col("rep_id").cast("string").alias("rep_id"), "toks"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("block_key string, rep_id string, toks array<string>")
+        .parquet(src)
+    )
+    q = (
+        incremental_cluster_stream(stream, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("incr_eq_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from incr_eq_test").collect()
+    assert len(got) == len(rows)
+    by_cluster: dict[str, set[int]] = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_id"], set()).add(int(r["rep_id"]))
+    stream_parts = {frozenset(v) for v in by_cluster.values()}
+    assert stream_parts == batch_parts
 
 
 def test_eval_xml_reader(spark, tmp_path):

@@ -78,3 +78,54 @@ def test_session_rollup_stream(spark, tmp_path):
         for r in spark.sql("select * from session_rollup_test").collect()
     }
     assert got == {(1, 3), (1, 1), (2, 1)}
+
+
+def test_session_rollup_stream_equals_batch(spark, tmp_path):
+    """VERDICT r3 #8: the streaming session rollup must agree with the
+    batch operator on the same (gap-interior) input — same session
+    partitions, same event counts, same first-event timestamps. Gaps are
+    drawn deterministically away from the exact-30-min boundary, the one
+    documented divergence (batch strict->, session_window half-open)."""
+    from pyspark.sql import functions as F
+
+    from fel_spark.streaming.incremental import session_rollup_stream
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    for u in range(1, 21):
+        t = base + timedelta(minutes=(u * 7) % 60)
+        for i in range(1 + (u % 5) * 3):
+            # deterministic gap: 1..25 min (same session) or 40..90 (new)
+            h = (u * 31 + i * 17) % 10
+            gap = 1 + (u + i * 3) % 25 if h < 7 else 40 + (u * i) % 51
+            t = t + timedelta(minutes=gap)
+            rows.append((u * 1000 + i, u, t))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+
+    batch = (
+        sessions.sessionize(df)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+    )
+    batch_set = {(r["user_id"], r["start"], r["n"]) for r in batch.collect()}
+
+    src = str(tmp_path / "events_eq")
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        session_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_eq_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_set = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from session_eq_test").collect()
+    }
+    assert stream_set == batch_set
