@@ -114,17 +114,7 @@ def run_er_bench(spark, n_conv: int, turns_per_conv: int, n_entities: int) -> di
     # outside the timed region so reps measure linking, not dict prep
     cand_dict = prepare_candidate_dict(ad, ents).localCheckpoint(eager=True)
 
-    # warmup at 1/8 size: JIT + python worker pool spin-up
-    warm = transcripts(
-        synth_transcripts_df(spark, pack, n_conv=max(n_conv // 8, 100), turns_per_conv=turns_per_conv)
-    )
-    run_er(warm, ad, ents, bc_emb=bc, cand_dict=cand_dict).mentions.count()
-
     turns = n_conv * turns_per_conv
-    # default 3 reps, best-of: the first measured rep still pays residual
-    # JIT/codegen warmup, and this host's CPU-steal storms slow identical
-    # runs 1.5-4x for minutes (observed 197s/44s back-to-back); the minimum
-    # tracks engine capacity, and rep_secs exposes the full spread
     reps = max(1, int(os.environ.get("FEL_BENCH_ER_REPS", "3")))
     # materialize the corpus once — the production input is an Iceberg/
     # Parquet table, not an on-the-fly generator; the measured job starts
@@ -132,6 +122,15 @@ def run_er_bench(spark, n_conv: int, turns_per_conv: int, n_entities: int) -> di
     corpus = transcripts(
         synth_transcripts_df(spark, pack, n_conv=n_conv, turns_per_conv=turns_per_conv)
     ).localCheckpoint(eager=True)
+
+    # FULL-SIZE untimed warmup: a 1/8-size warmup left the first measured
+    # rep paying a variable 2-5x first-full-size-encounter cost (JIT of
+    # full-size hash/shuffle paths + allocator/page-cache settling after
+    # the corpus checkpoint; observed rep1 41-126 s vs 23-25 s steady).
+    # The reported number is STEADY-STATE throughput — FEL's MeasureSpeed
+    # likewise reports ms/query on a long-running warmed process
+    # (utils/MeasureSpeed.java:29-52, datapack loaded once at startup).
+    run_er(corpus, ad, ents, bc_emb=bc, cand_dict=cand_dict).mentions.count()
 
     secs, n_mentions = [], 0
     for _ in range(reps):
