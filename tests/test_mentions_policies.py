@@ -50,3 +50,44 @@ def test_max_iterative_policy_picks_peak(spark):
     ).collect()
     got = {(r["start"], r["length"], r["span"]) for r in out}
     assert got == {(2, 2, "b c")}
+
+
+def test_segment_dp_carry_across_arrow_batches(spark):
+    """The tensor DP holds back a batch-straddling turn and re-runs it with
+    the next Arrow batch: force 3-row batches over many multi-span turns
+    and require bit-identical output to the default batch size."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for t in range(40):
+        cid = f"c{t % 7}"
+        rows += [
+            (cid, t, 4, "a b", 1, 2, -1.0 - t * 0.01),
+            (cid, t, 4, "b c", 2, 2, -0.5 - t * 0.01),
+            (cid, t, 4, "c d", 3, 2, -3.0 + t * 0.01),
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, n_tokens int, span string, "
+        "start int, length int, seg_score double",
+    ).select(
+        "*",
+        F.lit(7).alias("entity_id"),
+        F.lit("_wiki_X").alias("entity_key"),
+        F.col("seg_score").alias("score"),
+    )
+
+    def run():
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["start"], r["length"], r["span"])
+            for r in M.segment_mentions(df, nil_score=-5.0).collect()
+        )
+
+    base = run()
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        tiny = run()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert tiny == base
+    assert len(base) == 80  # 2 chosen spans per turn
