@@ -263,11 +263,22 @@ def segment_mentions(
         N = int(n_tok.max()) if T else 0
         L = int(max_span)
         NEG = -1.0e300
+        # drop out-of-range spans BEFORE the scatter: the dict-based DP
+        # stored them but never consulted keys with ln > max_span or
+        # start+ln > n_tokens, so dropping is semantically identical (and
+        # keeps the tensor indices in bounds for hostile inputs)
+        ok = (
+            (lens >= 1)
+            & (lens <= L)
+            & (starts >= 1)
+            & (starts - 1 + lens <= n_tok[rows])
+        )
+        oki = np.nonzero(ok)[0]
         # score/payload tensors: (turn, start0, len-1). best_candidate_per_span
         # guarantees (turn, start, length) uniqueness, so scatter is exact;
         # the belt-and-braces tie rule for duplicate keys is max seg_score
         # (ascending lexsort -> last write wins)
-        order = np.lexsort((segs, lens, starts, rows))
+        order = oki[np.lexsort((segs[oki], lens[oki], starts[oki], rows[oki]))]
         S = np.full((T, N, L), NEG)
         IDX = np.full((T, N, L), -1, dtype=np.int64)
         S[rows[order], starts[order] - 1, lens[order] - 1] = segs[order]

@@ -91,3 +91,29 @@ def test_segment_dp_carry_across_arrow_batches(spark):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert tiny == base
     assert len(base) == 80  # 2 chosen spans per turn
+
+
+def test_segment_dp_ignores_out_of_range_spans(spark):
+    """Spans longer than max_span or extending past n_tokens are ignored
+    (the dict-based DP never consulted them), not a tensor index crash."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("c1", 0, 4, "a b", 1, 2, -1.0),
+        ("c1", 0, 4, "a b c d e", 1, 5, -0.1),  # length > max_span(4)
+        ("c1", 0, 4, "d e", 4, 2, -0.1),  # start+len-1 > n_tokens
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, n_tokens int, span string, "
+        "start int, length int, seg_score double",
+    ).select(
+        "*",
+        F.lit(7).alias("entity_id"),
+        F.lit("_wiki_X").alias("entity_key"),
+        F.col("seg_score").alias("score"),
+    )
+    got = {
+        (r["start"], r["length"]) for r in M.segment_mentions(df, nil_score=-5.0).collect()
+    }
+    assert got == {(1, 2)}
