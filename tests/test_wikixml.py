@@ -141,3 +141,25 @@ def test_anchors_feed_alias_dict(spark, dump_path):
     assert ad.count() > 0
     aliases = {r["alias"] for r in ad.collect()}
     assert "lovely beta" in aliases
+
+
+def test_resolve_redirects_paths_agree(spark, dump_path):
+    """Driver fast path (Arrow collect + pandas pointer jump) == the
+    distributed pointer-jumping loop on chains, cycles, and chains into
+    cycles."""
+    cases = [
+        wikixml.redirect_edges(wikixml.read_wikipedia_pages(spark, dump_path)),
+        spark.createDataFrame(
+            [("A", "B"), ("B", "A"), ("C", "A"), ("D", "C"), ("E", "F")],
+            "src string, dst string",
+        ),
+    ]
+    for edges in cases:
+        fast = {
+            (r["src"], r["dst"]) for r in wikixml.resolve_redirects(edges).collect()
+        }
+        dist = {
+            (r["src"], r["dst"])
+            for r in wikixml.resolve_redirects(edges, driver_max_edges=0).collect()
+        }
+        assert fast == dist
