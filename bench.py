@@ -69,7 +69,7 @@ def run_relational(spark, sf_dir: str) -> dict[str, float]:
     qs = E.queries()
     # session warmup, untimed: JVM/codegen JIT, python worker pool spin-up,
     # and parquet footer reads are session costs, not query costs — the ER
-    # bench pays them the same way (its 1/8-size warmup run below)
+    # bench pays them the same way (its full-size untimed warmup run)
     _materialize(qs[BENCH_QUERIES[0]](spark, sf_dir))
     # per-query best-of-N: single-shot timings on this host swing 1.5-4x
     # under CPU-steal storms (see rep_secs in the ER section); the minimum
@@ -168,12 +168,25 @@ def main() -> int:
 
     spark = get_spark(app_name="fel_spark_bench", master=args.master)
     t_total = time.time()
-    queries: dict[str, float] = {}
-    if not args.er_only:
-        queries = run_relational(spark, sf_dir)
+    # ER first, on the fresh JVM: it's the headline capacity number, and
+    # running it after the 27-query battery measured ~15% slower from
+    # accumulated session state (heap/codegen-cache/shuffle litter) than
+    # the same job on a clean session. The relational queries are small
+    # and each takes best-of-N with its own warmup, so battery order is
+    # state-insensitive; ER order is not.
     er = None
     if not args.skip_er:
         er = run_er_bench(spark, args.er_conv, args.er_turns_per_conv, args.er_entities)
+        # release ER's checkpoint/broadcast blocks before timing the
+        # battery: collect the now-unreferenced DataFrames so py4j frees
+        # the JVM refs and the ContextCleaner can drop their blocks
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+    queries: dict[str, float] = {}
+    if not args.er_only:
+        queries = run_relational(spark, sf_dir)
     total = round(time.time() - t_total, 2)
     # `value` is harness wall-clock (warmup passes + all reps + synthetic
     # corpus generation included — NOT comparable across rounds when rep/

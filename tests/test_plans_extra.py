@@ -336,3 +336,40 @@ def test_eval_xml_reader(spark, tmp_path):
     g = {r["entity_id"]: r for r in gold.collect()}
     assert set(g) == {"Brad_Pitt", "Paris"}
     assert g["Paris"]["session_id"] == "s2"
+
+
+def test_stage_runner_schema_evolution_propagates(spark, tmp_path):
+    """Iceberg-style schema evolution across rebuilds: when an upstream
+    stage is rebuilt with an ADDED column, the generation check invalidates
+    the downstream snapshot and its rebuild sees the evolved schema —
+    the stale downstream result (old schema, old rows) is never served."""
+    run_dir = str(tmp_path / "run_evo")
+    schema_v = {"v": 1}
+
+    def build_src(r):
+        df = spark.range(5).select(
+            F.col("id"), (F.col("id") * 10).alias("val")
+        )
+        if schema_v["v"] == 2:
+            df = df.withColumn("lang", F.lit("en"))
+        return df
+
+    def build_down(r):
+        src = r.read_stage("src")
+        # downstream projects everything — its schema follows the input's
+        return src.withColumn("doubled", F.col("val") * 2)
+
+    r1 = MX.StageRunner(spark, run_dir)
+    r1.run_stage("src", build_src)
+    d1 = r1.run_stage("down", build_down, inputs=("src",))
+    assert "lang" not in d1.columns
+
+    # upstream evolves: new column added, stage rebuilt (forced by
+    # removing its manifest, the "re-run this stage" gesture)
+    schema_v["v"] = 2
+    os.remove(os.path.join(run_dir, "src", MX.MANIFEST))
+    r2 = MX.StageRunner(spark, run_dir)
+    r2.run_stage("src", build_src)
+    d2 = r2.run_stage("down", build_down, inputs=("src",))
+    assert "lang" in d2.columns  # stale old-schema snapshot NOT reused
+    assert d2.count() == 5

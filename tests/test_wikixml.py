@@ -163,3 +163,39 @@ def test_resolve_redirects_paths_agree(spark, dump_path):
             for r in wikixml.resolve_redirects(edges, driver_max_edges=0).collect()
         }
         assert fast == dist
+
+
+def test_resolve_redirects_random_functional_graphs(spark):
+    """Fuzz the fast-vs-distributed equivalence on random functional graphs
+    (every node at most one out-edge): mixes of chains, 2-cycles, long
+    cycles, and trees hanging off cycles — plus targets outside the
+    redirect domain."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        n = 40
+        nodes = [f"n{trial}_{i}" for i in range(n)]
+        edges = []
+        for i, s in enumerate(nodes):
+            # ~20% point outside the domain, rest uniformly at any node
+            if rng.random() < 0.2:
+                edges.append((s, f"ext{trial}_{rng.randrange(5)}"))
+            else:
+                edges.append((s, nodes[rng.randrange(n)]))
+        df = spark.createDataFrame(edges, "src string, dst string")
+        import warnings as W
+
+        with W.catch_warnings():
+            W.simplefilter("ignore", RuntimeWarning)
+            fast = {
+                (r["src"], r["dst"])
+                for r in wikixml.resolve_redirects(df, max_iterations=8).collect()
+            }
+            dist = {
+                (r["src"], r["dst"])
+                for r in wikixml.resolve_redirects(
+                    df, max_iterations=8, driver_max_edges=0
+                ).collect()
+            }
+        assert fast == dist
