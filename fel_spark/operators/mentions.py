@@ -31,6 +31,11 @@ from fel_spark.operators.context import entity_key_expr, span_context_scores
 
 MAX_SPAN_TOKENS = 4
 
+# elements per segmentation-DP scatter tensor (~128 MB of float64); blocks
+# whose (turns x longest-turn x max_span) tensor would exceed this are DP'd
+# in contiguous whole-turn chunks (exact same output, bounded allocation)
+DP_TENSOR_CAP = 16_000_000
+
 
 def enumerate_spans(transcripts: DataFrame, max_span: int = MAX_SPAN_TOKENS) -> DataFrame:
     """(conv_id, turn_idx, n_tokens, span, start, length) for every bounded
@@ -220,6 +225,7 @@ def segment_mentions(
     best_spans: DataFrame,
     nil_score: float = ranking.NIL_SCORE,
     max_span: int = MAX_SPAN_TOKENS,
+    dp_tensor_cap: int = DP_TENSOR_CAP,
 ) -> DataFrame:
     """Non-overlapping segmentation DP (FastEntityLinker.getBestChunking,
     `FastEntityLinker.java:246-286`).
@@ -250,6 +256,43 @@ def segment_mentions(
     ).repartition("conv_id", "turn_idx").sortWithinPartitions("conv_id", "turn_idx")
 
     def dp_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the dense (turns x positions x max_span) scatter tensors below
+        # size with the LONGEST turn in the block: one pathological
+        # multi-k-token turn sharing a batch with thousands of short ones
+        # would allocate T*N_max*L cells. The DP is per-turn independent,
+        # so split oversized blocks into contiguous whole-turn chunks
+        # (rows are sorted, so codes are non-decreasing) under an element
+        # cap — exact same output, bounded allocation.
+        key = pdf["conv_id"].astype(str) + "\x00" + pdf["turn_idx"].astype(str)
+        codes, _ = pd.factorize(key)
+        if len(codes):
+            t_count = int(codes.max()) + 1
+            per_turn = np.zeros(t_count, dtype=np.int64)
+            np.maximum.at(per_turn, codes, pdf["n_tokens"].to_numpy(np.int64))
+            cap = int(dp_tensor_cap)
+            if t_count * int(per_turn.max()) * int(max_span) > cap:
+                t_starts = np.searchsorted(codes, np.arange(t_count), "left")
+                t_ends = np.searchsorted(codes, np.arange(t_count), "right")
+                outs, t0 = [], 0
+                while t0 < t_count:
+                    n_max, t1 = 0, t0
+                    while t1 < t_count:
+                        nm = max(n_max, int(per_turn[t1]))
+                        if t1 > t0 and (t1 - t0 + 1) * nm * int(max_span) > cap:
+                            break
+                        n_max, t1 = nm, t1 + 1
+                    outs.append(
+                        _dp_core(
+                            pdf.iloc[t_starts[t0] : t_ends[t1 - 1]].reset_index(
+                                drop=True
+                            )
+                        )
+                    )
+                    t0 = t1
+                return pd.concat(outs, ignore_index=True)
+        return _dp_core(pdf)
+
+    def _dp_core(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["conv_id"].astype(str) + "\x00" + pdf["turn_idx"].astype(str)
         codes, _ = pd.factorize(key)  # order-preserving group ids
         T = int(codes.max()) + 1

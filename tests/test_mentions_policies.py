@@ -117,3 +117,49 @@ def test_segment_dp_ignores_out_of_range_spans(spark):
         (r["start"], r["length"]) for r in M.segment_mentions(df, nil_score=-5.0).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_segment_dp_tensor_cap_chunks_long_turns(spark):
+    """A block mixing one long turn with many short ones is DP'd in
+    whole-turn chunks when the dense tensor would exceed the cap —
+    bit-identical output to the uncapped path."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    # one long turn: 64 tokens, candidates at every even position
+    for s in range(1, 64, 2):
+        rows.append(("long", 0, 64, f"sp{s}", s, 2, -0.4 - s * 0.01))
+    # many short turns
+    for t in range(30):
+        cid = f"s{t % 5}"
+        rows += [
+            (cid, t + 1, 4, "a b", 1, 2, -1.0 - t * 0.01),
+            (cid, t + 1, 4, "b c", 2, 2, -0.5 - t * 0.01),
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, n_tokens int, span string, "
+        "start int, length int, seg_score double",
+    ).select(
+        "*",
+        F.lit(7).alias("entity_id"),
+        F.lit("_wiki_X").alias("entity_key"),
+        F.col("seg_score").alias("score"),
+    )
+
+    def run(cap):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["start"], r["length"], r["span"])
+            for r in M.segment_mentions(
+                df, nil_score=-5.0, dp_tensor_cap=cap
+            ).collect()
+        )
+
+    base = run(M.DP_TENSOR_CAP)
+    # cap chosen so the long turn forces its own chunk and the short turns
+    # split across several more (64 tokens * 4 max_span = 256 > 260/2)
+    assert run(260) == base
+    assert run(1) == base  # degenerate: every turn its own chunk
+    # long turn: 32 non-overlapping spans all win; short turns: "a b" and
+    # "b c" overlap, the higher-scoring "b c" wins alone -> 30
+    assert len(base) == 32 + 30
