@@ -163,3 +163,85 @@ def test_segment_dp_tensor_cap_chunks_long_turns(spark):
     # long turn: 32 non-overlapping spans all win; short turns: "a b" and
     # "b c" overlap, the higher-scoring "b c" wins alone -> 30
     assert len(base) == 32 + 30
+
+
+def test_segment_dp_fuzz_vs_scalar_reference(spark):
+    """Randomized equivalence: the batched tensor DP vs a plain-Python
+    transliteration of the original per-turn dict DP (strict-improvement
+    scan over ascending lengths, NIL fallback only at length 1, candidate
+    score used at length 1 even when below nil_score, emit only chosen
+    spans with seg_score > nil_score). Fixed seed, ~60 random turns with
+    duplicate keys, gaps, and score ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260818)
+    NIL = -5.0
+    MAXSPAN = M.MAX_SPAN_TOKENS
+    rows = []
+    turns = []
+    for t in range(60):
+        cid = f"c{t % 9}"
+        n = rng.randint(1, 14)
+        spans = []
+        for _ in range(rng.randint(0, 10)):
+            ln = rng.randint(1, min(MAXSPAN, n))
+            st = rng.randint(1, n - ln + 1)
+            # coarse grid -> frequent exact score ties
+            sc = -round(rng.uniform(0.0, 8.0) * 4) / 4
+            spans.append((st, ln, sc))
+        turns.append((cid, t, n, spans))
+        for st, ln, sc in spans:
+            rows.append((cid, t, n, f"s{st}_{ln}", st, ln, sc))
+
+    def scalar_ref():
+        out = set()
+        for cid, t, n, spans in turns:
+            table = {}
+            for st, ln, sc in spans:
+                k = (st - 1, ln)
+                if k not in table or sc > table[k]:
+                    table[k] = sc
+            NEG = float("-inf")
+            m = [0.0] + [NEG] * n
+            back = [None] * (n + 1)
+            for j in range(1, n + 1):
+                for ln in range(1, min(MAXSPAN, j) + 1):
+                    i = j - ln
+                    if m[i] == NEG:
+                        continue
+                    if (i, ln) in table:
+                        s = table[(i, ln)]
+                    elif ln == 1:
+                        s = NIL
+                    else:
+                        continue
+                    if m[i] + s > m[j]:
+                        m[j] = m[i] + s
+                        back[j] = (i, ln)
+            j = n
+            while j > 0 and back[j] is not None:
+                i, ln = back[j]
+                if (i, ln) in table and table[(i, ln)] > NIL:
+                    out.add((cid, t, i + 1, ln))
+                j = i
+        return out
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, n_tokens int, span string, "
+        "start int, length int, seg_score double",
+    ).select(
+        "*",
+        F.lit(1).alias("entity_id"),
+        F.lit("_wiki_X").alias("entity_key"),
+        F.col("seg_score").alias("score"),
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["start"], r["length"])
+        for r in M.segment_mentions(df, nil_score=NIL).collect()
+    }
+    assert got == scalar_ref()
