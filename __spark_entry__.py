@@ -1543,6 +1543,42 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode_stats(spark, sf_dir):
+    """REAL media decode (pure-NumPy codecs, `sources/codecs.py`): P6 PPM
+    images, PCM16 WAV audio, and Y4M video payloads are synthesized as
+    actual file bytes (`synth_media_real`), decoded pixel-by-pixel /
+    sample-by-sample inside mapInPandas, and reduced to integer-exact
+    statistics (pixel sums, |PCM| sums, zero crossings, luma sums). The
+    oracle recomputes every statistic in closed form from the generators —
+    a header-only decoder cannot pass."""
+    from fel_spark.sources.multimodal import decode_stats, synth_media_real
+
+    return decode_stats(synth_media_real(spark, 60))
+
+
+def q_media_resize_pixsum(spark, sf_dir):
+    """REAL image resize: decode P6 -> nearest-neighbour (floor sampling)
+    to 8x6 -> re-encode P6 -> decode AGAIN -> pixel sum. The oracle replays
+    the floor-sampled gradient analytically, so both the resize arithmetic
+    and the encode/decode round-trip are value-checked."""
+    from fel_spark.sources.multimodal import (
+        decode_stats,
+        resize_images,
+        synth_media_real,
+    )
+
+    small = resize_images(synth_media_real(spark, 60), 8, 6, fake=False)
+    return decode_stats(small).select("media_id", "vsum")
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """REAL video frame sampling: decode Y4M, keep every 2nd frame, emit
+    per-frame luma sums (worker-side fan-out in mapInPandas)."""
+    from fel_spark.sources.multimodal import sample_frames_decoded, synth_media_real
+
+    return sample_frames_decoded(synth_media_real(spark, 60), stride=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -1583,7 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize_full": q_doc_normalize_full,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
-        "media_features": q_media_features,
+        "media_decode_stats": q_media_decode_stats,
         # --- dictionary build / ER kernels (A1-A12, J7, M9, C1/C2, M3) ---
         "dict_build_counts": q_dict_build_counts,
         "subngram_qat": q_subngram_qat,
@@ -1635,6 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_decontaminate_report": q_doc_decontaminate_report,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "media_features": q_media_features,
+        "media_resize_pixsum": q_media_resize_pixsum,
+        "media_frame_sample": q_media_frame_sample,
         # rows-only scale paths (no SQL oracle by nature)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
@@ -2861,6 +2900,86 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(16 AS INT) AS feat_dim
             FROM generate_series(0, 63) t(i)
+        """,
+        # media_decode_stats: closed-form replay of synth_media_real's
+        # generators — image pixel sums (gradient r=x, g=y, b=(i*7)%256),
+        # audio |PCM| sums + zero crossings (square wave, half-period hp),
+        # video luma sums (solid frames) — decoded for real on the Spark
+        # side by sources/codecs.py
+        "media_decode_stats": """
+            WITH idx AS (SELECT i FROM generate_series(0, 59) t(i)),
+            img AS (
+                SELECT i, 16 + (i % 8) * 8 AS w, 16 + (i % 5) * 8 AS h,
+                       (i * 7) % 256 AS b
+                FROM idx WHERE i % 3 = 0
+            ),
+            img2 AS (
+                SELECT printf('m%05d', i) AS media_id, 'image' AS kind,
+                       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                       CAST(3 AS INT) AS depth,
+                       CAST(w * h AS BIGINT) AS units,
+                       CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                            + w * h * b AS BIGINT) AS vsum
+                FROM img
+            ),
+            aud AS (
+                SELECT printf('m%05d', i) AS media_id, 'audio' AS kind,
+                       CAST(8000 AS INT) AS width,
+                       CAST(799 // (2 + (i % 5)) AS INT) AS height,
+                       CAST(1 AS INT) AS depth,
+                       CAST(800 AS BIGINT) AS units,
+                       CAST(800 * (1000 + (i % 7) * 500) AS BIGINT) AS vsum
+                FROM idx WHERE i % 3 = 1
+            ),
+            vid AS (
+                SELECT i, SUM(256 * (16 + ((i * 13 + k * 29) % 220))) AS vs,
+                       3 + ((i // 3) % 3) AS nf
+                FROM idx, generate_series(0, 4) s(k)
+                WHERE i % 3 = 2 AND k <= 2 + ((i // 3) % 3)
+                GROUP BY i
+            ),
+            vid2 AS (
+                SELECT printf('m%05d', i) AS media_id, 'video' AS kind,
+                       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                       CAST(nf AS INT) AS depth,
+                       CAST(256 * nf AS BIGINT) AS units,
+                       CAST(vs AS BIGINT) AS vsum
+                FROM vid
+            )
+            SELECT * FROM img2
+            UNION ALL SELECT * FROM aud
+            UNION ALL SELECT * FROM vid2
+        """,
+        # media_resize_pixsum: nearest-neighbour floor sampling of the
+        # gradient image to 8x6 — vsum = sum over destination pixels of
+        # (xsrc + ysrc + b) with xsrc = (xd*w)//8, ysrc = (yd*h)//6
+        "media_resize_pixsum": """
+            WITH img AS (
+                SELECT i, 16 + (i % 8) * 8 AS w, 16 + (i % 5) * 8 AS h,
+                       (i * 7) % 256 AS b
+                FROM generate_series(0, 59) t(i) WHERE i % 3 = 0
+            )
+            SELECT printf('m%05d', i) AS media_id,
+                   CAST(SUM((xd * w) // 8 + (yd * h) // 6 + b) AS BIGINT) AS vsum
+            FROM img,
+                 generate_series(0, 7) x(xd),
+                 generate_series(0, 5) y(yd)
+            GROUP BY i
+        """,
+        # media_frame_sample: every 2nd frame of each Y4M payload, per-frame
+        # luma sum = 256 * solid frame value
+        "media_frame_sample": """
+            WITH vid AS (
+                SELECT i, 3 + ((i // 3) % 3) AS nf
+                FROM generate_series(0, 59) t(i) WHERE i % 3 = 2
+            )
+            SELECT printf('m%05d', i) AS media_id,
+                   CAST(k AS INT) AS frame_idx,
+                   CAST(256 * (16 + ((i * 13 + k * 29) % 220)) AS BIGINT)
+                       AS luma_sum,
+                   CAST(16 AS INT) AS width, CAST(16 AS INT) AS height
+            FROM vid, generate_series(0, 4, 2) s(k)
+            WHERE k < nf
         """,
         "doc_langid_model": _langid_model_oracle(),
         "doc_quality_model": _quality_model_oracle(),

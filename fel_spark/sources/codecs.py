@@ -1,0 +1,370 @@
+"""Pure-NumPy media codecs for self-describing uncompressed formats.
+
+This container ships no imaging/audio libraries, so the engine implements
+REAL decode for the formats that need none — exactly the formats a
+large-scale ingest pipeline meets as intermediate representations:
+
+- PPM / PGM (netpbm P2/P3/P5/P6, 8- and 16-bit) images
+- BMP (BITMAPINFOHEADER, BI_RGB uncompressed, 24/32 bpp) images
+- WAV (RIFF PCM 8/16/24/32-bit and IEEE float32/64) audio
+- Y4M (YUV4MPEG2, C420/C422/C444 8-bit planar) video
+
+Compressed codecs (png/jpeg/opus/av1/...) remain honestly stubbed in
+`sources/multimodal.py` — decoding those genuinely requires external
+libraries.  Everything here is stdlib `struct` + NumPy: byte-exact,
+deterministic, and safe inside Arrow-batched UDFs (no per-row Python in
+the Spark hot path; these run on whole payloads inside mapInPandas).
+
+Reference analogue: FEL ships its media-free datapack as self-describing
+binary the engine parses directly (`io/Datapack.java:98-213`); the same
+"parse the bytes yourself, no framework" posture applied to media columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "sniff_kind",
+    "decode_image",
+    "decode_netpbm",
+    "decode_bmp",
+    "decode_wav",
+    "decode_y4m",
+    "encode_ppm",
+    "encode_pgm",
+    "encode_wav",
+    "encode_y4m",
+    "resize_nearest",
+]
+
+
+# ---------------------------------------------------------------------------
+# sniffing
+
+
+def sniff_kind(payload: bytes) -> str | None:
+    """Return 'image' / 'audio' / 'video' for payloads this module can
+    decode, else None (caller decides whether that's an error)."""
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return "image"
+    if payload[:2] == b"BM":
+        return "image"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio"
+    if payload[:9] == b"YUV4MPEG2":
+        return "video"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# netpbm (PPM/PGM)
+
+
+def _pnm_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Read `n_tokens` whitespace-separated integer tokens after the magic,
+    skipping `#` comments. Returns (tokens, offset_past_single_whitespace)."""
+    toks: list[int] = []
+    i = 2  # past magic
+    n = len(payload)
+    while len(toks) < n_tokens:
+        # skip whitespace
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":  # comment to EOL
+            while i < n and payload[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(payload[i:j]))
+        i = j
+    # exactly ONE whitespace byte separates header from raster (netpbm spec)
+    return toks, i + 1
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """P5/P6 binary and P2/P3 ascii -> (H, W) or (H, W, 3) array.
+
+    maxval <= 255 -> uint8; 256..65535 -> uint16 (big-endian per spec).
+    """
+    magic = payload[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"not a PGM/PPM payload: {magic!r}")
+    color = magic in (b"P3", b"P6")
+    (w, h, maxval), off = _pnm_header_tokens(payload, 3)
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"bad netpbm dimensions {w}x{h} maxval={maxval}")
+    channels = 3 if color else 1
+    count = w * h * channels
+    if magic in (b"P5", b"P6"):
+        if maxval < 256:
+            flat = np.frombuffer(payload, dtype=np.uint8, count=count, offset=off)
+        else:
+            flat = np.frombuffer(payload, dtype=">u2", count=count, offset=off).astype(
+                np.uint16
+            )
+    else:  # ascii: one int token per sample
+        vals = payload[off - 1 :].split()
+        if len(vals) < count:
+            raise ValueError("truncated ascii netpbm raster")
+        dt = np.uint8 if maxval < 256 else np.uint16
+        flat = np.array([int(v) for v in vals[:count]], dtype=dt)
+    if len(flat) < count:
+        raise ValueError("truncated netpbm raster")
+    arr = flat.reshape((h, w, 3)) if color else flat.reshape((h, w))
+    return arr
+
+
+def encode_ppm(img: np.ndarray, maxval: int = 255) -> bytes:
+    """(H, W, 3) uint8/uint16 -> binary P6."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_ppm wants (H, W, 3)")
+    h, w = img.shape[:2]
+    header = f"P6\n{w} {h}\n{maxval}\n".encode()
+    if maxval < 256:
+        return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+    return header + np.ascontiguousarray(img.astype(">u2")).tobytes()
+
+
+def encode_pgm(img: np.ndarray, maxval: int = 255) -> bytes:
+    """(H, W) uint8/uint16 -> binary P5."""
+    if img.ndim != 2:
+        raise ValueError("encode_pgm wants (H, W)")
+    h, w = img.shape
+    header = f"P5\n{w} {h}\n{maxval}\n".encode()
+    if maxval < 256:
+        return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+    return header + np.ascontiguousarray(img.astype(">u2")).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (BI_RGB only)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bpp BITMAPINFOHEADER BMP -> (H, W, 3) uint8 RGB.
+
+    Handles bottom-up (positive biHeight) and top-down (negative) rasters
+    and the 4-byte row padding.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32 bpp supported, got {bpp}")
+    h = abs(h_signed)
+    bytes_pp = bpp // 8
+    row_stride = (w * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + row_stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=row_stride * h, offset=data_off)
+    rows = raster.reshape(h, row_stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    if h_signed > 0:  # bottom-up storage
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch netpbm/BMP by magic. Grayscale comes back (H, W)."""
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(f"undecodable image magic {payload[:2]!r}")
+
+
+# ---------------------------------------------------------------------------
+# WAV
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE -> ((n_samples, channels) float32 in [-1, 1], sample_rate).
+
+    PCM (format 1): 8-bit unsigned, 16/24/32-bit signed little-endian.
+    IEEE float (format 3): float32/float64. Walks chunks properly (skips
+    LIST/fact/...), honours the declared chunk sizes + odd-size padding.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+        if fmt is not None and data is not None:
+            break
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _brate, _align, bits = fmt
+    if channels <= 0:
+        raise ValueError("bad channel count")
+    if audio_fmt == 1:  # PCM
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+            as32 = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            as32 = np.where(as32 >= 1 << 23, as32 - (1 << 24), as32)
+            x = as32.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_fmt}")
+    frames = len(x) // channels
+    return x[: frames * channels].reshape(frames, channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, channels) int16 (or float in [-1,1]) -> PCM16 WAV."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.dtype.kind == "f":
+        arr = np.clip(np.round(arr * 32767.0), -32768, 32767)
+    pcm = np.ascontiguousarray(arr.astype("<i2"))
+    channels = pcm.shape[1]
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2)
+
+_Y4M_CHROMA_DIV = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, dict]:
+    """YUV4MPEG2 -> ((n_frames, H, W) uint8 luma, header dict).
+
+    Chroma planes are parsed (so frame boundaries are exact) but only luma
+    is returned — downstream features are luma-based, and full YUV would
+    triple the Arrow batch size for no consumer.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    chroma = "420"
+    rate = "25:1"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            rate = t[1:]
+        elif t.startswith("C"):
+            # C420jpeg / C420mpeg2 / C420paldv all subsample 2x2
+            chroma = "420" if t[1:].startswith("420") else t[1:4]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if chroma not in _Y4M_CHROMA_DIV:
+        raise ValueError(f"unsupported Y4M chroma mode C{chroma}")
+    cw_div, ch_div = _Y4M_CHROMA_DIV[chroma]
+    y_size = w * h
+    c_size = (w // cw_div) * (h // ch_div)
+    frame_size = y_size + 2 * c_size
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M frame marker")
+        pos = fnl + 1
+        if pos + frame_size > n:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=pos).reshape(h, w)
+        )
+        pos += frame_size
+    luma = np.stack(frames) if frames else np.empty((0, h, w), dtype=np.uint8)
+    return luma, {"width": w, "height": h, "chroma": chroma, "rate": rate}
+
+
+def encode_y4m(luma: np.ndarray, chroma_value: int = 128, chroma: str = "420") -> bytes:
+    """(n_frames, H, W) uint8 luma -> Y4M with flat chroma planes."""
+    if luma.ndim != 3:
+        raise ValueError("encode_y4m wants (n_frames, H, W)")
+    f, h, w = luma.shape
+    cw_div, ch_div = _Y4M_CHROMA_DIV[chroma]
+    c_size = (w // cw_div) * (h // ch_div)
+    c_plane = bytes([chroma_value]) * c_size
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode()]
+    for k in range(f):
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(luma[k], dtype=np.uint8).tobytes())
+        out.append(c_plane)
+        out.append(c_plane)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# resize
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resize, floor sampling: src = floor(dst * src_dim /
+    dst_dim). Integer-exact (oracle-replayable in SQL) and allocation-light —
+    two take() gathers, no interpolation arithmetic."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize to empty")
+    h, w = img.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return np.ascontiguousarray(img[ys][:, xs])

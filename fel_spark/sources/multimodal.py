@@ -2,11 +2,15 @@
 
 Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct. The Spark-side plumbing — schema, partition sizing, Arrow
-batch shape, UDF signatures — is real and tested; the actual media decode is
-STUBBED (this container ships no imaging/audio libraries): decode functions
-raise NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (seeded from the payload hash) produces stable features so the
-downstream plumbing is exercisable end-to-end.
+batch shape, UDF signatures — is real and tested.
+
+Decode is REAL for every self-describing uncompressed format
+(`sources/codecs.py`: PPM/PGM, BMP BI_RGB, WAV PCM/float, Y4M) — pure
+NumPy, byte-exact, value-checked against closed-form SQL oracles.
+Compressed codecs (png/jpeg/opus/av1) remain honestly stubbed: decode
+functions raise NotImplementedError for those unless `fake=True`, in which
+case a deterministic fake decoder (seeded from the payload hash) produces
+stable features so downstream plumbing stays exercisable for any codec.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fel_spark.sources import codecs
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
@@ -60,26 +66,86 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _real_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Fixed-dim feature vector from a REALLY decoded payload.
+
+    image: [w, h, channels, mean, std, quadrant means(4), channel means(3)]
+    audio: [sample_rate, n_samples, channels, rms, zero-crossing rate, peak,
+            coarse |rFFT| band means(8)]
+    video: [n_frames, w, h, luma mean, luma std, first/last frame means]
+    padded with zeros / truncated to `dim`.
+    """
+    kind = codecs.sniff_kind(payload)
+    if kind is None:
+        raise NotImplementedError(
+            "payload is not a self-describing uncompressed format "
+            "(PPM/PGM/BMP/WAV/Y4M); compressed codecs need external libs"
+        )
+    if kind == "image":
+        img = codecs.decode_image(payload)
+        chans = 1 if img.ndim == 2 else img.shape[2]
+        gray = img.astype(np.float64) if img.ndim == 2 else img.mean(axis=2)
+        h, w = gray.shape
+        q = [
+            gray[: h // 2 or 1, : w // 2 or 1].mean(),
+            gray[: h // 2 or 1, w // 2 :].mean() if w > 1 else 0.0,
+            gray[h // 2 :, : w // 2 or 1].mean() if h > 1 else 0.0,
+            gray[h // 2 :, w // 2 :].mean() if h > 1 and w > 1 else 0.0,
+        ]
+        ch = (
+            [img[:, :, c].mean() for c in range(3)]
+            if img.ndim == 3
+            else [gray.mean()] * 3
+        )
+        vals = [w, h, chans, gray.mean(), gray.std(), *q, *ch]
+    elif kind == "audio":
+        x, sr = codecs.decode_wav(payload)
+        mono = x.mean(axis=1)
+        n = len(mono)
+        rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+        peak = float(np.max(np.abs(mono))) if n else 0.0
+        spec = np.abs(np.fft.rfft(mono[: min(n, 2048)]))
+        bands = [float(b.mean()) if len(b) else 0.0 for b in np.array_split(spec, 8)]
+        vals = [sr, n, x.shape[1], rms, zcr, peak, *bands]
+    else:  # video
+        luma, hdr = codecs.decode_y4m(payload)
+        f = luma.shape[0]
+        lm = luma.astype(np.float64)
+        vals = [
+            f,
+            hdr["width"],
+            hdr["height"],
+            lm.mean() if f else 0.0,
+            lm.std() if f else 0.0,
+            lm[0].mean() if f else 0.0,
+            lm[-1].mean() if f else 0.0,
+        ]
+    v = np.zeros(dim, dtype=np.float32)
+    v[: min(dim, len(vals))] = np.asarray(vals[:dim], dtype=np.float32)
+    return v
+
+
 def extract_features(
     media: DataFrame, dim: int = 16, fake: bool = True, batch_hint: int = 64
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of binary).
 
-    Real decode (fake=False) is intentionally unimplemented in this
-    container — the operator's Spark surface (schema in/out, batching,
-    partition parallelism) is the deliverable here.
+    fake=False REALLY decodes self-describing payloads (PPM/PGM/BMP/WAV/Y4M
+    via `sources/codecs.py`) and raises NotImplementedError only for
+    compressed codecs this container cannot decode. Per-payload NumPy
+    kernels inside Arrow batches — the per-payload Python dispatch is
+    inherent to variable-size binary; all pixel/sample math is vectorized.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires imaging/audio libs not "
-                        "present in this environment"
-                    )
-                feats.append(_fake_decode(bytes(payload), dim).tolist())
+                b = bytes(payload)
+                feats.append(
+                    (_fake_decode(b, dim) if fake else _real_feature(b, dim)).tolist()
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -93,26 +159,58 @@ def extract_features(
 
 
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Image resize operator (stub): passes payload through, rewrites meta.
-    Real implementation would decode/resize/encode inside the same
-    mapInPandas shape."""
-    if not fake:
-        raise NotImplementedError("real image resize requires imaging libs")
-    return media.filter(F.col("kind") == "image").withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
+    """Image resize operator.
+
+    fake=False REALLY decodes (PPM/PGM/BMP), nearest-neighbour resizes
+    (floor sampling — integer-exact, SQL-replayable) and re-encodes as P6
+    PPM, all inside one mapInPandas pass. fake=True keeps the metadata-only
+    passthrough for payloads with compressed codecs.
+    """
+    imgs = media.filter(F.col("kind") == "image")
+    if fake:
+        return imgs.withColumn(
+            "meta",
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+                F.col("meta.codec").alias("codec"),
+            ),
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = codecs.decode_image(bytes(payload))
+                small = codecs.resize_nearest(img, width, height)
+                if small.ndim == 2:  # grayscale -> replicate to RGB for P6
+                    small = np.repeat(small[:, :, None], 3, axis=2)
+                out.append(bytearray(codecs.encode_ppm(small)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "codec": "ppm",
+                }
+            )
+
+    return imgs.mapInPandas(
+        gen,
+        schema="media_id string, kind string, payload binary, "
+        "width int, height int, codec string",
     )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (explode over a computed timestamp sequence — the decode of
-    each frame is the stubbed part, the row explosion is real)."""
+    each frame is the stubbed part for compressed codecs, the row explosion
+    is real). For REAL per-frame decode of Y4M payloads use
+    `sample_frames_decoded`."""
     vids = media.filter(F.col("kind") == "video")
     stamps = F.sequence(
         F.lit(0),
@@ -123,4 +221,166 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(stamps).alias("frame_ms"),
         "payload",
+    )
+
+
+def sample_frames_decoded(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling for Y4M payloads: decode, take every `stride`-th
+    frame, emit integer-exact per-frame luma sums (one output row per
+    sampled frame). The fan-out happens worker-side inside mapInPandas —
+    no driver involvement, scales with total frame count."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    vids = media.filter(F.col("kind") == "video")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, widths, heights = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                luma, hdr = codecs.decode_y4m(bytes(payload))
+                for k in range(0, luma.shape[0], stride):
+                    ids.append(media_id)
+                    idxs.append(k)
+                    sums.append(int(luma[k].sum(dtype=np.int64)))
+                    widths.append(hdr["width"])
+                    heights.append(hdr["height"])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "luma_sum": sums,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return vids.mapInPandas(
+        gen,
+        schema="media_id string, frame_idx int, luma_sum bigint, "
+        "width int, height int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL media: deterministic synthesis + integer-exact decode stats
+#
+# The generators below produce REAL payload bytes (P6 PPM / PCM16 WAV /
+# Y4M) whose content is a closed-form function of the row index, so a SQL
+# oracle can recompute every decoded statistic analytically — proving the
+# decoders read every pixel/sample, not just the headers.
+
+
+def _synth_image_payload(i: int) -> tuple[bytes, int, int, int]:
+    """P6 gradient: r=x, g=y, b=(i*7)%256. Returns (payload, w, h, b)."""
+    w = 16 + (i % 8) * 8
+    h = 16 + (i % 5) * 8
+    b = (i * 7) % 256
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = b
+    return codecs.encode_ppm(img), w, h, b
+
+
+def _synth_audio_payload(i: int) -> tuple[bytes, int, int, int, int]:
+    """PCM16 mono square wave, amplitude A, half-period hp samples.
+    Returns (payload, sample_rate, n_samples, A, hp)."""
+    sr = 8000
+    n = 800
+    amp = 1000 + (i % 7) * 500
+    hp = 2 + (i % 5)
+    t = np.arange(n)
+    wave = np.where((t // hp) % 2 == 0, amp, -amp).astype(np.int16)
+    return codecs.encode_wav(wave, sr), sr, n, amp, hp
+
+
+def _synth_video_payload(i: int) -> tuple[bytes, int, int, int]:
+    """Y4M 16x16, n_frames frames, frame k solid luma 16+((i*13+k*29)%220).
+    Returns (payload, w, h, n_frames). n_frames keys on i//3 because video
+    rows all share i%3==2."""
+    w = h = 16
+    nf = 3 + ((i // 3) % 3)
+    luma = np.empty((nf, h, w), dtype=np.uint8)
+    for k in range(nf):
+        luma[k] = 16 + ((i * 13 + k * 29) % 220)
+    return codecs.encode_y4m(luma), w, h, nf
+
+
+def synth_media_real(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic REAL media table: payloads are valid PPM/WAV/Y4M bytes
+    whose decoded statistics are closed-form in the row index (see the
+    per-kind generators). kind cycles image/audio/video like synth_media."""
+    rows = []
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            payload, w, h, _b = _synth_image_payload(i)
+            meta = {"width": w, "height": h, "duration_ms": None, "codec": "ppm"}
+            kind = "image"
+        elif k == 1:
+            payload, sr, ns, _a, _hp = _synth_audio_payload(i)
+            meta = {
+                "width": None,
+                "height": None,
+                "duration_ms": ns * 1000 // sr,
+                "codec": "wav",
+            }
+            kind = "audio"
+        else:
+            payload, w, h, nf = _synth_video_payload(i)
+            meta = {"width": w, "height": h, "duration_ms": nf * 40, "codec": "y4m"}
+            kind = "video"
+        rows.append((f"m{i:05d}", kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode -> integer-exact per-row statistics (value-checkable).
+
+    image: width/height/depth(=channels), units=pixel count,
+           vsum = sum of all uint8 samples across channels
+    audio: width=sample_rate, height=zero crossings, depth=channels,
+           units=n_samples, vsum = sum |pcm16|
+    video: width/height/depth(=n_frames), units = frames*w*h,
+           vsum = total luma sum
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "width", "height", "depth", "units", "vsum")}
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if kind == "image":
+                    img = codecs.decode_image(b)
+                    hh, ww = img.shape[:2]
+                    ch = 1 if img.ndim == 2 else img.shape[2]
+                    row = (ww, hh, ch, ww * hh, int(img.sum(dtype=np.int64)))
+                elif kind == "audio":
+                    x, sr = codecs.decode_wav(b)
+                    pcm = np.round(x * 32768.0).astype(np.int64)  # exact for PCM16
+                    mono = pcm[:, 0]
+                    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    row = (sr, zc, x.shape[1], len(mono), int(np.abs(pcm).sum()))
+                else:
+                    luma, hdr = codecs.decode_y4m(b)
+                    nf = luma.shape[0]
+                    row = (
+                        hdr["width"],
+                        hdr["height"],
+                        nf,
+                        nf * hdr["width"] * hdr["height"],
+                        int(luma.sum(dtype=np.int64)),
+                    )
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+                for key, v in zip(("width", "height", "depth", "units", "vsum"), row):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        gen,
+        schema="media_id string, kind string, width int, height int, "
+        "depth int, units bigint, vsum bigint",
     )

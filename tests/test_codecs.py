@@ -1,0 +1,250 @@
+"""Pure-NumPy media codecs (sources/codecs.py) + the real-decode Spark
+surface (sources/multimodal.py fake=False paths)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from fel_spark.sources import codecs as C
+
+
+def _rand_img(h, w, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, c) if c > 1 else (h, w)
+    return rng.randint(0, 256, shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# netpbm
+
+
+def test_ppm_roundtrip():
+    img = _rand_img(7, 5)
+    assert np.array_equal(C.decode_netpbm(C.encode_ppm(img)), img)
+
+
+def test_pgm_roundtrip_8_and_16bit():
+    g = _rand_img(4, 9, c=1, seed=1)
+    assert np.array_equal(C.decode_netpbm(C.encode_pgm(g)), g)
+    g16 = np.random.RandomState(2).randint(0, 60000, (3, 4)).astype(np.uint16)
+    out = C.decode_netpbm(C.encode_pgm(g16, maxval=65535))
+    assert out.dtype == np.uint16 and np.array_equal(out, g16)
+
+
+def test_netpbm_ascii_and_comments():
+    p2 = b"P2\n# a comment\n3 2\n255\n0 1 2\n3 4 5\n"
+    assert C.decode_netpbm(p2).tolist() == [[0, 1, 2], [3, 4, 5]]
+    p3 = b"P3 2 1 255  1 2 3  4 5 6\n"
+    assert C.decode_netpbm(p3).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_netpbm_truncated_raster_raises():
+    img = _rand_img(4, 4)
+    with pytest.raises(ValueError):
+        C.decode_netpbm(C.encode_ppm(img)[:-5])
+
+
+# ---------------------------------------------------------------------------
+# BMP
+
+
+def _make_bmp(rows_top, bpp=24, bottom_up=True):
+    h = len(rows_top)
+    w = len(rows_top[0])
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+
+    def row(px_row):
+        out = b""
+        for r, g, b in px_row:
+            out += bytes([b, g, r] + ([0] if bpp == 32 else []))
+        return out.ljust(stride, b"\0")
+
+    order = reversed(rows_top) if bottom_up else rows_top
+    raster = b"".join(row(r) for r in order)
+    h_field = h if bottom_up else -h
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, bpp, 0, len(raster), 0, 0, 0, 0)
+    )
+    return hdr + raster
+
+
+_PIX = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)], [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+
+
+def test_bmp_24bpp_bottom_up_with_padding():
+    assert C.decode_bmp(_make_bmp(_PIX)).tolist() == [
+        [list(p) for p in row] for row in _PIX
+    ]
+
+
+def test_bmp_top_down_and_32bpp():
+    assert C.decode_bmp(_make_bmp(_PIX, bottom_up=False)).tolist() == [
+        [list(p) for p in row] for row in _PIX
+    ]
+    assert C.decode_bmp(_make_bmp(_PIX, bpp=32)).tolist() == [
+        [list(p) for p in row] for row in _PIX
+    ]
+
+
+def test_bmp_compressed_rejected():
+    bad = bytearray(_make_bmp(_PIX))
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        C.decode_bmp(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# WAV
+
+
+def test_wav_pcm16_stereo_roundtrip():
+    pcm = np.random.RandomState(3).randint(-30000, 30000, (100, 2)).astype(np.int16)
+    x, sr = C.decode_wav(C.encode_wav(pcm, 44100))
+    assert sr == 44100 and x.shape == (100, 2)
+    assert np.array_equal(np.round(x * 32768).astype(np.int16), pcm)
+
+
+def test_wav_8bit_24bit_float():
+    # 8-bit unsigned
+    data8 = bytes([0, 128, 255])
+    hdr8 = (
+        b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 3)
+    )
+    x, sr = C.decode_wav(hdr8 + data8 + b"\0")  # odd size -> pad byte
+    assert sr == 8000 and np.allclose(x[:, 0], [-1.0, 0.0, 127 / 128])
+    # 24-bit signed little-endian: min, zero, max
+    s24 = b"\x00\x00\x80" + b"\x00\x00\x00" + b"\xff\xff\x7f"
+    hdr24 = (
+        b"RIFF" + struct.pack("<I", 36 + 9) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 24000, 3, 24)
+        + b"data" + struct.pack("<I", 9)
+    )
+    x24, _ = C.decode_wav(hdr24 + s24 + b"\0")
+    assert np.allclose(x24[:, 0], [-1.0, 0.0, (2**23 - 1) / 2**23])
+    # IEEE float32
+    f32 = np.array([-0.5, 0.25, 1.0], dtype="<f4").tobytes()
+    hdrf = (
+        b"RIFF" + struct.pack("<I", 36 + 12) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+        + b"data" + struct.pack("<I", 12)
+    )
+    xf, _ = C.decode_wav(hdrf + f32)
+    assert np.allclose(xf[:, 0], [-0.5, 0.25, 1.0])
+
+
+def test_wav_chunk_walk_skips_list():
+    pcm = np.arange(10, dtype=np.int16)
+    full = C.encode_wav(pcm, 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    listed = full[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO" + full[fmt_end:]
+    fixed = bytearray(listed)
+    struct.pack_into("<I", fixed, 4, len(fixed) - 8)
+    x, sr = C.decode_wav(bytes(fixed))
+    assert np.array_equal(np.round(x[:, 0] * 32768).astype(np.int16), pcm)
+
+
+# ---------------------------------------------------------------------------
+# Y4M
+
+
+def test_y4m_roundtrip_and_chroma_modes():
+    luma = np.random.RandomState(4).randint(0, 256, (4, 6, 8), dtype=np.uint8)
+    for chroma in ("420", "422", "444"):
+        out, hdr = C.decode_y4m(C.encode_y4m(luma, chroma=chroma))
+        assert hdr["chroma"] == chroma
+        assert np.array_equal(out, luma)
+
+
+def test_y4m_truncated_frame_raises():
+    luma = np.zeros((2, 4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        C.decode_y4m(C.encode_y4m(luma)[:-3])
+
+
+# ---------------------------------------------------------------------------
+# resize
+
+
+def test_resize_nearest_floor_semantics():
+    img = _rand_img(7, 5, seed=5)
+    out = C.resize_nearest(img, 2, 3)
+    ys = (np.arange(3) * 7) // 3
+    xs = (np.arange(2) * 5) // 2
+    assert np.array_equal(out, img[ys][:, xs])
+    # upscale replicates
+    up = C.resize_nearest(np.array([[1, 2]], dtype=np.uint8), 4, 2)
+    assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2]]
+
+
+# ---------------------------------------------------------------------------
+# sniff + Spark surface
+
+
+def test_sniff_kind():
+    assert C.sniff_kind(C.encode_ppm(_rand_img(2, 2))) == "image"
+    assert C.sniff_kind(_make_bmp(_PIX)) == "image"
+    assert C.sniff_kind(C.encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "audio"
+    assert C.sniff_kind(C.encode_y4m(np.zeros((1, 2, 2), dtype=np.uint8))) == "video"
+    assert C.sniff_kind(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_real_feature_compressed_codec_raises():
+    from fel_spark.sources.multimodal import _real_feature
+
+    with pytest.raises(NotImplementedError):
+        _real_feature(b"\x89PNG\r\n\x1a\nrest", 16)
+
+
+def test_extract_features_real_path(spark):
+    from fel_spark.sources.multimodal import extract_features, synth_media_real
+
+    media = synth_media_real(spark, 12)
+    rows = extract_features(media, dim=16, fake=False).collect()
+    assert len(rows) == 12
+    by_id = {r.media_id: r for r in rows}
+    # image m00000: w=16, h=16 -> feat[0]=16, feat[1]=16, feat[2]=3 channels
+    assert by_id["m00000"].feat[:3] == [16.0, 16.0, 3.0]
+    # audio m00001: sr=8000, n=800, mono
+    assert by_id["m00001"].feat[:3] == [8000.0, 800.0, 1.0]
+    # video m00002: nf=3, 16x16
+    assert by_id["m00002"].feat[:3] == [3.0, 16.0, 16.0]
+
+
+def test_decode_stats_matches_closed_form(spark):
+    from fel_spark.sources.multimodal import decode_stats, synth_media_real
+
+    stats = {r.media_id: r for r in decode_stats(synth_media_real(spark, 9)).collect()}
+    # image i=0: w=h=16, b=0 -> vsum = 16*120 + 16*120 + 0
+    assert stats["m00000"].vsum == 16 * (16 * 15 // 2) * 2
+    # audio i=1: amp=1500, n=800 -> vsum = 1.2M; zc = 799 // 3
+    assert stats["m00001"].vsum == 800 * 1500
+    assert stats["m00001"].height == 799 // 3
+    # video i=2: nf=3, frames solid 16+((26+29k)%220)
+    expect = 256 * sum(16 + ((2 * 13 + k * 29) % 220) for k in range(3))
+    assert stats["m00002"].vsum == expect
+
+
+def test_resize_images_real_roundtrip(spark):
+    from fel_spark.sources.multimodal import (
+        decode_stats,
+        resize_images,
+        synth_media_real,
+    )
+
+    small = resize_images(synth_media_real(spark, 6), 8, 6, fake=False)
+    rows = {r.media_id: r for r in decode_stats(small).collect()}
+    # i=0: w=h=16, b=0; vsum = sum((xd*16)//8 + (yd*16)//6) over 8x6
+    expect = 6 * sum((xd * 16) // 8 for xd in range(8)) + 8 * sum(
+        (yd * 16) // 6 for yd in range(6)
+    )
+    assert rows["m00000"].vsum == expect
+    assert rows["m00000"].width == 8 and rows["m00000"].height == 6
