@@ -233,6 +233,48 @@ def test_decode_stats_matches_closed_form(spark):
     assert stats["m00002"].vsum == expect
 
 
+def test_codec_roundtrip_fuzz():
+    """Seeded fuzz (repo idiom: one seeded batch, not per-example jobs):
+    random shapes/dtypes through every encode->decode pair, widths chosen
+    to hit every BMP row-padding residue and odd WAV data sizes."""
+    rng = np.random.RandomState(1234)
+    for trial in range(40):
+        h = int(rng.randint(1, 33))
+        w = int(rng.randint(1, 33))
+        # netpbm color / gray / 16-bit
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(C.decode_netpbm(C.encode_ppm(img)), img)
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(C.decode_netpbm(C.encode_pgm(g)), g)
+        g16 = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+        assert np.array_equal(C.decode_netpbm(C.encode_pgm(g16, maxval=65535)), g16)
+        # BMP: every padding residue via w in 1..32, both orientations, both depths
+        pix = [[tuple(int(v) for v in rng.randint(0, 256, 3)) for _ in range(w)] for _ in range(h)]
+        for bpp in (24, 32):
+            for bottom_up in (True, False):
+                out = C.decode_bmp(_make_bmp(pix, bpp=bpp, bottom_up=bottom_up))
+                assert out.tolist() == [[list(p) for p in r] for r in pix]
+        # WAV PCM16, 1-3 channels, odd/even lengths
+        ch = int(rng.randint(1, 4))
+        n = int(rng.randint(1, 200))
+        pcm = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        x, sr = C.decode_wav(C.encode_wav(pcm, 8000))
+        assert sr == 8000 and np.array_equal(np.round(x * 32768).astype(np.int16), pcm)
+        # Y4M: even dims (chroma subsampling), every mode
+        he, we = (h + h % 2), (w + w % 2)
+        luma = rng.randint(0, 256, (int(rng.randint(1, 5)), he, we)).astype(np.uint8)
+        for chroma in ("420", "422", "444"):
+            out, hdr = C.decode_y4m(C.encode_y4m(luma, chroma=chroma))
+            assert np.array_equal(out, luma), (trial, chroma)
+        # resize vs naive gather
+        tw, th = int(rng.randint(1, 17)), int(rng.randint(1, 17))
+        got = C.resize_nearest(img, tw, th)
+        naive = np.array(
+            [[img[(yd * h) // th, (xd * w) // tw] for xd in range(tw)] for yd in range(th)]
+        )
+        assert np.array_equal(got, naive)
+
+
 def test_resize_images_real_roundtrip(spark):
     from fel_spark.sources.multimodal import (
         decode_stats,
