@@ -7,6 +7,8 @@ completed stages; every stage leaves per-partition lineage metrics):
 
     raw documents
       -> filter        (corpus_filter_decisions: per-rule flags + keep)
+      [+ media filter  (optional sidecar: decode-gated quality flags over
+                        binary media columns — sources/multimodal.py)]
       -> exact dedup   (normalized-text hash groupBy, canonical per group)
       -> near dedup    (MinHash-LSH clusters, keep cluster canonicals)
       -> semantic dedup (optional, when doc embeddings are supplied:
@@ -56,6 +58,8 @@ def run_corpus_prep(
     decon_kwargs: dict | None = None,
     doc_embeddings: DataFrame | None = None,
     semdedup_kwargs: dict | None = None,
+    media: DataFrame | None = None,
+    media_kwargs: dict | None = None,
 ) -> DataFrame:
     """Run (or resume) the corpus-prep plan; returns the packed manifest
     (id, split, shard, n_tokens, start_offset, start_chunk, end_chunk).
@@ -90,6 +94,29 @@ def run_corpus_prep(
         )
 
     filtered = runner.run_stage("filtered", _filtered)
+
+    # optional: multimodal sidecar table — decode-gated quality filter
+    # (sources/codecs.py real decoders; corrupt payloads are flagged, never
+    # fatal). Runs independently of the text chain: media snapshots don't
+    # gate text stages, and omitting `media` keeps existing run_dirs'
+    # resume state unchanged.
+    if media is not None:
+
+        def _media(r: StageRunner) -> DataFrame:
+            from fel_spark.sources.multimodal import media_filter_decisions
+
+            dec = media_filter_decisions(media, **(media_kwargs or {}))
+            r.log_aux(
+                "media_filter_audit",
+                dec.groupBy("kind", "keep", "reason").count(),
+            )
+            return media.join(
+                dec.filter(F.col("keep")).select("media_id"),
+                "media_id",
+                "left_semi",
+            )
+
+        runner.run_stage("media_filtered", _media)
 
     def _exact(r: StageRunner) -> DataFrame:
         # exact_dedup returns one row PER INPUT DOC (doc_id, canonical_id,

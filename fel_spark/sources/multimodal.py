@@ -16,6 +16,7 @@ stable features so downstream plumbing stays exercisable for any codec.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -383,4 +384,63 @@ def decode_stats(media: DataFrame) -> DataFrame:
         gen,
         schema="media_id string, kind string, width int, height int, "
         "depth int, units bigint, vsum bigint",
+    )
+
+
+def media_filter_decisions(
+    media: DataFrame,
+    min_width: int = 8,
+    min_height: int = 8,
+    min_samples: int = 400,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Per-row media quality flags + keep (the `corpus_filter_decisions`
+    analogue for binary columns). Decode failures are a FLAG, not a crash —
+    at 100 TB one corrupt payload must not kill the run, so every decode is
+    fenced and undecodable rows come back keep=false, reason='undecodable'.
+
+    Rules (image: min dims; audio: min sample count; video: min frames)
+    are deliberately cheap — they need only the decoded shape, which the
+    pure-NumPy codecs produce in one pass.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, keeps, reasons = [], [], [], []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                keep, reason = True, ""
+                try:
+                    b = bytes(payload)
+                    sniffed = codecs.sniff_kind(b)
+                    if sniffed is None:
+                        keep, reason = False, "undecodable"
+                    elif sniffed != kind:
+                        keep, reason = False, "kind_mismatch"
+                    elif kind == "image":
+                        img = codecs.decode_image(b)
+                        h, w = img.shape[:2]
+                        if w < min_width or h < min_height:
+                            keep, reason = False, "too_small"
+                    elif kind == "audio":
+                        x, _sr = codecs.decode_wav(b)
+                        if len(x) < min_samples:
+                            keep, reason = False, "too_short"
+                    else:
+                        luma, _hdr = codecs.decode_y4m(b)
+                        if luma.shape[0] < min_frames:
+                            keep, reason = False, "too_few_frames"
+                except (ValueError, struct.error, IndexError):
+                    keep, reason = False, "undecodable"
+                ids.append(media_id)
+                kinds.append(kind)
+                keeps.append(keep)
+                reasons.append(reason)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "keep": keeps, "reason": reasons}
+            )
+
+    return media.mapInPandas(
+        gen, schema="media_id string, kind string, keep boolean, reason string"
     )

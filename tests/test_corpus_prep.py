@@ -147,3 +147,56 @@ def test_corpus_prep_inserted_stage_invalidates_downstream(spark, tmp_path):
     )
     # doc 6 is contaminated: the re-run must NOT serve the stale manifest
     assert {r["doc_id"] for r in again.collect()} == {1}
+
+
+def test_corpus_prep_with_media_stage(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from fel_spark.sources.multimodal import MEDIA_SCHEMA, synth_media_real
+
+    good = synth_media_real(spark, 9)
+    bad = spark.createDataFrame(
+        [("xbad", "image", bytearray(b"\x89PNGnot-really"),
+          {"width": None, "height": None, "duration_ms": None, "codec": "png"})],
+        schema=MEDIA_SCHEMA,
+    )
+    run_dir = str(tmp_path / "run_media")
+    run_corpus_prep(
+        spark, run_dir, _docs(spark), pack_budget=16, pack_shards=2,
+        media=good.unionByName(bad),
+        media_kwargs={"min_frames": 4},
+    )
+    kept = spark.read.parquet(f"{run_dir}/media_filtered")
+    ids = {r.media_id for r in kept.select("media_id").collect()}
+    assert "xbad" not in ids                      # corrupt payload flagged, not fatal
+    # videos are i%3==2 with nf = 3 + ((i//3)%3): i=2 -> 3 frames (drop),
+    # i=5 -> 4, i=8 -> 5 (keep)
+    assert "m00002" not in ids and {"m00005", "m00008"} <= ids
+    # audit materialized with per-reason counts
+    audit = spark.read.parquet(f"{run_dir}/_aux/media_filter_audit")
+    reasons = {r.reason for r in audit.filter(~F.col("keep")).collect()}
+    assert {"undecodable", "too_few_frames"} <= reasons
+
+
+def test_media_filter_decisions_rules(spark):
+    from fel_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        media_filter_decisions,
+        synth_media_real,
+    )
+
+    # kind mismatch: a valid WAV payload labeled "image"
+    wav_row = synth_media_real(spark, 2).filter("kind = 'audio'").collect()[0]
+    mism = spark.createDataFrame(
+        [("xmis", "image", bytes(wav_row.payload),
+          {"width": None, "height": None, "duration_ms": None, "codec": "wav"})],
+        schema=MEDIA_SCHEMA,
+    )
+    dec = {r.media_id: r for r in media_filter_decisions(
+        synth_media_real(spark, 3).unionByName(mism),
+        min_width=40, min_samples=10_000,
+    ).collect()}
+    assert dec["xmis"].reason == "kind_mismatch" and not dec["xmis"].keep
+    assert dec["m00000"].reason == "too_small"        # 16x16 image < 40 wide
+    assert dec["m00001"].reason == "too_short"        # 800 samples < 10000
+    assert dec["m00002"].keep                         # 3 frames >= default 2
