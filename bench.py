@@ -153,7 +153,12 @@ def main() -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--er-only", action="store_true")
     p.add_argument("--skip-er", action="store_true")
-    p.add_argument("--er-conv", type=int, default=80_000)
+    # 240k convs = 1.44M turns: large enough that per-rep fixed costs
+    # (broadcast, DP/codegen setup, CC, job scheduling ~8-10 s) stop
+    # dominating — 80k convs measured 26.6k turns/s where 240k measures
+    # 42k on the same engine, and longer reps also average out the host's
+    # steal storms (rep spread 1.17x vs 3-5x at the small size)
+    p.add_argument("--er-conv", type=int, default=240_000)
     p.add_argument("--er-turns-per-conv", type=int, default=6)
     p.add_argument("--er-entities", type=int, default=2000)
     args = p.parse_args()
