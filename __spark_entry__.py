@@ -1579,6 +1579,21 @@ def q_media_frame_sample(spark, sf_dir):
     return sample_frames_decoded(synth_media_real(spark, 60), stride=2)
 
 
+def q_media_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection over REALLY decoded pixels:
+    DCT perceptual hash + the shared banded-Hamming kernel
+    (`banded_hamming_pairs`, same salt-capped join as SimHash).
+    24 deterministic cosine-pattern images, each with a planted
+    30-pixel-perturbed copy; the DCT is not SQL-expressible so this row
+    is rows-only — the exact pair set (planted copies only, nothing
+    spurious) is ground-truth-asserted in tests/test_codecs.py."""
+    from fel_spark.sources.multimodal import image_phash_pairs, synth_patterned_images
+
+    return image_phash_pairs(
+        synth_patterned_images(spark, 24), max_hamming=6
+    ).orderBy("id_a")
+
+
 def q_media_filter(spark, sf_dir):
     """Decode-gated media quality filter (`media_filter_decisions`):
     real payloads plus planted CORRUPT rows; thresholds chosen so every
@@ -1709,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_filter": q_media_filter,
         # rows-only scale paths (no SQL oracle by nature)
+        "media_phash_neardup": q_media_phash_neardup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,

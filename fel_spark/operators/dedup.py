@@ -302,24 +302,25 @@ def simhash_fingerprint(tokens, seed: int = 7171, hash_fn=None):
     return F.pandas_udf(_simhash_fold, "long")(token_hashes)
 
 
-def simhash_dedup(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def banded_hamming_pairs(
+    d: DataFrame,
+    id_col: str,
+    hash_col: str,
     bands: int | None = None,
     max_hamming: int = 3,
     max_block: int = DEDUP_MAX_BLOCK,
-    hash_fn=None,
 ) -> DataFrame:
-    """SimHash near-dup candidate pairs.
+    """Candidate pairs within ``max_hamming`` of a 64-bit fingerprint
+    column, via banded blocking + exact verification.
 
-    Banded blocking: split the 64-bit fingerprint into ``bands`` chunks;
-    pairs within Hamming distance <= bands-1 must agree on at least one
-    chunk (pigeonhole), so ``bands`` defaults to ``max_hamming + 1`` —
-    a caller-supplied ``bands`` below that is rejected (it would silently
+    Split the fingerprint into ``bands`` disjoint chunks; pairs within
+    Hamming distance <= bands-1 must agree on at least one chunk
+    (pigeonhole), so ``bands`` defaults to ``max_hamming + 1`` — a
+    caller-supplied ``bands`` below that is rejected (it would silently
     miss pairs at distance >= bands that differ in every chunk).
-    Pairs verified by exact Hamming distance. Returns (id_a, id_b, hamming).
-    """
+    Pairs verified by exact Hamming distance (JVM bit_count, no Python).
+    Returns (id_a, id_b, hamming). Shared kernel for SimHash text dedup
+    and pHash image dedup."""
     if bands is None:
         bands = max_hamming + 1
     if bands < max_hamming + 1:
@@ -329,10 +330,6 @@ def simhash_dedup(
         )
     if bands > 64:
         raise ValueError(f"bands={bands} > 64 bits")
-    toks = normalize_tokens(text_col)
-    d = docs.select(
-        F.col(id_col), simhash_fingerprint(toks, hash_fn=hash_fn).alias("sh")
-    )
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     keys = F.array(
@@ -340,7 +337,7 @@ def simhash_dedup(
             F.concat_ws(
                 ":",
                 F.lit(str(i)),
-                F.shiftright(F.col("sh"), i * chunk_bits)
+                F.shiftright(F.col(hash_col), i * chunk_bits)
                 .bitwiseAND(F.lit(mask))
                 .cast("string"),
             )
@@ -348,11 +345,33 @@ def simhash_dedup(
         ]
     )
     blocked = d.withColumn("bk", F.explode(keys))
-    pairs = _pairs_from_blocks(blocked, id_col, ["sh"], max_block=max_block)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = _pairs_from_blocks(blocked, id_col, [hash_col], max_block=max_block)
+    hamming = F.bit_count(
+        F.col(f"{hash_col}_a").bitwiseXOR(F.col(f"{hash_col}_b"))
+    )
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int | None = None,
+    max_hamming: int = 3,
+    max_block: int = DEDUP_MAX_BLOCK,
+    hash_fn=None,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs (banded Hamming kernel over the
+    text fingerprint). Returns (id_a, id_b, hamming)."""
+    toks = normalize_tokens(text_col)
+    d = docs.select(
+        F.col(id_col), simhash_fingerprint(toks, hash_fn=hash_fn).alias("sh")
+    )
+    return banded_hamming_pairs(
+        d, id_col, "sh", bands=bands, max_hamming=max_hamming, max_block=max_block
+    )
 
 
 def ngram_jaccard_pairs(

@@ -387,6 +387,121 @@ def decode_stats(media: DataFrame) -> DataFrame:
     )
 
 
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (cached): D @ x applies the 1-D DCT."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        d[0] /= np.sqrt(2.0)
+        _DCT32 = d
+    return _DCT32
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual hash of a REALLY decoded image: gray -> 32x32 nearest
+    resize -> 2-D DCT-II -> low-frequency 8x8 block -> bit per coefficient
+    above the block median. Signed 64-bit (Spark LongType-compatible).
+
+    Near-identical images (small crops, noise, re-encodes) land within a
+    few bits; unrelated images differ in ~32. Pure NumPy — two 32x32
+    GEMMs per image."""
+    img = codecs.decode_image(payload)
+    gray = img.astype(np.float64) if img.ndim == 2 else img.mean(axis=2)
+    small = codecs.resize_nearest(gray, 32, 32)
+    d = _dct_matrix(32)
+    coeffs = d @ small @ d.T
+    block = coeffs[:8, :8].ravel()
+    bits = block > np.median(block)
+    return int(
+        np.uint64(
+            (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+        ).view(np.int64)
+    )
+
+
+def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, phash) for every image row — real decode + DCT pHash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [phash64(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        gen, schema=f"{id_col} string, phash long"
+    )
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    bands: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: pHash + the shared banded-Hamming
+    kernel (`operators/dedup.banded_hamming_pairs` — same salt-capped
+    block join and pigeonhole recall guarantee as SimHash text dedup).
+    Returns (id_a, id_b, hamming)."""
+    from fel_spark.operators.dedup import DEDUP_MAX_BLOCK, banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        image_phash(media, id_col=id_col),
+        id_col,
+        "phash",
+        bands=bands,
+        max_hamming=max_hamming,
+        max_block=max_block if max_block is not None else DEDUP_MAX_BLOCK,
+    )
+
+
+def synth_patterned_images(
+    spark: SparkSession, n: int = 24, seed: int = 11, with_neardups: bool = True
+) -> DataFrame:
+    """Deterministic low-frequency cosine-pattern images (pHash needs
+    frequency content — the gradient images of `synth_media_real` are all
+    the same ramp after resize). Base rows p####; when ``with_neardups``,
+    each base gets a q#### copy with 30 slightly-perturbed pixels — a
+    planted near-duplicate ground truth (perturbed copies land within a
+    couple of pHash bits, unrelated patterns ~30 apart)."""
+    h = w = 48
+    y, x = np.mgrid[0:h, 0:w]
+    rows = []
+    for i in range(n):
+        r = np.random.RandomState(seed * 100_003 + i)
+        img = np.zeros((h, w))
+        for _ in range(4):
+            fy, fx = r.uniform(0.5, 3, 2)
+            ph = r.uniform(0, 2 * np.pi)
+            img += r.uniform(0.5, 1.5) * np.cos(2 * np.pi * (fy * y / h + fx * x / w) + ph)
+        img = ((img - img.min()) / (img.ptp() + 1e-9) * 255).astype(np.uint8)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        meta = {"width": w, "height": h, "duration_ms": None, "codec": "ppm"}
+        rows.append((f"p{i:04d}", "image", bytearray(codecs.encode_ppm(rgb)), meta))
+        if with_neardups:
+            pert = rgb.copy()
+            pr = np.random.RandomState(seed * 100_003 + i + 50_000)
+            for yy, xx in pr.randint(0, h, (30, 2)):
+                pert[yy, xx] = np.clip(
+                    pert[yy, xx].astype(int) + pr.randint(-20, 21, 3), 0, 255
+                )
+            rows.append(
+                (f"q{i:04d}", "image", bytearray(codecs.encode_ppm(pert)), meta)
+            )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def media_filter_decisions(
     media: DataFrame,
     min_width: int = 8,
