@@ -74,6 +74,7 @@ def test_queries_have_oracles_or_reason():
         "ann_lsh",
         "ann_ivf",
         "entity_embeddings",
+        "media_phash_neardup",  # DCT not SQL-expressible; ground-truth pytest
     }
 
 
