@@ -1594,6 +1594,19 @@ def q_media_phash_neardup(spark, sf_dir):
     ).orderBy("id_a")
 
 
+def q_media_audiofp_neardup(spark, sf_dir):
+    """Audio near-duplicate detection over REALLY decoded samples:
+    spectral differential fingerprint + the shared banded-Hamming kernel.
+    16 deterministic tone mixes, each with a planted mildly-noised copy;
+    the FFT chain is not SQL-expressible so this row is rows-only — the
+    exact pair set is ground-truth-asserted in tests/test_codecs.py."""
+    from fel_spark.sources.multimodal import audio_fp_pairs, synth_toned_audio
+
+    return audio_fp_pairs(synth_toned_audio(spark, 16), max_hamming=10).orderBy(
+        "id_a"
+    )
+
+
 def q_media_filter(spark, sf_dir):
     """Decode-gated media quality filter (`media_filter_decisions`):
     real payloads plus planted CORRUPT rows; thresholds chosen so every
@@ -1725,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_filter": q_media_filter,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
+        "media_audiofp_neardup": q_media_audiofp_neardup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,

@@ -466,6 +466,113 @@ def image_phash_pairs(
     )
 
 
+def audio_fingerprint64(payload: bytes, segs: int = 16, bands: int = 4) -> int:
+    """Spectral fingerprint of a REALLY decoded WAV: mono -> 16 equal
+    segments -> 4 band energies per segment (|rFFT|^2 quartiles) ->
+    differential bit per (segment, band): energy rose vs the previous
+    segment (segment 0 compares to the global band mean). 64 bits,
+    noise-tolerant (mild noise flips a few bits; different tone mixes
+    differ in ~17-40 — see the ground-truth test)."""
+    x, _sr = codecs.decode_wav(payload)
+    mono = x.mean(axis=1)
+    n = len(mono)
+    seg = max(n // segs, 1)
+    energy = np.zeros((segs, bands))
+    for s in range(segs):
+        chunk = mono[s * seg : (s + 1) * seg]
+        if len(chunk) == 0:
+            continue
+        spec = np.abs(np.fft.rfft(chunk)) ** 2
+        for b, part in enumerate(np.array_split(spec, bands)):
+            energy[s, b] = part.sum()
+    prev = np.vstack([energy.mean(axis=0, keepdims=True), energy[:-1]])
+    bits = (energy > prev).ravel()[:64]
+    return int(
+        np.uint64(
+            (bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+        ).view(np.int64)
+    )
+
+
+def audio_fp_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    bands: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs: spectral fingerprint + the shared
+    banded-Hamming kernel (same salt-capped join and pigeonhole recall
+    guarantee as SimHash / image pHash). Returns (id_a, id_b, hamming)."""
+    from fel_spark.operators.dedup import DEDUP_MAX_BLOCK, banded_hamming_pairs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": [audio_fingerprint64(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    d = media.filter(F.col("kind") == "audio").mapInPandas(
+        gen, schema=f"{id_col} string, afp long"
+    )
+    return banded_hamming_pairs(
+        d,
+        id_col,
+        "afp",
+        bands=bands,
+        max_hamming=max_hamming,
+        max_block=max_block if max_block is not None else DEDUP_MAX_BLOCK,
+    )
+
+
+def synth_toned_audio(
+    spark: SparkSession, n: int = 16, seed: int = 23, with_neardups: bool = True
+) -> DataFrame:
+    """Deterministic tone-mix WAVs (sum of 3 seeded enveloped sines,
+    4000 samples PCM16). When ``with_neardups``, each base a#### gets a
+    b#### copy with mild seeded noise — a planted near-dup ground truth
+    for `audio_fp_pairs`."""
+    rows = []
+    t = np.arange(4000)
+    for i in range(n):
+        r = np.random.RandomState(seed * 100_003 + i)
+        sig = np.zeros(4000)
+        for _ in range(3):
+            f = r.uniform(0.01, 0.2)
+            ph = r.uniform(0, 6)
+            env_f = r.uniform(0.0005, 0.002)
+            sig += r.uniform(0.5, 1.0) * np.sin(2 * np.pi * f * t + ph) * (
+                1 + np.sin(2 * np.pi * env_f * t)
+            )
+        pcm = np.clip(np.round(sig / (np.abs(sig).max() + 1e-9) * 20000), -32768, 32767)
+        meta = {"width": None, "height": None, "duration_ms": 500, "codec": "wav"}
+        rows.append(
+            (
+                f"a{i:04d}",
+                "audio",
+                bytearray(codecs.encode_wav(pcm.astype(np.int16), 8000)),
+                meta,
+            )
+        )
+        if with_neardups:
+            pr = np.random.RandomState(seed * 100_003 + i + 50_000)
+            noisy = np.clip(pcm + np.round(pr.randn(4000) * 0.03 * pcm.std()), -32768, 32767)
+            rows.append(
+                (
+                    f"b{i:04d}",
+                    "audio",
+                    bytearray(codecs.encode_wav(noisy.astype(np.int16), 8000)),
+                    meta,
+                )
+            )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_patterned_images(
     spark: SparkSession, n: int = 24, seed: int = 11, with_neardups: bool = True
 ) -> DataFrame:

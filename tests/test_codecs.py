@@ -328,3 +328,17 @@ def test_banded_hamming_bands_guard():
 
     with _pytest.raises(ValueError):
         banded_hamming_pairs(None, "id", "h", bands=3, max_hamming=6)
+
+
+def test_audio_fp_pairs_ground_truth(spark):
+    """Planted noisy copies pair with their base tones (and nothing else)
+    through the full chain — real WAV decode, spectral fingerprint,
+    banded-Hamming block join, exact verification."""
+    from fel_spark.sources.multimodal import audio_fp_pairs, synth_toned_audio
+
+    media = synth_toned_audio(spark, 10)
+    pairs = audio_fp_pairs(media, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    want = {(f"a{i:04d}", f"b{i:04d}") for i in range(10)}
+    assert got == want
+    assert all(r.hamming <= 10 for r in pairs)

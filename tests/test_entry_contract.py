@@ -75,6 +75,7 @@ def test_queries_have_oracles_or_reason():
         "ann_ivf",
         "entity_embeddings",
         "media_phash_neardup",  # DCT not SQL-expressible; ground-truth pytest
+        "media_audiofp_neardup",  # FFT not SQL-expressible; ground-truth pytest
     }
 
 
