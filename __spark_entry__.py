@@ -1607,6 +1607,19 @@ def q_media_audiofp_neardup(spark, sf_dir):
     )
 
 
+def q_media_videofp_neardup(spark, sf_dir):
+    """Video near-duplicate detection over REALLY decoded frames:
+    mean-frame DCT pHash + the shared banded-Hamming kernel. 12
+    deterministic translating-pattern clips, each with a planted noisy
+    copy; rows-only (DCT/FFT not SQL-expressible) — exact pair set
+    ground-truth-asserted in tests/test_codecs.py."""
+    from fel_spark.sources.multimodal import synth_patterned_videos, video_fp_pairs
+
+    return video_fp_pairs(synth_patterned_videos(spark, 12), max_hamming=6).orderBy(
+        "id_a"
+    )
+
+
 def q_media_filter(spark, sf_dir):
     """Decode-gated media quality filter (`media_filter_decisions`):
     real payloads plus planted CORRUPT rows; thresholds chosen so every
@@ -1739,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
+        "media_videofp_neardup": q_media_videofp_neardup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,

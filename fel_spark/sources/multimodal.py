@@ -402,16 +402,10 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
-def phash64(payload: bytes) -> int:
-    """Perceptual hash of a REALLY decoded image: gray -> 32x32 nearest
-    resize -> 2-D DCT-II -> low-frequency 8x8 block -> bit per coefficient
-    above the block median. Signed 64-bit (Spark LongType-compatible).
-
-    Near-identical images (small crops, noise, re-encodes) land within a
-    few bits; unrelated images differ in ~32. Pure NumPy — two 32x32
-    GEMMs per image."""
-    img = codecs.decode_image(payload)
-    gray = img.astype(np.float64) if img.ndim == 2 else img.mean(axis=2)
+def _phash_from_gray(gray: np.ndarray) -> int:
+    """pHash core: gray float array -> 32x32 nearest resize -> 2-D DCT-II
+    -> low-frequency 8x8 block -> bit per coefficient above the block
+    median. Signed 64-bit (Spark LongType-compatible)."""
     small = codecs.resize_nearest(gray, 32, 32)
     d = _dct_matrix(32)
     coeffs = d @ small @ d.T
@@ -424,6 +418,25 @@ def phash64(payload: bytes) -> int:
             )
         ).view(np.int64)
     )
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual hash of a REALLY decoded image. Near-identical images
+    (small crops, noise, re-encodes) land within a few bits; unrelated
+    images differ in ~32. Pure NumPy — two 32x32 GEMMs per image."""
+    img = codecs.decode_image(payload)
+    gray = img.astype(np.float64) if img.ndim == 2 else img.mean(axis=2)
+    return _phash_from_gray(gray)
+
+
+def video_phash64(payload: bytes) -> int:
+    """Perceptual hash of a REALLY decoded Y4M video: pHash of the
+    temporal-MEAN luma frame. Re-encodes and mild per-frame noise keep the
+    mean frame (and so the hash) stable; different content diverges."""
+    luma, _hdr = codecs.decode_y4m(payload)
+    if luma.shape[0] == 0:
+        return 0
+    return _phash_from_gray(luma.astype(np.float64).mean(axis=0))
 
 
 def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -528,6 +541,75 @@ def audio_fp_pairs(
         max_hamming=max_hamming,
         max_block=max_block if max_block is not None else DEDUP_MAX_BLOCK,
     )
+
+
+def video_fp_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    bands: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs: mean-frame pHash + the shared
+    banded-Hamming kernel. Returns (id_a, id_b, hamming)."""
+    from fel_spark.operators.dedup import DEDUP_MAX_BLOCK, banded_hamming_pairs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "vfp": [video_phash64(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    d = media.filter(F.col("kind") == "video").mapInPandas(
+        gen, schema=f"{id_col} string, vfp long"
+    )
+    return banded_hamming_pairs(
+        d,
+        id_col,
+        "vfp",
+        bands=bands,
+        max_hamming=max_hamming,
+        max_block=max_block if max_block is not None else DEDUP_MAX_BLOCK,
+    )
+
+
+def synth_patterned_videos(
+    spark: SparkSession, n: int = 12, seed: int = 31, with_neardups: bool = True
+) -> DataFrame:
+    """Deterministic Y4M clips: 4 frames of a seeded cosine pattern
+    translating one pixel per frame (so frames differ but the mean frame is
+    content-stable). When ``with_neardups``, each base v#### gets a w####
+    copy with mild seeded per-frame pixel noise."""
+    h = w = 48
+    y, x = np.mgrid[0:h, 0:w]
+    rows = []
+    for i in range(n):
+        r = np.random.RandomState(seed * 100_003 + i)
+        base = np.zeros((h, w))
+        for _ in range(4):
+            fy, fx = r.uniform(0.5, 3, 2)
+            ph = r.uniform(0, 2 * np.pi)
+            base += r.uniform(0.5, 1.5) * np.cos(
+                2 * np.pi * (fy * y / h + fx * x / w) + ph
+            )
+        base = ((base - base.min()) / (base.ptp() + 1e-9) * 255).astype(np.uint8)
+        frames = np.stack([np.roll(base, k, axis=1) for k in range(4)])
+        meta = {"width": w, "height": h, "duration_ms": 160, "codec": "y4m"}
+        rows.append(
+            (f"v{i:04d}", "video", bytearray(codecs.encode_y4m(frames)), meta)
+        )
+        if with_neardups:
+            pr = np.random.RandomState(seed * 100_003 + i + 50_000)
+            noisy = np.clip(
+                frames.astype(int) + pr.randint(-6, 7, frames.shape), 0, 255
+            ).astype(np.uint8)
+            rows.append(
+                (f"w{i:04d}", "video", bytearray(codecs.encode_y4m(noisy)), meta)
+            )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def synth_toned_audio(

@@ -342,3 +342,15 @@ def test_audio_fp_pairs_ground_truth(spark):
     want = {(f"a{i:04d}", f"b{i:04d}") for i in range(10)}
     assert got == want
     assert all(r.hamming <= 10 for r in pairs)
+
+
+def test_video_fp_pairs_ground_truth(spark):
+    """Planted noisy clips pair with their base (and nothing else) —
+    real Y4M decode, mean-frame pHash, banded-Hamming join."""
+    from fel_spark.sources.multimodal import synth_patterned_videos, video_fp_pairs
+
+    media = synth_patterned_videos(spark, 8)
+    pairs = video_fp_pairs(media, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    want = {(f"v{i:04d}", f"w{i:04d}") for i in range(8)}
+    assert got == want

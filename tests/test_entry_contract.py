@@ -76,6 +76,7 @@ def test_queries_have_oracles_or_reason():
         "entity_embeddings",
         "media_phash_neardup",  # DCT not SQL-expressible; ground-truth pytest
         "media_audiofp_neardup",  # FFT not SQL-expressible; ground-truth pytest
+        "media_videofp_neardup",  # DCT not SQL-expressible; ground-truth pytest
     }
 
 
