@@ -576,6 +576,27 @@ def video_fp_pairs(
     )
 
 
+def media_neardup_dedup(
+    media: DataFrame, pairs: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Pairs -> transitive clusters -> keep one canonical per cluster.
+
+    The same dedup-completion step the text pipeline uses
+    (`operators/cluster.connected_components` + keep-min): any of the
+    modality pair generators (`image_phash_pairs`, `audio_fp_pairs`,
+    `video_fp_pairs`) plugs in. Rows absent from the pair set are
+    singletons and always kept. Returns the kept subset of ``media``."""
+    from fel_spark.operators.cluster import connected_components
+
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return media.join(losers, id_col, "left_anti")
+
+
 def synth_patterned_videos(
     spark: SparkSession, n: int = 12, seed: int = 31, with_neardups: bool = True
 ) -> DataFrame:

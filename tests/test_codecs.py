@@ -354,3 +354,18 @@ def test_video_fp_pairs_ground_truth(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     want = {(f"v{i:04d}", f"w{i:04d}") for i in range(8)}
     assert got == want
+
+
+def test_media_neardup_dedup_keeps_one_per_cluster(spark):
+    from fel_spark.sources.multimodal import (
+        image_phash_pairs,
+        media_neardup_dedup,
+        synth_patterned_images,
+    )
+
+    media = synth_patterned_images(spark, 6)  # 6 bases + 6 planted copies
+    pairs = image_phash_pairs(media, max_hamming=6)
+    kept = media_neardup_dedup(media, pairs)
+    ids = {r.media_id for r in kept.select("media_id").collect()}
+    # exactly one survivor per (p_i, q_i) cluster: the min id, i.e. p_i
+    assert ids == {f"p{i:04d}" for i in range(6)}
