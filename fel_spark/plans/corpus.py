@@ -60,6 +60,7 @@ def run_corpus_prep(
     semdedup_kwargs: dict | None = None,
     media: DataFrame | None = None,
     media_kwargs: dict | None = None,
+    media_dedup: bool = False,
 ) -> DataFrame:
     """Run (or resume) the corpus-prep plan; returns the packed manifest
     (id, split, shard, n_tokens, start_offset, start_chunk, end_chunk).
@@ -117,6 +118,46 @@ def run_corpus_prep(
             )
 
         runner.run_stage("media_filtered", _media)
+
+        # optional: per-modality near-dup dedup on the filtered media —
+        # image pHash, audio spectral fingerprint, video mean-frame pHash,
+        # all through the shared banded-Hamming kernel, clusters collapsed
+        # to one canonical (the same pairs -> CC -> keep-min completion the
+        # text chain uses)
+        if media_dedup:
+
+            def _media_dedup(r: StageRunner) -> DataFrame:
+                from fel_spark.sources.multimodal import (
+                    audio_fp_pairs,
+                    image_phash_pairs,
+                    media_neardup_dedup,
+                    video_fp_pairs,
+                )
+
+                base = r.read_stage("media_filtered")
+                pairs = (
+                    image_phash_pairs(base)
+                    .unionByName(audio_fp_pairs(base))
+                    .unionByName(video_fp_pairs(base))
+                )
+                kept = media_neardup_dedup(base, pairs)
+                r.log_aux(
+                    "media_dedup_audit",
+                    base.groupBy("kind")
+                    .count()
+                    .withColumnRenamed("count", "n_in")
+                    .join(
+                        kept.groupBy("kind")
+                        .count()
+                        .withColumnRenamed("count", "n_kept"),
+                        "kind",
+                    ),
+                )
+                return kept
+
+            runner.run_stage(
+                "media_deduped", _media_dedup, inputs=("media_filtered",)
+            )
 
     def _exact(r: StageRunner) -> DataFrame:
         # exact_dedup returns one row PER INPUT DOC (doc_id, canonical_id,

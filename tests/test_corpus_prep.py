@@ -200,3 +200,25 @@ def test_media_filter_decisions_rules(spark):
     assert dec["m00000"].reason == "too_small"        # 16x16 image < 40 wide
     assert dec["m00001"].reason == "too_short"        # 800 samples < 10000
     assert dec["m00002"].keep                         # 3 frames >= default 2
+
+
+def test_corpus_prep_media_dedup_stage(spark, tmp_path):
+    from fel_spark.sources.multimodal import (
+        synth_patterned_images,
+        synth_toned_audio,
+    )
+
+    media = synth_patterned_images(spark, 4).unionByName(
+        synth_toned_audio(spark, 3)
+    )  # 4+4 images, 3+3 audio: half are planted near-dup copies
+    run_dir = str(tmp_path / "run_media_dedup")
+    run_corpus_prep(
+        spark, run_dir, _docs(spark), pack_budget=16, pack_shards=2,
+        media=media, media_dedup=True,
+    )
+    kept = spark.read.parquet(f"{run_dir}/media_deduped")
+    ids = {r.media_id for r in kept.select("media_id").collect()}
+    assert ids == {f"p{i:04d}" for i in range(4)} | {f"a{i:04d}" for i in range(3)}
+    audit = spark.read.parquet(f"{run_dir}/_aux/media_dedup_audit")
+    rows = {r.kind: (r.n_in, r.n_kept) for r in audit.collect()}
+    assert rows == {"image": (8, 4), "audio": (6, 3)}
