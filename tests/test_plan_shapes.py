@@ -225,3 +225,15 @@ def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
+
+
+def test_media_phash_pairs_no_cartesian(spark):
+    """The banded-Hamming kernel must plan as a block-key equi-join (same
+    salt-capped shape as SimHash), never a cartesian product; the Hamming
+    verify must stay JVM-side (bit_count, no Python eval)."""
+    from fel_spark.sources.multimodal import image_phash_pairs, synth_patterned_images
+
+    pairs = image_phash_pairs(synth_patterned_images(spark, 4), max_hamming=6)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # only the fingerprint UDF is Python
