@@ -462,6 +462,24 @@ def q_doc_hash_split(spark, sf_dir):
     return out.select("doc_id", "split_bucket", "split")
 
 
+def q_doc_budget_sample(spark, sf_dir):
+    """Token-budget prefix sample (`operators/splits.budget_sample`):
+    keep documents in deterministic hash order while the inclusive running
+    token total fits a 15k budget (binding: ~27k total corpus tokens). The sharded cumsum (ordered coarse
+    buckets + broadcast bucket offsets + per-bucket window) is
+    value-checked against the oracle's single global window — proving the
+    parallel-safe decomposition equals the sequential definition. Oracle
+    variant: md5 rank hash; scale path = xxhash64 default."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.splits import budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = budget_sample(
+        d, budget_tokens=15_000, hash_fn=lambda c: md5_hash60(c, seed=13)
+    )
+    return out.select("doc_id", "sample_rank", "n_tokens", "cum_tokens")
+
+
 def q_doc_span_dup(spark, sf_dir):
     """Cross-document duplicated token windows (span-level dedup,
     `dedup.duplicated_spans`): 8-token shingle fingerprints appearing in
@@ -1743,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_span_dup": q_doc_span_dup,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_budget_sample": q_doc_budget_sample,
         "doc_decontaminate_report": q_doc_decontaminate_report,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "media_features": q_media_features,
@@ -2287,6 +2306,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN split_bucket < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # budget sample: the oracle computes the SEQUENTIAL definition
+        # (one global window cumsum in hash order) that the operator's
+        # sharded decomposition must equal
+        "doc_budget_sample": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       len({_TOKS.format(c='text')}) AS n_tokens,
+                       CAST(CAST(('0x' || substr(md5('13:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            AS BIGINT) AS sample_rank
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, sample_rank, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY sample_rank, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM d
+            )
+            SELECT doc_id, sample_rank,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 15000
         """,
         # span dedup: 8-token windows, md5 fingerprint of the space-joined
         # shingle; duckdb list slice l[a:b] is 1-based inclusive.

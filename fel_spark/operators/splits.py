@@ -120,3 +120,72 @@ def stratified_sample(
     default = F.lit(int(round(default_rate * buckets)))
     thresh = default if thresh is None else thresh.otherwise(default)
     return df.filter(b < thresh)
+
+
+def budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    n_tokens_col: Column | None = None,
+    seed: int = 13,
+    hash_fn=None,
+    order_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic token-budget prefix sample: keep documents in hash
+    order while the running token total INCLUDING each document stays
+    <= ``budget_tokens`` (strict prefix — the first non-fitting document
+    terminates the sample; no knapsack skipping, so membership is a pure
+    function of (id, corpus) and reproducible at any parallelism).
+
+    Scale shape: a single global ORDER BY would funnel the corpus through
+    one window partition, so the cumsum is SHARDED the way pack_sequences
+    shards streams — the hash's top bits give ``order_buckets`` ordered
+    coarse buckets; per-bucket token sums (one tiny agg, broadcast back)
+    provide each bucket's global starting offset, and the within-bucket
+    running sum is a window partitioned BY bucket (parallel, each a
+    1/``order_buckets`` slice of the corpus).
+
+    Returns the kept rows of ``df`` plus (sample_rank, n_tokens,
+    cum_tokens). ``hash_fn(string_col) -> long`` swaps in the
+    DuckDB-reproducible md5 hash for oracle-checked variants.
+    """
+    from pyspark.sql import Window
+
+    from fel_spark.operators.textstats import token_count
+
+    s = F.col(id_col).cast("string")
+    h = (
+        hash_fn(s)
+        if hash_fn is not None
+        else F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(2**60))
+    )
+    ntok = n_tokens_col if n_tokens_col is not None else token_count("text")
+    # top bits of the 60-bit rank -> ordered coarse buckets
+    span = (2**60) // order_buckets
+    d = df.withColumn("sample_rank", h).withColumn("n_tokens", ntok).withColumn(
+        "_ob", (F.col("sample_rank") / F.lit(span)).cast("int")
+    )
+    bsums = (
+        d.groupBy("_ob").agg(F.sum("n_tokens").alias("_btok"))
+    )
+    wb = Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
+    # the bucket table is <= order_buckets rows — the single-partition
+    # window here is over the TINY aggregate, not the corpus
+    boffs = bsums.withColumn(
+        "_boff", F.coalesce(F.sum("_btok").over(wb), F.lit(0)).cast("long")
+    ).select("_ob", "_boff")
+    wi = (
+        Window.partitionBy("_ob")
+        .orderBy("sample_rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        d.join(F.broadcast(boffs), "_ob")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_boff") + F.sum("n_tokens").over(wi)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("_ob", "_boff")
+    )
+    return out

@@ -377,3 +377,30 @@ def test_decontaminate_eval_frame_with_different_columns(spark):
         ).collect()
     }
     assert out[1] is False and out[2] is True and out[3] is True
+
+
+def test_budget_sample_partition_invariant_and_prefix(spark):
+    from fel_spark.operators.splits import budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (5 + i % 17)) for i in range(300)], ["doc_id", "text"]
+    )
+    a = budget_sample(docs, budget_tokens=900, seed=5)
+    b = budget_sample(docs.repartition(17), budget_tokens=900, seed=5)
+    rows_a = sorted((r.doc_id, r.cum_tokens) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.cum_tokens) for r in b.collect())
+    assert rows_a == rows_b and 0 < len(rows_a) < 300
+    # strict prefix in rank order: inclusive cumsum never exceeds budget,
+    # and the kept set is exactly the head of the hash order
+    ranked = sorted((r.sample_rank, r.doc_id, r.n_tokens) for r in a.collect())
+    running = 0
+    for rank, _id, n in ranked:
+        running += n
+        assert running <= 900
+    # the next doc in global hash order must NOT fit
+    all_ranked = sorted(
+        (r.sample_rank, r.n_tokens)
+        for r in budget_sample(docs, budget_tokens=10**9, seed=5).collect()
+    )
+    nxt = all_ranked[len(ranked)]
+    assert running + nxt[1] > 900
