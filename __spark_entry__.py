@@ -480,6 +480,26 @@ def q_doc_budget_sample(spark, sf_dir):
     return out.select("doc_id", "sample_rank", "n_tokens", "cum_tokens")
 
 
+def q_doc_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling (`operators/splits.mixture_sample`):
+    pseudo-domains from doc_id % 3, per-domain token budgets 6k/3k/1k —
+    an independent deterministic prefix per domain (DoReMi/Pile-style
+    mixture construction). Value-checked against per-domain sequential
+    windows in the oracle. md5 rank variant; scale path = xxhash64."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.splits import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "domain", F.concat(F.lit("d"), (F.col("doc_id") % 3).cast("string"))
+    )
+    out = mixture_sample(
+        d,
+        budgets={"d0": 6000, "d1": 3000, "d2": 1000},
+        hash_fn=lambda c: md5_hash60(c, seed=13),
+    )
+    return out.select("doc_id", "domain", "sample_rank", "n_tokens", "cum_tokens")
+
+
 def q_doc_span_dup(spark, sf_dir):
     """Cross-document duplicated token windows (span-level dedup,
     `dedup.duplicated_spans`): 8-token shingle fingerprints appearing in
@@ -1762,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dup": q_doc_span_dup,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_budget_sample": q_doc_budget_sample,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "doc_decontaminate_report": q_doc_decontaminate_report,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "media_features": q_media_features,
@@ -2330,6 +2351,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INT) AS n_tokens,
                    CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 15000
+        """,
+        # mixture sample: per-domain sequential windows; the operator's
+        # per-(domain, bucket) decomposition must equal them
+        "doc_mixture_sample": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       'd' || CAST(doc_id % 3 AS VARCHAR) AS domain,
+                       len({_TOKS.format(c='text')}) AS n_tokens,
+                       CAST(('0x' || substr(md5('13:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            AS sample_rank
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, domain, sample_rank, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY domain
+                           ORDER BY sample_rank, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM d
+            )
+            SELECT doc_id, domain, sample_rank,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c
+            WHERE cum_tokens <= CASE domain WHEN 'd0' THEN 6000
+                                            WHEN 'd1' THEN 3000
+                                            ELSE 1000 END
         """,
         # span dedup: 8-token windows, md5 fingerprint of the space-joined
         # shingle; duckdb list slice l[a:b] is 1-based inclusive.

@@ -153,6 +153,67 @@ def budget_sample(
 
     from fel_spark.operators.textstats import token_count
 
+    return _budget_prefix(
+        df,
+        F.lit(int(budget_tokens)),
+        id_col=id_col,
+        n_tokens_col=n_tokens_col,
+        seed=seed,
+        hash_fn=hash_fn,
+        order_buckets=order_buckets,
+        group_cols=(),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    n_tokens_col: Column | None = None,
+    seed: int = 13,
+    hash_fn=None,
+    order_buckets: int = 4096,
+) -> DataFrame:
+    """Domain-mixture sampling: an independent token-budget prefix PER
+    DOMAIN (the DoReMi / Pile-style mixture construction: target domain
+    weights x total budget -> per-domain token budgets). Domains absent
+    from ``budgets`` are dropped. Same strict-prefix determinism and
+    sharded-cumsum scale shape as `budget_sample`; cum_tokens counts
+    within the row's domain."""
+    if not budgets:
+        raise ValueError("mixture_sample needs at least one domain budget")
+    expr = None
+    for dom, b in budgets.items():
+        cond = F.col(domain_col).cast("string") == str(dom)
+        expr = F.when(cond, F.lit(int(b))) if expr is None else expr.when(cond, F.lit(int(b)))
+    budget = expr.otherwise(F.lit(-1))  # unknown domain -> budget -1 -> dropped
+    return _budget_prefix(
+        df,
+        budget,
+        id_col=id_col,
+        n_tokens_col=n_tokens_col,
+        seed=seed,
+        hash_fn=hash_fn,
+        order_buckets=order_buckets,
+        group_cols=(domain_col,),
+    )
+
+
+def _budget_prefix(
+    df: DataFrame,
+    budget_col: Column,
+    id_col: str,
+    n_tokens_col: Column | None,
+    seed: int,
+    hash_fn,
+    order_buckets: int,
+    group_cols: tuple[str, ...],
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fel_spark.operators.textstats import token_count
+
     s = F.col(id_col).cast("string")
     h = (
         hash_fn(s)
@@ -165,27 +226,30 @@ def budget_sample(
     d = df.withColumn("sample_rank", h).withColumn("n_tokens", ntok).withColumn(
         "_ob", (F.col("sample_rank") / F.lit(span)).cast("int")
     )
-    bsums = (
-        d.groupBy("_ob").agg(F.sum("n_tokens").alias("_btok"))
+    gc = list(group_cols)
+    bsums = d.groupBy(*gc, "_ob").agg(F.sum("n_tokens").alias("_btok"))
+    wb = (
+        Window.partitionBy(*gc).orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
+        if gc
+        else Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
     )
-    wb = Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
-    # the bucket table is <= order_buckets rows — the single-partition
-    # window here is over the TINY aggregate, not the corpus
+    # the bucket table is <= n_groups * order_buckets rows — the
+    # narrow-partition window here is over the TINY aggregate, not the corpus
     boffs = bsums.withColumn(
         "_boff", F.coalesce(F.sum("_btok").over(wb), F.lit(0)).cast("long")
-    ).select("_ob", "_boff")
+    ).select(*gc, "_ob", "_boff")
     wi = (
-        Window.partitionBy("_ob")
+        Window.partitionBy(*gc, "_ob")
         .orderBy("sample_rank", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = (
-        d.join(F.broadcast(boffs), "_ob")
+        d.join(F.broadcast(boffs), gc + ["_ob"])
         .withColumn(
             "cum_tokens",
             (F.col("_boff") + F.sum("n_tokens").over(wi)).cast("long"),
         )
-        .filter(F.col("cum_tokens") <= budget_tokens)
+        .filter(F.col("cum_tokens") <= budget_col)
         .drop("_ob", "_boff")
     )
     return out

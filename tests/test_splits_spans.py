@@ -404,3 +404,31 @@ def test_budget_sample_partition_invariant_and_prefix(spark):
     )
     nxt = all_ranked[len(ranked)]
     assert running + nxt[1] > 900
+
+
+def test_mixture_sample_per_domain_budgets(spark):
+    import pyspark.sql.functions as F
+
+    from fel_spark.operators.splits import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["news", "code", "web"][i % 3], "tok " * (4 + i % 9)) for i in range(240)],
+        ["doc_id", "domain", "text"],
+    )
+    out = mixture_sample(docs, budgets={"news": 300, "code": 150})
+    rows = out.groupBy("domain").agg(
+        F.max("cum_tokens").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    got = {r.domain: r for r in rows}
+    assert set(got) == {"news", "code"}          # unlisted domain dropped
+    assert got["news"].mx <= 300 and got["code"].mx <= 150
+    assert got["news"].n > 0 and got["code"].n > 0
+    # partition invariance
+    a = sorted((r.doc_id, r.cum_tokens) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in mixture_sample(
+            docs.repartition(13), budgets={"news": 300, "code": 150}
+        ).collect()
+    )
+    assert a == b
