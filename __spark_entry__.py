@@ -811,6 +811,119 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (`operators/asof.asof_join`): every non-reference event
+    (event_id % 7 != 0) gets the latest reference-event value for its user
+    at-or-before its ts, voided past a 2-hour staleness tolerance;
+    duplicate (user, ts) reference rows are disambiguated deterministically
+    (highest event_id wins). Spark side is the union + one-window
+    last-non-null carry (ONE shuffle, no range-join pair blow-up,
+    tests/test_asof.py pins the single Exchange); the oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN — the whole derivation value-checked against an
+    independent engine's built-in implementation. Engine-neutral guards:
+    NULL keys/ts excluded on both sides (none exist in the testdata, but
+    NULL-key window grouping vs NULL-equality join semantics differ)."""
+    from fel_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ref = e.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    probe = e.filter(F.col("event_id") % 7 != 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        probe,
+        ref,
+        keys=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tolerance_us=2 * 3600 * 1_000_000,
+        ref_seq_col="event_id",
+    )
+    return out.select("event_id", "user_id", "value", "asof_ts", "asof_value")
+
+
+# Pinned BPE merge table for the value-checked apply query: includes the
+# cascaded merges (th+e after t+h, in+e after i+n) so rank-order semantics
+# are exercised, over pairs frequent in the synthetic corpus vocabulary.
+_BPE_PINNED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("i", "n"),
+    ("in", "e"),
+    ("o", "w"),
+    ("e", "r"),
+    ("s", "t"),
+]
+
+
+def q_bpe_apply_pinned(spark, sf_dir):
+    """BPE subword tokenize (`operators/tokenizer.tokenize_bpe`) with the
+    pinned 8-merge table: per-doc subword count + md5 of the space-joined
+    token stream — the full encode loop (rank-order scan-merges, distinct-
+    word memoization) is value-checked. Oracle: each merge replayed as a
+    2-pass string replace on a '|'-framed character sequence (rank-order
+    apply == priority encode; equivalence fuzz-tested in
+    tests/test_tokenizer.py)."""
+    from fel_spark.operators.tokenizer import tokenize_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    out = tokenize_bpe(d, _BPE_PINNED_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tokens_fp"),
+    )
+
+
+def q_bpe_train3(spark, sf_dir):
+    """BPE TRAINING value-checked: three merge rounds learned by
+    `tokenizer.train_bpe_merges` on one-pass corpus word counts (top-200
+    vocab cap, count-DESC/word-ASC cap order, count-DESC/pair-ASC argmax).
+    The corpus-scale work is the word-count aggregation; the merge loop is
+    driver-side on the bounded dictionary (the SentencePiece/HF trainer
+    shape). Oracle: all three training rounds UNROLLED in SQL — adjacent-
+    pair expansion from delimited symbol strings, deterministic argmax,
+    2-pass replace apply — so merge selection itself is value-checked."""
+    from fel_spark.operators.tokenizer import train_bpe_merges, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(word_counts(d), num_merges=3, max_words=200)
+    rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def q_bpe_tokenize_trained(spark, sf_dir):
+    """The FULL train->apply loop, value-checked end-to-end: train 16
+    merges on the corpus's own word counts, tokenize every document,
+    report subword counts + the md5 token-stream fingerprint. The oracle
+    unrolls all 16 training rounds in SQL (pair expansion -> argmax ->
+    2-pass replace, per round) and then applies the 16 SQL-derived merge
+    tables to every document's word list — no value anywhere in the chain
+    is taken from the Spark side."""
+    from fel_spark.operators.tokenizer import (
+        tokenize_bpe,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(word_counts(d), num_merges=16, max_words=10_000)
+    out = tokenize_bpe(d, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.size(normalize_tokens("text")).alias("n_words"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tokens_fp"),
+    )
+
+
 def q_conv_integrity(spark, sf_dir):
     """Conversation-integrity gate (`convstats.conversation_integrity`)
     value-checked end-to-end: a transcript shape is derived
@@ -1719,19 +1832,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         # --- windows / sort / set (W1-W6, §2.6) ---
         "topk_window": q_topk_window,
-        "top1_group": q_top1_group,
         "global_sort_limit": q_global_sort_limit,
         "dense_id": q_dense_id,
         "union_merge": q_union_merge,
         # --- events / transcripts ---
-        "events_lag_window": q_events_lag_window,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "conv_integrity": q_conv_integrity,
         # --- text functions (P3-P8, P12, fingerprint) ---
         "doc_normalize_full": q_doc_normalize_full,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "media_decode_stats": q_media_decode_stats,
+        # --- BPE tokenizer (train + apply, both value-checked) ---
+        "bpe_train3": q_bpe_train3,
+        "bpe_apply_pinned": q_bpe_apply_pinned,
         # --- dictionary build / ER kernels (A1-A12, J7, M9, C1/C2, M3) ---
         "dict_build_counts": q_dict_build_counts,
         "subngram_qat": q_subngram_qat,
@@ -1749,7 +1864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_md5": q_embed_neardup_md5,
         "doc_semantic_dedup": q_doc_semantic_dedup,
         # --- span dedup / containment / decontamination ---
-        "doc_span_coverage": q_doc_span_coverage,
         "doc_span_excise": q_doc_span_excise,
         "doc_containment": q_doc_containment,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1768,6 +1882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= beyond the driver's ~50-query cap ==============
         # variants of families already value-checked above
         "knn_bruteforce": q_knn_bruteforce,
+        "top1_group": q_top1_group,
+        "doc_span_coverage": q_doc_span_coverage,
+        "events_lag_window": q_events_lag_window,
         "ann_lsh_md5": q_ann_lsh_md5,
         "ann_ivf_fixed": q_ann_ivf_fixed,
         "agg_marginal": q_agg_marginal,
@@ -1785,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_decontaminate_report": q_doc_decontaminate_report,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "bpe_tokenize_trained": q_bpe_tokenize_trained,
         "media_features": q_media_features,
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
@@ -2019,6 +2137,128 @@ def _embed_neardup_oracle() -> str:
                CAST(floor(cosine * 100000) AS BIGINT) AS cos_5dp
         FROM p WHERE cosine >= 0.8
     """
+
+
+def _bpe_delim_expr(var: str) -> str:
+    """'|'-framed character sequence: 'abc' -> '|a|b|c|'."""
+    return f"'|' || regexp_replace({var}, '(.)', '\\1|', 'g')"
+
+
+def _bpe_pinned_apply_oracle() -> str:
+    """SQL replay of q_bpe_apply_pinned, generated from the SAME
+    _BPE_PINNED_MERGES table (no transcription drift): each merge is a
+    2-pass replace of '|a|b|' -> '|ab|' (pass 2 catches occurrences whose
+    leading delimiter pass 1 consumed — skips are never adjacent, so two
+    passes are exact; tests/test_tokenizer.py fuzzes this against the
+    operator and a priority-queue encoder)."""
+    expr = _bpe_delim_expr("w")
+    for a, b in _BPE_PINNED_MERGES:
+        pat, rep = f"'|{a}|{b}|'", f"'|{a}{b}|'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    toks = _TOKS.format(c="text")
+    return f"""
+        WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+        t AS (
+            SELECT doc_id,
+                   flatten(list_transform(toks,
+                       w -> list_filter(string_split({expr}, '|'),
+                                        x -> len(x) > 0))) AS bpe
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(coalesce(len(bpe), 0) AS INT) AS n_bpe_tokens,
+               md5(coalesce(array_to_string(bpe, ' '), '')) AS tokens_fp
+        FROM t
+    """
+
+
+def _bpe_train_rounds_cte(n_rounds: int, max_words: int) -> str:
+    """CTE chain replaying BPE training: w0 = delimited top-`max_words`
+    word counts; each round expands adjacent symbol pairs (weighted by
+    word count, overlapping positions both count), takes the
+    (count DESC, pair ASC) argmax, and applies it with the 2-pass
+    replace. Mirrors `tokenizer.train_bpe_merges` exactly."""
+    toks = _TOKS.format(c="text")
+    sql = f"""
+        wc AS (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({toks}) AS word FROM documents)
+            GROUP BY 1
+        ),
+        w0 AS (
+            SELECT {_bpe_delim_expr('word')} AS ws, cnt
+            FROM (SELECT word, cnt FROM wc
+                  ORDER BY cnt DESC, word LIMIT {max_words})
+        )"""
+    for r in range(1, n_rounds + 1):
+        sql += f""",
+        p{r} AS (
+            SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS c
+            FROM (
+                SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                              i -> [s[i], s[i+1]])) AS p, cnt
+                FROM (SELECT list_filter(string_split(ws, '|'),
+                                         x -> len(x) > 0) AS s, cnt
+                      FROM w{r-1})
+            ) GROUP BY 1, 2
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+        w{r} AS MATERIALIZED (
+            SELECT replace(replace(ws,
+                       '|' || a || '|' || b || '|', '|' || a || b || '|'),
+                       '|' || a || '|' || b || '|', '|' || a || b || '|') AS ws,
+                   cnt
+            FROM w{r-1} CROSS JOIN best{r}
+        )"""
+    return sql
+
+
+def _bpe_train3_oracle() -> str:
+    return f"""
+        WITH {_bpe_train_rounds_cte(3, 200)}
+        SELECT * FROM (
+            SELECT 1 AS merge_rank, a AS lhs, b AS rhs,
+                   CAST(c AS BIGINT) AS pair_count FROM best1
+            UNION ALL SELECT 2, a, b, CAST(c AS BIGINT) FROM best2
+            UNION ALL SELECT 3, a, b, CAST(c AS BIGINT) FROM best3
+        )
+    """
+
+
+def _bpe_trained_apply_oracle(n_rounds: int = 16, max_words: int = 10_000) -> str:
+    """Full train->apply replay: the {n_rounds} SQL-derived merge tables
+    (best1..bestN) are applied in rank order to every document's word
+    list — the oracle never sees the Spark-side merges."""
+    toks = _TOKS.format(c="text")
+    sql = f"""
+        WITH {_bpe_train_rounds_cte(n_rounds, max_words)},
+        d0 AS (
+            SELECT doc_id,
+                   list_transform({toks}, w -> {_bpe_delim_expr('w')}) AS ws
+            FROM documents
+        )"""
+    for r in range(1, n_rounds + 1):
+        sql += f""",
+        d{r} AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(ws, s -> replace(replace(s,
+                       '|' || a || '|' || b || '|', '|' || a || b || '|'),
+                       '|' || a || '|' || b || '|', '|' || a || b || '|')) AS ws
+            FROM d{r-1} CROSS JOIN best{r}
+        )"""
+    sql += f"""
+        SELECT doc_id,
+               CAST(coalesce(len(list_filter(string_split(
+                   coalesce(array_to_string(ws, ''), ''), '|'),
+                   x -> len(x) > 0)), 0) AS INT) AS n_bpe_tokens,
+               CAST(coalesce(len(ws), 0) AS INT) AS n_words,
+               md5(coalesce(array_to_string(list_filter(string_split(
+                   coalesce(array_to_string(ws, ''), ''), '|'),
+                   x -> len(x) > 0), ' '), '')) AS tokens_fp
+        FROM d{n_rounds}
+    """
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2277,6 +2517,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) - min(us) AS BIGINT) AS span_us
             FROM m GROUP BY 1, 2
         """,
+        # as-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — the
+        # union+window carry is checked against an independent engine's
+        # built-in implementation of the operator
+        "events_asof": """
+            WITH ref AS (
+                SELECT user_id, ts, max_by(value, event_id) AS ref_value
+                FROM events
+                WHERE event_id % 7 = 0
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            probe AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_id % 7 <> 0
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT p.event_id, p.user_id, p.value,
+                   CASE WHEN r.ts IS NOT NULL
+                             AND epoch_us(p.ts) - epoch_us(r.ts) <= 7200000000
+                        THEN r.ts END AS asof_ts,
+                   CASE WHEN r.ts IS NOT NULL
+                             AND epoch_us(p.ts) - epoch_us(r.ts) <= 7200000000
+                        THEN r.ref_value END AS asof_value
+            FROM probe p ASOF LEFT JOIN ref r
+              ON p.user_id = r.user_id AND p.ts >= r.ts
+        """,
+        "bpe_apply_pinned": _bpe_pinned_apply_oracle(),
+        "bpe_train3": _bpe_train3_oracle(),
+        "bpe_tokenize_trained": _bpe_trained_apply_oracle(16, 10_000),
         "conv_integrity": """
             WITH t AS (
                 SELECT user_id AS conv_id, event_id, event_type,
