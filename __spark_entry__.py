@@ -924,6 +924,27 @@ def q_bpe_tokenize_trained(spark, sf_dir):
     )
 
 
+def q_doc_tfidf_topk(spark, sf_dir):
+    """TF-IDF keyword extraction (`operators/keywords.tfidf_topk`): top-3
+    terms per document by smooth tf-idf (sklearn smooth_idf formula),
+    deterministic (score DESC, word ASC) ranking. The whole chain —
+    explode+agg tf table, vocabulary-scale df re-agg broadcast back,
+    1-row corpus count crossed in, window top-k — is value-checked."""
+    from fel_spark.operators.keywords import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_doc_profile(spark, sf_dir):
+    """Per-source corpus profile (`textstats.corpus_profile`): doc count,
+    token totals, and EXACT token-length percentiles (p50/p90/p99, linear
+    interpolation — Spark `percentile` vs DuckDB `quantile_cont`, both
+    R-7). The audit table a corpus-prep run publishes per snapshot."""
+    from fel_spark.operators.textstats import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_conv_integrity(spark, sf_dir):
     """Conversation-integrity gate (`convstats.conversation_integrity`)
     value-checked end-to-end: a transcript shape is derived
@@ -1903,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_report": q_doc_decontaminate_report,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "bpe_tokenize_trained": q_bpe_tokenize_trained,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_profile": q_doc_profile,
         "media_features": q_media_features,
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
@@ -2546,6 +2569,48 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply_pinned": _bpe_pinned_apply_oracle(),
         "bpe_train3": _bpe_train3_oracle(),
         "bpe_tokenize_trained": _bpe_trained_apply_oracle(16, 10_000),
+        # smooth tf-idf: identical double math on both sides (integer tf/df
+        # -> one division, one ln, one multiply); ranking ties broken by
+        # word ASC, and equal (tf, df) pairs produce identical doubles
+        "doc_tfidf_topk": f"""
+            WITH tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS word
+                      FROM documents)
+                GROUP BY 1, 2
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+                SELECT t.doc_id, t.word, t.tf,
+                       t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score
+                FROM tf t CROSS JOIN n JOIN dfreq d ON t.word = d.word
+            ),
+            r AS (
+                SELECT doc_id, word, tf, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, word) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(rnk AS INT) AS rnk
+            FROM r WHERE rnk <= 3
+        """,
+        "doc_profile": f"""
+            WITH d AS (
+                SELECT source AS grp,
+                       len({_TOKS.format(c='text')}) AS n_tokens
+                FROM documents
+            )
+            SELECT grp, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   avg(n_tokens) AS mean_tokens,
+                   quantile_cont(n_tokens, 0.5) AS p50_tokens,
+                   quantile_cont(n_tokens, 0.9) AS p90_tokens,
+                   quantile_cont(n_tokens, 0.99) AS p99_tokens
+            FROM d GROUP BY 1
+        """,
         "conv_integrity": """
             WITH t AS (
                 SELECT user_id AS conv_id, event_id, event_type,

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "doc_span_coverage",
     "doc_pack_chunks",
     "events_sessionize",
+    "events_asof",
+    "bpe_tokenize_trained",
     "conv_integrity",
     "doc_decontaminate",
     "doc_semantic_dedup",
