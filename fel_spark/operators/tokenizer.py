@@ -150,7 +150,11 @@ def tokenize_bpe(
     @F.pandas_udf("array<string>")
     def _encode(words: pd.Series) -> pd.Series:
         m = bc.value
-        cache = _encode_cache  # worker-global, persists across batches
+        # worker-global cache, persists across batches AND tasks via python
+        # worker reuse — so it MUST be keyed by the merge table, not just
+        # the word: two tokenize_bpe calls with different merges can land
+        # on the same reused worker (regression-tested)
+        cache = _encode_cache.setdefault(tuple(m), {})
         # NULL text -> NULL token array upstream: treat as empty doc
         lengths = np.fromiter(
             (0 if w is None else len(w) for w in words),
@@ -187,4 +191,4 @@ def tokenize_bpe(
     return df.withColumn(out_col, _encode(normalize_tokens(text_col)))
 
 
-_encode_cache: dict[str, list[str]] = {}
+_encode_cache: dict[tuple, dict[str, list[str]]] = {}

@@ -206,3 +206,18 @@ def test_pinned_apply_matches_duckdb_replace_replay(spark):
         FROM d ORDER BY doc_id
     """).df()
     assert list(got["toks"]) == list(want["toks"])
+
+
+def test_two_merge_tables_same_session_no_cache_collision(spark):
+    """Python workers are reused across jobs, so the worker-global encode
+    cache must be keyed by merge table: a second tokenize with DIFFERENT
+    merges must not serve the first table's cached tokens."""
+    df = spark.createDataFrame(
+        [(i, "the then stream") for i in range(50)], "doc_id long, text string"
+    )
+    a = tokenize_bpe(df, [("t", "h"), ("th", "e")])
+    got_a = a.select("bpe_tokens").first().bpe_tokens
+    b = tokenize_bpe(df, [("s", "t"), ("e", "n")])
+    got_b = b.select("bpe_tokens").first().bpe_tokens
+    assert got_a == ["the", "the", "n", "s", "t", "r", "e", "a", "m"]
+    assert got_b == ["t", "h", "e", "t", "h", "en", "st", "r", "e", "a", "m"]
