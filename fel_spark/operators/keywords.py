@@ -6,10 +6,23 @@ the reference's corpus-frequency mining (`hash/CountNGramsFromQueries.java`
 counts n-grams once and reuses the table everywhere).
 
 100 TB shape: ONE explode + hash aggregation produces the (doc, word, tf)
-table; the document-frequency table re-aggregates it (vocabulary-scale,
-joined back with a broadcast hint); the corpus size is a 1-row aggregate
-crossed in (the A5/J4 pattern). Top-k per doc is one window over doc_id.
-No Python anywhere — the whole plan is codegen column math.
+table; the document-frequency table re-aggregates it (vocabulary-scale —
+deliberately NOT broadcast-hinted: a 100 TB corpus's vocabulary does not
+fit on the driver, so the join is left to AQE, which broadcasts when the
+runtime size allows and shuffle-joins otherwise); the corpus size is a
+1-row aggregate crossed in (the A5/J4 pattern). Top-k per doc is one
+window over doc_id (plans as partial+final WindowGroupLimit, so each
+shuffle side keeps only k rows per doc). No Python anywhere — the whole
+plan is codegen column math.
+
+Two deliberate shape choices: (1) df-by-window (`count().over(
+partitionBy(word))`) would avoid re-deriving tf for the join, but a
+window partition cannot be skew-split and stopwords appear in nearly
+every document — the join form lets AQE's skew-join handle hot words.
+(2) Catalyst therefore scans the corpus twice (once per tf lineage); a
+production pipeline run persists the (doc, word, tf) table between the
+two uses — pass that materialized frame as ``df``'s upstream or snapshot
+via plans/metrics.StageRunner.
 """
 
 from __future__ import annotations
@@ -41,7 +54,7 @@ def tfidf_topk(
     n_docs = df.agg(F.count("*").alias("n_docs"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
