@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof",
     "bpe_tokenize_trained",
+    "doc_tfidf_topk",
+    "media_decode_stats",
     "conv_integrity",
     "doc_decontaminate",
     "doc_semantic_dedup",
