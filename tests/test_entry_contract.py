@@ -107,6 +107,28 @@ def test_ann_recall_values(spark):
         assert mean >= floor, (name, [tuple(r) for r in rows])
 
 
+def test_no_hugeint_or_decimal_oracle_columns(duck):
+    """Every oracle must emit engine-portable column types. DuckDB's
+    uncast sum(...) over integers yields HUGEINT, which crosses Arrow as
+    decimal128(38,0) -> Python Decimal — the driver's hash normalizer then
+    renders Decimal('3') differently from Spark's int 3, producing a
+    rows_match/schema_match-green but hash-red row (the conv_integrity
+    failure in rounds 3-4). Convention: CAST(sum(...) AS BIGINT). This
+    sweep executes every oracle and asserts no HUGEINT/DECIMAL output
+    column can ever ship again."""
+    offenders = {}
+    for name, sql in E.oracle_sql().items():
+        rel = duck.sql(sql)
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, [str(t) for t in rel.types])
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_oracle_subset(spark, duck, name):
     df = E.queries()[name](spark, SF_DIR)
