@@ -58,7 +58,60 @@ BENCH_QUERIES = [
     "doc_semantic_dedup",
     "knn_bruteforce",
     "minhash_near_dup",
+    "corpus_prep_e2e",
 ]
+
+# Queries whose input does NOT scale with sf_dir (synthetic fixed-size
+# media payloads — the container has no image/audio libs, so media inputs
+# are generated, not read from testdata). Their timings are scale-invariant
+# and must not be read as sf-scaled numbers (ADVICE r4). Recorded in the
+# JSON so cross-scale comparisons can exclude them. corpus_prep_e2e is
+# listed because its MEDIA side is fixed-size (its text chain does scale
+# with sf_dir).
+FIXED_SIZE_QUERIES = ["media_decode_stats", "corpus_prep_e2e"]
+
+
+def _q_corpus_prep_e2e(spark, sf_dir):
+    """Full corpus-prep plan e2e at bench scale: text chain (filter ->
+    exact dedup -> minhash near-dup -> split -> pack) over sf_dir's
+    documents PLUS the optional media stage (decode-gated filter +
+    image/audio/video cross-modality near-dup) over a deterministic
+    planted-copy media set. Each rep gets a FRESH run_dir — StageRunner
+    resumes from snapshots, so reusing a dir would time a no-op."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from fel_spark.plans.corpus import run_corpus_prep
+    from fel_spark.sources.multimodal import (
+        synth_patterned_images,
+        synth_patterned_videos,
+        synth_toned_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = (
+        synth_patterned_images(spark, 24)
+        .unionByName(synth_toned_audio(spark, 16))
+        .unionByName(synth_patterned_videos(spark, 12))
+    )
+    run_dir = tempfile.mkdtemp(prefix="fel_bench_corpus_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return run_corpus_prep(
+        spark,
+        run_dir,
+        docs,
+        pack_budget=2048,
+        pack_shards=8,
+        media=media,
+        media_dedup=True,
+    )
+
+
+# bench-only entries that are PLANS, not registry queries: they write
+# StageRunner snapshots as a side effect, so they live here rather than in
+# __spark_entry__.queries() (every registry entry is a pure DataFrame).
+EXTRA_QUERIES = {"corpus_prep_e2e": _q_corpus_prep_e2e}
 
 
 def _materialize(df) -> int:
@@ -70,7 +123,7 @@ def _materialize(df) -> int:
 def run_relational(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
-    qs = E.queries()
+    qs = {**E.queries(), **EXTRA_QUERIES}
     # session warmup, untimed: JVM/codegen JIT, python worker pool spin-up,
     # and parquet footer reads are session costs, not query costs — the ER
     # bench pays them the same way (its full-size untimed warmup run)
@@ -119,7 +172,11 @@ def run_er_bench(spark, n_conv: int, turns_per_conv: int, n_entities: int) -> di
     cand_dict = prepare_candidate_dict(ad, ents).localCheckpoint(eager=True)
 
     turns = n_conv * turns_per_conv
-    reps = max(1, int(os.environ.get("FEL_BENCH_ER_REPS", "3")))
+    # 5 reps (r4 judge ask): the host suffers multi-minute CPU-steal storms
+    # that can land on any rep (BENCH_r04 rep_secs [31.7, 188.0, 59.8]);
+    # with >=5 reps the artifact itself shows convergence — best tracks
+    # engine capacity, median shows the storm if one hit.
+    reps = max(1, int(os.environ.get("FEL_BENCH_ER_REPS", "5")))
     # materialize the corpus once — the production input is an Iceberg/
     # Parquet table, not an on-the-fly generator; the measured job starts
     # from stored rows
@@ -143,11 +200,15 @@ def run_er_bench(spark, n_conv: int, turns_per_conv: int, n_entities: int) -> di
         n_mentions = res.mentions.count()
         secs.append(time.time() - t0)
     best = min(secs)
+    median = sorted(secs)[len(secs) // 2]
     return {
         "turns": turns,
         "mentions": n_mentions,
         "sec": round(best, 2),
+        "sec_best": round(best, 2),
+        "sec_median": round(median, 2),
         "turns_per_sec": round(turns / best, 1),
+        "turns_per_sec_median": round(turns / median, 1),
         "rep_secs": [round(s, 2) for s in secs],
     }
 
@@ -201,6 +262,10 @@ def main() -> int:
     # corpus generation included — NOT comparable across rounds when rep/
     # warmup counts change); `sum_best_sec` is engine time: best rep of
     # each query plus the best ER rep, the capacity number to track.
+    # NOTE sum_best_sec is also NOT comparable across rounds when the
+    # battery GROWS (each added query adds its own best-rep time); use
+    # `n_queries` to normalize — compare per-query medians or the common
+    # subset across rounds (ADVICE r4).
     sum_best = round(
         sum(queries.values()) + (er["sec"] if er else 0.0), 2
     )
@@ -209,6 +274,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sum_best_sec": sum_best,
+        "n_queries": len(queries),
+        "fixed_size_queries": [q for q in FIXED_SIZE_QUERIES if q in queries],
         "queries": queries,
         "sf": sf,
         "er": er,
