@@ -38,16 +38,93 @@ __all__ = [
     "encode_wav",
     "encode_y4m",
     "resize_nearest",
+    "register_codec",
+    "unregister_codec",
+    "codec_snapshot",
 ]
+
+
+# ---------------------------------------------------------------------------
+# pluggable codec registry
+#
+# Deployments that DO have imaging/audio libraries (PIL, soundfile, ffmpeg
+# bindings, ...) plug their compressed-format decoders in here instead of
+# forking the operators: `register_codec(b"\\x89PNG", "image", pil_decode)`.
+# Every decode path in `sources/multimodal.py` consults the registry BEFORE
+# the built-in magic dispatch and before raising undecodable/
+# NotImplementedError.
+#
+# Decoder return contract, by kind (same shapes the built-ins produce):
+#   image: np.ndarray uint8, (H, W) grayscale or (H, W, 3) RGB
+#   audio: (samples np.ndarray float (n, channels) in [-1, 1], sample_rate)
+#   video: (luma np.ndarray uint8 (n_frames, H, W),
+#           header dict with at least {"width", "height"})
+#
+# Worker propagation: Spark Python workers re-import this module fresh, so
+# a registry mutated on the driver is NOT visible worker-side by itself.
+# The UDF builders in `sources/multimodal.py` therefore capture
+# `codec_snapshot()` into the UDF closure at plan-build time — cloudpickle
+# ships the snapshot (including by-value pickling of non-importable
+# decoder functions) to the workers. Register codecs BEFORE building the
+# DataFrame plan.
+
+_EXTRA_CODECS: dict[bytes, tuple[str, object]] = {}
+
+_KINDS = ("image", "audio", "video")
+
+
+def register_codec(magic: bytes, kind: str, decode_fn) -> None:
+    """Register a decoder for payloads starting with ``magic``.
+
+    Registered codecs take precedence over the built-ins (so a deployment
+    can replace the pure-NumPy BMP path with a library one). Longest magic
+    wins when several match. ``decode_fn`` must follow the per-kind return
+    contract documented above and be picklable (cloudpickle ships it to
+    executors by value when it isn't importable there).
+    """
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+    if not isinstance(magic, (bytes, bytearray)) or len(magic) == 0:
+        raise ValueError("magic must be non-empty bytes")
+    _EXTRA_CODECS[bytes(magic)] = (kind, decode_fn)
+
+
+def unregister_codec(magic: bytes) -> bool:
+    """Remove a registered decoder; returns True if it existed."""
+    return _EXTRA_CODECS.pop(bytes(magic), None) is not None
+
+
+def codec_snapshot() -> tuple[tuple[bytes, str, object], ...]:
+    """Immutable snapshot of the registry, longest magic first — capture
+    this into UDF closures so executors see driver-side registrations."""
+    return tuple(
+        (m, k, fn)
+        for m, (k, fn) in sorted(
+            _EXTRA_CODECS.items(), key=lambda kv: -len(kv[0])
+        )
+    )
+
+
+def _extra_match(payload: bytes, extra) -> tuple[str, object] | None:
+    """First (longest-magic) registered decoder whose magic prefixes
+    ``payload``; ``extra`` is a codec_snapshot() tuple."""
+    for magic, kind, fn in extra or ():
+        if payload[: len(magic)] == magic:
+            return kind, fn
+    return None
 
 
 # ---------------------------------------------------------------------------
 # sniffing
 
 
-def sniff_kind(payload: bytes) -> str | None:
-    """Return 'image' / 'audio' / 'video' for payloads this module can
-    decode, else None (caller decides whether that's an error)."""
+def sniff_kind(payload: bytes, extra=()) -> str | None:
+    """Return 'image' / 'audio' / 'video' for payloads this module (or a
+    registered codec in ``extra``) can decode, else None (caller decides
+    whether that's an error)."""
+    m = _extra_match(payload, extra)
+    if m is not None:
+        return m[0]
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return "image"
     if payload[:2] == b"BM":
@@ -182,8 +259,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch netpbm/BMP by magic. Grayscale comes back (H, W)."""
+def decode_image(payload: bytes, extra=()) -> np.ndarray:
+    """Dispatch by magic: registered codecs (``extra`` = codec_snapshot())
+    first, then netpbm/BMP. Grayscale comes back (H, W)."""
+    m = _extra_match(payload, extra)
+    if m is not None and m[0] == "image":
+        return m[1](payload)
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return decode_netpbm(payload)
     if payload[:2] == b"BM":
@@ -195,13 +276,16 @@ def decode_image(payload: bytes) -> np.ndarray:
 # WAV
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+def decode_wav(payload: bytes, extra=()) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> ((n_samples, channels) float32 in [-1, 1], sample_rate).
 
     PCM (format 1): 8-bit unsigned, 16/24/32-bit signed little-endian.
     IEEE float (format 3): float32/float64. Walks chunks properly (skips
     LIST/fact/...), honours the declared chunk sizes + odd-size padding.
     """
+    m = _extra_match(payload, extra)
+    if m is not None and m[0] == "audio":
+        return m[1](payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
@@ -287,13 +371,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 _Y4M_CHROMA_DIV = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}
 
 
-def decode_y4m(payload: bytes) -> tuple[np.ndarray, dict]:
+def decode_y4m(payload: bytes, extra=()) -> tuple[np.ndarray, dict]:
     """YUV4MPEG2 -> ((n_frames, H, W) uint8 luma, header dict).
 
     Chroma planes are parsed (so frame boundaries are exact) but only luma
     is returned — downstream features are luma-based, and full YUV would
     triple the Arrow batch size for no consumer.
     """
+    m = _extra_match(payload, extra)
+    if m is not None and m[0] == "video":
+        return m[1](payload)
     nl = payload.find(b"\n")
     if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")

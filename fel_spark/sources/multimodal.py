@@ -16,7 +16,6 @@ stable features so downstream plumbing stays exercisable for any codec.
 from __future__ import annotations
 
 import hashlib
-import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -67,7 +66,7 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
-def _real_feature(payload: bytes, dim: int) -> np.ndarray:
+def _real_feature(payload: bytes, dim: int, extra=()) -> np.ndarray:
     """Fixed-dim feature vector from a REALLY decoded payload.
 
     image: [w, h, channels, mean, std, quadrant means(4), channel means(3)]
@@ -76,14 +75,15 @@ def _real_feature(payload: bytes, dim: int) -> np.ndarray:
     video: [n_frames, w, h, luma mean, luma std, first/last frame means]
     padded with zeros / truncated to `dim`.
     """
-    kind = codecs.sniff_kind(payload)
+    kind = codecs.sniff_kind(payload, extra)
     if kind is None:
         raise NotImplementedError(
             "payload is not a self-describing uncompressed format "
-            "(PPM/PGM/BMP/WAV/Y4M); compressed codecs need external libs"
+            "(PPM/PGM/BMP/WAV/Y4M) and no registered codec matches "
+            "(codecs.register_codec plugs external-library decoders in)"
         )
     if kind == "image":
-        img = codecs.decode_image(payload)
+        img = codecs.decode_image(payload, extra)
         chans = 1 if img.ndim == 2 else img.shape[2]
         gray = img.astype(np.float64) if img.ndim == 2 else img.mean(axis=2)
         h, w = gray.shape
@@ -100,7 +100,7 @@ def _real_feature(payload: bytes, dim: int) -> np.ndarray:
         )
         vals = [w, h, chans, gray.mean(), gray.std(), *q, *ch]
     elif kind == "audio":
-        x, sr = codecs.decode_wav(payload)
+        x, sr = codecs.decode_wav(payload, extra)
         mono = x.mean(axis=1)
         n = len(mono)
         rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
@@ -110,7 +110,7 @@ def _real_feature(payload: bytes, dim: int) -> np.ndarray:
         bands = [float(b.mean()) if len(b) else 0.0 for b in np.array_split(spec, 8)]
         vals = [sr, n, x.shape[1], rms, zcr, peak, *bands]
     else:  # video
-        luma, hdr = codecs.decode_y4m(payload)
+        luma, hdr = codecs.decode_y4m(payload, extra)
         f = luma.shape[0]
         lm = luma.astype(np.float64)
         vals = [
@@ -133,11 +133,14 @@ def extract_features(
     """Decode + feature-extract via mapInPandas (Arrow batches of binary).
 
     fake=False REALLY decodes self-describing payloads (PPM/PGM/BMP/WAV/Y4M
-    via `sources/codecs.py`) and raises NotImplementedError only for
-    compressed codecs this container cannot decode. Per-payload NumPy
-    kernels inside Arrow batches — the per-payload Python dispatch is
-    inherent to variable-size binary; all pixel/sample math is vectorized.
+    via `sources/codecs.py`, plus any `codecs.register_codec` decoders —
+    registered BEFORE this call so the snapshot rides the UDF closure) and
+    raises NotImplementedError only for compressed codecs nothing can
+    decode. Per-payload NumPy kernels inside Arrow batches — the
+    per-payload Python dispatch is inherent to variable-size binary; all
+    pixel/sample math is vectorized.
     """
+    extra = codecs.codec_snapshot()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,7 +148,11 @@ def extract_features(
             for payload in pdf["payload"]:
                 b = bytes(payload)
                 feats.append(
-                    (_fake_decode(b, dim) if fake else _real_feature(b, dim)).tolist()
+                    (
+                        _fake_decode(b, dim)
+                        if fake
+                        else _real_feature(b, dim, extra)
+                    ).tolist()
                 )
             yield pd.DataFrame(
                 {
@@ -179,11 +186,13 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) 
             ),
         )
 
+    extra = codecs.codec_snapshot()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
-                img = codecs.decode_image(bytes(payload))
+                img = codecs.decode_image(bytes(payload), extra)
                 small = codecs.resize_nearest(img, width, height)
                 if small.ndim == 2:  # grayscale -> replicate to RGB for P6
                     small = np.repeat(small[:, :, None], 3, axis=2)
@@ -233,12 +242,13 @@ def sample_frames_decoded(media: DataFrame, stride: int = 2) -> DataFrame:
     if stride <= 0:
         raise ValueError("stride must be positive")
     vids = media.filter(F.col("kind") == "video")
+    extra = codecs.codec_snapshot()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, sums, widths, heights = [], [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                luma, hdr = codecs.decode_y4m(bytes(payload))
+                luma, hdr = codecs.decode_y4m(bytes(payload), extra)
                 for k in range(0, luma.shape[0], stride):
                     ids.append(media_id)
                     idxs.append(k)
@@ -345,6 +355,7 @@ def decode_stats(media: DataFrame) -> DataFrame:
     video: width/height/depth(=n_frames), units = frames*w*h,
            vsum = total luma sum
     """
+    extra = codecs.codec_snapshot()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -354,18 +365,18 @@ def decode_stats(media: DataFrame) -> DataFrame:
             ):
                 b = bytes(payload)
                 if kind == "image":
-                    img = codecs.decode_image(b)
+                    img = codecs.decode_image(b, extra)
                     hh, ww = img.shape[:2]
                     ch = 1 if img.ndim == 2 else img.shape[2]
                     row = (ww, hh, ch, ww * hh, int(img.sum(dtype=np.int64)))
                 elif kind == "audio":
-                    x, sr = codecs.decode_wav(b)
+                    x, sr = codecs.decode_wav(b, extra)
                     pcm = np.round(x * 32768.0).astype(np.int64)  # exact for PCM16
                     mono = pcm[:, 0]
                     zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
                     row = (sr, zc, x.shape[1], len(mono), int(np.abs(pcm).sum()))
                 else:
-                    luma, hdr = codecs.decode_y4m(b)
+                    luma, hdr = codecs.decode_y4m(b, extra)
                     nf = luma.shape[0]
                     row = (
                         hdr["width"],
@@ -420,20 +431,20 @@ def _phash_from_gray(gray: np.ndarray) -> int:
     )
 
 
-def phash64(payload: bytes) -> int:
+def phash64(payload: bytes, extra=()) -> int:
     """Perceptual hash of a REALLY decoded image. Near-identical images
     (small crops, noise, re-encodes) land within a few bits; unrelated
     images differ in ~32. Pure NumPy — two 32x32 GEMMs per image."""
-    img = codecs.decode_image(payload)
+    img = codecs.decode_image(payload, extra)
     gray = img.astype(np.float64) if img.ndim == 2 else img.mean(axis=2)
     return _phash_from_gray(gray)
 
 
-def video_phash64(payload: bytes) -> int:
+def video_phash64(payload: bytes, extra=()) -> int:
     """Perceptual hash of a REALLY decoded Y4M video: pHash of the
     temporal-MEAN luma frame. Re-encodes and mild per-frame noise keep the
     mean frame (and so the hash) stable; different content diverges."""
-    luma, _hdr = codecs.decode_y4m(payload)
+    luma, _hdr = codecs.decode_y4m(payload, extra)
     if luma.shape[0] == 0:
         return 0
     return _phash_from_gray(luma.astype(np.float64).mean(axis=0))
@@ -441,13 +452,14 @@ def video_phash64(payload: bytes) -> int:
 
 def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """(id, phash) for every image row — real decode + DCT pHash."""
+    extra = codecs.codec_snapshot()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "phash": [phash64(bytes(p)) for p in pdf["payload"]],
+                    "phash": [phash64(bytes(p), extra) for p in pdf["payload"]],
                 }
             )
 
@@ -479,14 +491,16 @@ def image_phash_pairs(
     )
 
 
-def audio_fingerprint64(payload: bytes, segs: int = 16, bands: int = 4) -> int:
+def audio_fingerprint64(
+    payload: bytes, segs: int = 16, bands: int = 4, extra=()
+) -> int:
     """Spectral fingerprint of a REALLY decoded WAV: mono -> 16 equal
     segments -> 4 band energies per segment (|rFFT|^2 quartiles) ->
     differential bit per (segment, band): energy rose vs the previous
     segment (segment 0 compares to the global band mean). 64 bits,
     noise-tolerant (mild noise flips a few bits; different tone mixes
     differ in ~17-40 — see the ground-truth test)."""
-    x, _sr = codecs.decode_wav(payload)
+    x, _sr = codecs.decode_wav(payload, extra)
     mono = x.mean(axis=1)
     n = len(mono)
     seg = max(n // segs, 1)
@@ -521,12 +535,17 @@ def audio_fp_pairs(
     guarantee as SimHash / image pHash). Returns (id_a, id_b, hamming)."""
     from fel_spark.operators.dedup import DEDUP_MAX_BLOCK, banded_hamming_pairs
 
+    extra = codecs.codec_snapshot()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "afp": [audio_fingerprint64(bytes(p)) for p in pdf["payload"]],
+                    "afp": [
+                        audio_fingerprint64(bytes(p), extra=extra)
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -554,12 +573,14 @@ def video_fp_pairs(
     banded-Hamming kernel. Returns (id_a, id_b, hamming)."""
     from fel_spark.operators.dedup import DEDUP_MAX_BLOCK, banded_hamming_pairs
 
+    extra = codecs.codec_snapshot()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "vfp": [video_phash64(bytes(p)) for p in pdf["payload"]],
+                    "vfp": [video_phash64(bytes(p), extra) for p in pdf["payload"]],
                 }
             )
 
@@ -726,8 +747,12 @@ def media_filter_decisions(
 
     Rules (image: min dims; audio: min sample count; video: min frames)
     are deliberately cheap — they need only the decoded shape, which the
-    pure-NumPy codecs produce in one pass.
+    pure-NumPy codecs produce in one pass. Registered codecs
+    (`codecs.register_codec`, snapshot captured here at plan-build time)
+    extend what counts as decodable — a deployment with PIL/ffmpeg plugs
+    png/jpeg/opus in without touching this operator.
     """
+    extra = codecs.codec_snapshot()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -738,25 +763,29 @@ def media_filter_decisions(
                 keep, reason = True, ""
                 try:
                     b = bytes(payload)
-                    sniffed = codecs.sniff_kind(b)
+                    sniffed = codecs.sniff_kind(b, extra)
                     if sniffed is None:
                         keep, reason = False, "undecodable"
                     elif sniffed != kind:
                         keep, reason = False, "kind_mismatch"
                     elif kind == "image":
-                        img = codecs.decode_image(b)
+                        img = codecs.decode_image(b, extra)
                         h, w = img.shape[:2]
                         if w < min_width or h < min_height:
                             keep, reason = False, "too_small"
                     elif kind == "audio":
-                        x, _sr = codecs.decode_wav(b)
+                        x, _sr = codecs.decode_wav(b, extra)
                         if len(x) < min_samples:
                             keep, reason = False, "too_short"
                     else:
-                        luma, _hdr = codecs.decode_y4m(b)
+                        luma, _hdr = codecs.decode_y4m(b, extra)
                         if luma.shape[0] < min_frames:
                             keep, reason = False, "too_few_frames"
-                except (ValueError, struct.error, IndexError):
+                except Exception:  # noqa: BLE001 — the FILTER is the one
+                    # place a decode failure must flag, never crash; with
+                    # registered third-party codecs in the loop the failure
+                    # surface is no longer just (ValueError, struct.error,
+                    # IndexError)
                     keep, reason = False, "undecodable"
                 ids.append(media_id)
                 kinds.append(kind)

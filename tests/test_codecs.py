@@ -369,3 +369,150 @@ def test_media_neardup_dedup_keeps_one_per_cluster(spark):
     ids = {r.media_id for r in kept.select("media_id").collect()}
     # exactly one survivor per (p_i, q_i) cluster: the min id, i.e. p_i
     assert ids == {f"p{i:04d}" for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# pluggable codec registry (register_codec): a stub "compressed" format
+# flows through decode -> filter -> near-dup without touching any operator
+
+
+@pytest.fixture()
+def zimg_codec():
+    """Register a stub raw-pixel format: b'ZIMG' + <HH>(w,h) + w*h gray
+    bytes. Defined as a LOCAL function so cloudpickle must ship it to the
+    Python workers by value — the real propagation path for a user codec
+    registered on the driver."""
+
+    def decode_zimg(payload: bytes) -> np.ndarray:
+        w, h = struct.unpack_from("<HH", payload, 4)
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
+        return px.reshape(h, w).copy()
+
+    C.register_codec(b"ZIMG", "image", decode_zimg)
+    yield decode_zimg
+    assert C.unregister_codec(b"ZIMG")
+
+
+def _zimg_payload(gray: np.ndarray) -> bytearray:
+    h, w = gray.shape
+    return bytearray(
+        b"ZIMG" + struct.pack("<HH", w, h) + gray.astype(np.uint8).tobytes()
+    )
+
+
+def _zimg_rows():
+    from fel_spark.sources.multimodal import MEDIA_SCHEMA  # noqa: F401
+
+    # cosine pattern, not a linear ramp: a pure ramp's low-freq DCT block
+    # sits almost entirely AT the median, so its pHash bits are chaotic
+    # under tiny perturbations — exactly the degenerate input pHash is not
+    # built for (measured: ramp a-b hamming 32, cosine a-b hamming 0)
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (
+        127 + 80 * np.cos(2 * np.pi * xx / 17.0) * np.cos(2 * np.pi * yy / 11.0)
+    ).astype(np.uint8)
+    pert = grad.copy()
+    pr = np.random.RandomState(7)
+    for y, x in pr.randint(0, h, (20, 2)):
+        pert[y, x % w] = np.clip(int(pert[y, x % w]) + pr.randint(-15, 16), 0, 255)
+    other = (
+        127 + 80 * np.cos(2 * np.pi * xx / 5.0 + 1.3) * np.cos(2 * np.pi * yy / 23.0)
+    ).astype(np.uint8)
+    tiny = grad[:4, :6].copy()
+    meta = {"width": None, "height": None, "duration_ms": None, "codec": "zimg"}
+    return [
+        ("z_a", "image", _zimg_payload(grad), meta),
+        ("z_b", "image", _zimg_payload(pert), meta),   # planted near-dup of z_a
+        ("z_c", "image", _zimg_payload(other), meta),  # unrelated
+        ("z_tiny", "image", _zimg_payload(tiny), meta),  # fails min dims
+    ]
+
+
+def test_registered_codec_decode_filter_neardup_e2e(spark, zimg_codec):
+    from fel_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_stats,
+        extract_features,
+        image_phash_pairs,
+        media_filter_decisions,
+        media_neardup_dedup,
+    )
+
+    media = spark.createDataFrame(_zimg_rows(), schema=MEDIA_SCHEMA)
+
+    # decode: stats are computed from REALLY decoded registry pixels
+    stats = {r.media_id: r for r in decode_stats(media).collect()}
+    grad = _zimg_rows()[0][2]
+    assert stats["z_a"].width == 48 and stats["z_a"].height == 32
+    assert stats["z_a"].vsum == int(
+        np.frombuffer(bytes(grad[8:]), dtype=np.uint8).sum()
+    )
+
+    # feature extraction: no NotImplementedError for the registered magic
+    feats = extract_features(media, dim=8, fake=False).collect()
+    assert len(feats) == 4 and all(len(r.feat) == 8 for r in feats)
+
+    # filter: registered payloads decode (keep), the tiny one trips the
+    # min-dims rule, an unregistered magic still flags undecodable
+    from fel_spark.sources.multimodal import MEDIA_SCHEMA as MS
+
+    bad = spark.createDataFrame(
+        [("z_bad", "image", bytearray(b"NOPE1234"),
+          {"width": None, "height": None, "duration_ms": None, "codec": "?"})],
+        schema=MS,
+    )
+    dec = {
+        r.media_id: r
+        for r in media_filter_decisions(
+            media.unionByName(bad), min_width=8, min_height=8
+        ).collect()
+    }
+    assert dec["z_a"].keep and dec["z_b"].keep and dec["z_c"].keep
+    assert not dec["z_tiny"].keep and dec["z_tiny"].reason == "too_small"
+    assert not dec["z_bad"].keep and dec["z_bad"].reason == "undecodable"
+
+    # near-dup: exactly the planted pair, through the shared banded-Hamming
+    # kernel; dedup completion keeps one canonical of the pair
+    pairs = image_phash_pairs(media, max_hamming=6).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("z_a", "z_b")}
+    kept = {r.media_id for r in media_neardup_dedup(
+        media, image_phash_pairs(media, max_hamming=6)
+    ).collect()}
+    assert kept == {"z_a", "z_c", "z_tiny"}
+
+
+def test_unregistered_zimg_is_undecodable(spark):
+    """Without the registration the same payloads are honestly stubbed:
+    sniff returns None, the filter flags undecodable, and the real-decode
+    feature path raises NotImplementedError."""
+    from fel_spark.sources.multimodal import media_filter_decisions, _real_feature
+
+    rows = _zimg_rows()
+    assert C.sniff_kind(bytes(rows[0][2])) is None
+    with pytest.raises(NotImplementedError):
+        _real_feature(bytes(rows[0][2]), 8)
+    from fel_spark.sources.multimodal import MEDIA_SCHEMA
+
+    dec = media_filter_decisions(
+        spark.createDataFrame(rows[:1], schema=MEDIA_SCHEMA)
+    ).collect()
+    assert not dec[0].keep and dec[0].reason == "undecodable"
+
+
+def test_registered_codec_overrides_builtin():
+    """Longest-magic-first and registry-over-builtin precedence: a codec
+    registered for the BMP magic replaces the pure-NumPy BMP path."""
+    marker = np.full((2, 3), 7, dtype=np.uint8)
+    C.register_codec(b"BM", "image", lambda p: marker)
+    try:
+        some_bmp = C.encode_ppm(_rand_img(2, 3))  # not BMP; builtin path
+        assert C.decode_image(some_bmp, C.codec_snapshot()).shape == (2, 3, 3)
+        assert np.array_equal(
+            C.decode_image(b"BMxxxx", C.codec_snapshot()), marker
+        )
+        # without the snapshot the builtin dispatch is untouched
+        with pytest.raises(Exception):
+            C.decode_image(b"BMxxxx")
+    finally:
+        assert C.unregister_codec(b"BM")
