@@ -30,6 +30,33 @@ from fel_spark.sources.wikixml import extract_anchors, read_wikipedia_pages
 
 MAX_PHRASE_TOKENS = 15  # the reference's n-gram scan bound (:322-445)
 
+# Broadcast gate for the anchor vocabulary (the TF-IDF lesson, commit
+# 0e0424b: vocabulary-scale != broadcast-safe — an unconditional hint
+# OOMs the driver when the dictionary outgrows the executors). FEL's own
+# datapack posture is the bound: the reference ships its whole alias
+# dictionary to every node as a <=3 GB distributed-cache artifact
+# (README.md:10, io/Datapack.java) — full enwiki is ~16M aliases /
+# ~0.5-1 GB, comfortably inside. Above the bound we drop the hint and
+# let AQE pick the join from runtime stats.
+WIKIPACK_BROADCAST_MAX_BYTES = 3 << 30
+
+
+def vocab_broadcastable(
+    phrases: DataFrame, max_bytes: int = WIKIPACK_BROADCAST_MAX_BYTES
+) -> bool:
+    """One dictionary-scale agg job: estimate the broadcast footprint of
+    the alias vocabulary (rows x per-row hashed-relation estimate, 2x
+    safety) and compare against the datapack bound. Callers should pass a
+    SNAPSHOTTED (checkpointed) frame — estimating an unmaterialized
+    corpus-derived vocabulary would re-run the corpus scan."""
+    row = phrases.agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("alias")).alias("avg_len"),
+    ).collect()[0]
+    n, avg_len = row["n"] or 0, row["avg_len"] or 0.0
+    est = n * (avg_len * 2 + 48) * 2
+    return est <= max_bytes
+
 
 def wiki_observations(pages: DataFrame) -> DataFrame:
     """Anchors as alias-dictionary observations.
@@ -52,7 +79,10 @@ def wiki_observations(pages: DataFrame) -> DataFrame:
 
 
 def corpus_phrase_counts(
-    pages: DataFrame, phrases: DataFrame, max_n: int = MAX_PHRASE_TOKENS
+    pages: DataFrame,
+    phrases: DataFrame,
+    max_n: int = MAX_PHRASE_TOKENS,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Occurrences of each anchor phrase in article text (link or not) —
     the reference's corpus-frequency MapFile
@@ -61,9 +91,15 @@ def corpus_phrase_counts(
 
     -> (alias, n_corpus). Plan: visible link text replaces markup
     ([[t|a]] -> a, [[t]] -> t), normalizeFast tokenization, bounded span
-    explode (L1 shape), broadcast semi-join against the dictionary-scale
-    phrase vocabulary, ONE hash aggregate. The explode is bounded by
-    ``max_n`` x tokens — corpus-linear, never quadratic.
+    explode (L1 shape), semi-join against the dictionary-scale phrase
+    vocabulary, ONE hash aggregate. The explode is bounded by ``max_n`` x
+    tokens — corpus-linear, never quadratic.
+
+    The vocabulary join is broadcast-hinted only when the vocabulary fits
+    FEL's datapack bound (``broadcast_vocab=None`` runs the
+    `vocab_broadcastable` size gate; pass True/False to force). Gated
+    broadcast keeps the corpus span stream shuffle-free at dictionary
+    scale; past the bound the hint is dropped and AQE picks the join.
     """
     text = F.regexp_replace("markup", r"\[\[(?:[^\[\]\|]*\|)?([^\[\]]*)\]\]", r"$1")
     toks = F.split(normalize_fast(text), " ")
@@ -73,8 +109,12 @@ def corpus_phrase_counts(
         .select(F.col("_sp.span").alias("alias"))
     )
     vocab = phrases.select("alias").distinct()
+    if broadcast_vocab is None:
+        broadcast_vocab = vocab_broadcastable(vocab)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     return (
-        spans.join(F.broadcast(vocab), "alias")
+        spans.join(vocab, "alias")
         .groupBy("alias")
         .agg(F.count("*").alias("n_corpus"))
     )
@@ -101,9 +141,19 @@ def build_wikipack(
     pages = pages.localCheckpoint(eager=True)
     ad, names = build_alias_dict(wiki_observations(pages))
     if corpus_counts:
-        cc = corpus_phrase_counts(pages, ad.select("alias"))
+        # two consumers of ad (phrase-scan vocabulary + final LAT join),
+        # and the broadcast gate needs a cheap count — snapshot it so the
+        # size estimate and the reuse never re-run the dictionary build
+        ad = ad.localCheckpoint(eager=True)
+        bc_ok = vocab_broadcastable(ad.select("alias"))
+        cc = corpus_phrase_counts(
+            pages, ad.select("alias"), broadcast_vocab=bc_ok
+        )
+        # cc is keyed by (a subset of) the gated vocabulary, so the same
+        # decision applies: hint only when the vocabulary passed the gate
+        cc_side = F.broadcast(cc) if bc_ok else cc
         ad = (
-            ad.join(F.broadcast(cc), "alias", "left")
+            ad.join(cc_side, "alias", "left")
             .withColumn("LAT", F.greatest(F.coalesce("n_corpus", F.lit(0)), F.col("LAF")))
             .drop("n_corpus")
         )

@@ -82,3 +82,38 @@ def test_wikipack_links_mentions_end_to_end(spark, dump_path):
     by_span = {r["span"]: r["entity_id"] for r in mentions}
     assert by_span.get("lovely beta") == ids["Delta"]
     assert by_span.get("delta") == ids["Delta"]
+
+
+def test_vocab_broadcast_gate(spark, dump_path):
+    """The vocabulary broadcast is GATED, not unconditional (the TF-IDF
+    lesson): under FEL's datapack bound the phrase join broadcast-hints
+    (no shuffle of the corpus span stream); past the bound the hint is
+    dropped and AQE owns the join."""
+    from fel_spark.sources.wikixml import read_wikipedia_pages
+
+    pages = read_wikipedia_pages(spark, dump_path)
+    ad, _names = wikipack.build_wikipack(spark, dump_path, corpus_counts=False)
+    vocab = ad.select("alias")
+
+    # fixture-scale vocabulary passes the gate; a 1-byte bound fails it
+    assert wikipack.vocab_broadcastable(vocab)
+    assert not wikipack.vocab_broadcastable(vocab, max_bytes=1)
+
+    # gate passed -> broadcast join, corpus side never exchanges
+    plan_bc = wikipack.corpus_phrase_counts(
+        pages, vocab, broadcast_vocab=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bc
+
+    # gate failed -> no broadcast HINT in the optimized logical plan (AQE
+    # may still choose broadcast from runtime stats — that's the point)
+    plan_no = wikipack.corpus_phrase_counts(
+        pages, vocab, broadcast_vocab=False
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan_no and "hints=[broadcast]" not in plan_no
+
+    # and the auto path (None) equals the gate's decision at this scale
+    plan_auto = wikipack.corpus_phrase_counts(
+        pages, vocab
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_auto
