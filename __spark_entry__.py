@@ -627,15 +627,17 @@ def q_doc_pack_chunks(spark, sf_dir):
 # toy broadcast language-ID model for the oracled model-path query: dyadic
 # weights (1.0 / 0.5 / 0.25) so per-language weight sums are EXACT doubles
 # in any summation order — equality-safe across Spark/NumPy/DuckDB
-# the SHIPPED model tables (fel_spark/models/langmodels.py — the
+# the SHIPPED model tables (fel_spark/models/trained.py — the
 # datapack-as-shipped-data pattern): the driver gate runs the real
-# default weights, not a toy stand-in. Both tables are dyadic-rational,
-# so weight sums are bit-exact across engines and the oracle generators
-# below replay them verbatim.
+# default weights — the TRAINED logistic reduction over the public
+# lexicons (scripts/train_langmodels.py), not a toy stand-in. Both
+# tables are dyadic-rational (1/256 quantized), so weight sums are
+# bit-exact across engines and the oracle generators below replay them
+# verbatim.
 from fel_spark.models import (  # noqa: E402
-    LANGID_WEIGHTS as _LANGID_MODEL,
-    QUALITY_BIAS as _QUALITY_BIAS,
-    QUALITY_WEIGHTS as _QUALITY_MODEL,
+    TRAINED_LANGID_WEIGHTS as _LANGID_MODEL,
+    TRAINED_QUALITY_BIAS as _QUALITY_BIAS,
+    TRAINED_QUALITY_WEIGHTS as _QUALITY_MODEL,
 )
 
 

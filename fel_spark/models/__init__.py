@@ -9,11 +9,19 @@ from fel_spark.models.langmodels import (
     default_quality_model,
     langid_weights_df,
 )
+from fel_spark.models.trained import (
+    TRAINED_LANGID_WEIGHTS,
+    TRAINED_QUALITY_BIAS,
+    TRAINED_QUALITY_WEIGHTS,
+)
 
 __all__ = [
     "LANGID_WEIGHTS",
     "QUALITY_BIAS",
     "QUALITY_WEIGHTS",
+    "TRAINED_LANGID_WEIGHTS",
+    "TRAINED_QUALITY_BIAS",
+    "TRAINED_QUALITY_WEIGHTS",
     "default_langid_model",
     "default_quality_model",
     "langid_weights_df",

@@ -97,17 +97,27 @@ QUALITY_BIAS: float = -0.25
 
 
 def default_langid_model():
-    """The shipped LangIdModel — the corpus plan's default scorer."""
+    """The shipped LangIdModel — the corpus plan's default scorer.
+
+    Loads the TRAINED table (`fel_spark/models/trained.py`, a logistic
+    reduction over the public lexicons — scripts/train_langmodels.py);
+    the hand-curated tiers above remain available as `LANGID_WEIGHTS`
+    for comparison and as the training lexicon."""
+    from fel_spark.models.trained import TRAINED_LANGID_WEIGHTS
     from fel_spark.operators.textstats import LangIdModel
 
-    return LangIdModel(LANGID_WEIGHTS)
+    return LangIdModel(TRAINED_LANGID_WEIGHTS)
 
 
 def default_quality_model():
-    """The shipped QualityModel (linear bag-of-words + bias)."""
+    """The shipped QualityModel (trained linear bag-of-words + bias)."""
+    from fel_spark.models.trained import (
+        TRAINED_QUALITY_BIAS,
+        TRAINED_QUALITY_WEIGHTS,
+    )
     from fel_spark.operators.textstats import QualityModel
 
-    return QualityModel(QUALITY_WEIGHTS, bias=QUALITY_BIAS)
+    return QualityModel(TRAINED_QUALITY_WEIGHTS, bias=TRAINED_QUALITY_BIAS)
 
 
 def langid_weights_df(spark: SparkSession) -> DataFrame:

@@ -95,3 +95,68 @@ def test_corpus_plan_defaults_to_shipped_model(spark, tmp_path):
     out = run_corpus_prep(spark, str(tmp_path / "run"), docs)
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert kept == {1}  # 'in' alone must not make the German doc English
+
+
+def test_trained_tables_beat_heuristic_on_heldout():
+    """The shipped TRAINED tables (logistic reduction, dyadic-quantized)
+    must beat the no-model heuristics on a fresh held-out corpus (seed
+    disjoint from training), evaluated with the DEPLOYED semantics
+    (hit-gated argmax / mean-pooled linear score)."""
+    from fel_spark.models import (
+        TRAINED_LANGID_WEIGHTS,
+        TRAINED_QUALITY_BIAS,
+        TRAINED_QUALITY_WEIGHTS,
+    )
+    from scripts.train_langmodels import (
+        TRAIN_SEED,
+        heuristic_langid,
+        heuristic_quality,
+        make_langid_corpus,
+        make_quality_corpus,
+        predict_langid,
+        predict_quality,
+    )
+
+    docs, labels = make_langid_corpus(TRAIN_SEED + 777, 120)
+    pred = predict_langid(TRAINED_LANGID_WEIGHTS, docs)
+    acc = sum(p == t for p, t in zip(pred, labels)) / len(labels)
+    heur = heuristic_langid(docs)
+    acc_h = sum(p == t for p, t in zip(heur, labels)) / len(labels)
+    assert acc >= 0.98, acc
+    assert acc > acc_h + 0.5, (acc, acc_h)  # heuristic is en/other only
+
+    qdocs, qlabels = make_quality_corpus(TRAIN_SEED + 778, 150)
+    sc = predict_quality(TRAINED_QUALITY_WEIGHTS, TRAINED_QUALITY_BIAS, qdocs)
+    qacc = sum((s > 0) == bool(t) for s, t in zip(sc, qlabels)) / len(qlabels)
+    hs = heuristic_quality(qdocs)
+    hacc = sum((s > 0) == bool(t) for s, t in zip(hs, qlabels)) / len(qlabels)
+    assert qacc >= 0.97, qacc
+    assert qacc > hacc + 0.1, (qacc, hacc)
+
+
+def test_trained_tables_are_dyadic():
+    """Oracle digests rely on bit-exact cross-engine sums: every trained
+    weight (and the bias) must be a multiple of 1/256."""
+    from fel_spark.models import (
+        TRAINED_LANGID_WEIGHTS,
+        TRAINED_QUALITY_BIAS,
+        TRAINED_QUALITY_WEIGHTS,
+    )
+
+    for tw in TRAINED_LANGID_WEIGHTS.values():
+        for w in tw.values():
+            assert (w * 256) == int(w * 256)
+    for w in TRAINED_QUALITY_WEIGHTS.values():
+        assert (w * 256) == int(w * 256)
+    assert TRAINED_QUALITY_BIAS * 256 == int(TRAINED_QUALITY_BIAS * 256)
+
+
+def test_default_models_load_trained_tables():
+    from fel_spark.models import TRAINED_LANGID_WEIGHTS, default_langid_model
+
+    m = default_langid_model()
+    assert sorted(TRAINED_LANGID_WEIGHTS) == m.langs
+    # spot: a trained weight landed in the matrix
+    tok = next(iter(TRAINED_LANGID_WEIGHTS["en"]))
+    j = m.token_index.get_loc(tok)
+    assert m.weights[j, m.langs.index("en")] == TRAINED_LANGID_WEIGHTS["en"][tok]
