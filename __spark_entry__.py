@@ -1794,6 +1794,57 @@ def q_media_videofp_neardup(spark, sf_dir):
     )
 
 
+def q_media_neardup_md5(spark, sf_dir):
+    """Value-checked media near-dup chain: REAL decode of pinned payloads
+    -> integer-exact fingerprints -> the SHARED banded-Hamming kernel
+    (`dedup.banded_hamming_pairs` — the same salt-capped block join the
+    pHash/audio-fp/video-fp operators use).
+
+    The fingerprint is the decoded vsum (closed-form in the row index,
+    FIXTURES.md), so the oracle can replay the WHOLE chain in SQL:
+    closed-form vsum -> brute-force bit_count(xor) <= h (complete because
+    bands = h+1 pigeonholes and the salt cap is disabled for the parity
+    probe, exactly like simhash_pairs_md5). Planted rows guarantee
+    non-trivial pairs: three byte-identical payload copies (hamming 0)
+    and a one-pixel +1 image variant (vsum+1 — hamming = the carry chain
+    of vsum0+1, which SQL computes itself). The DCT/FFT perceptual
+    front-ends stay ground-truth-tested in tests/test_codecs.py (not
+    SQL-expressible); THIS row value-checks decode + banding + block join
+    + Hamming verify end-to-end under the driver's hash."""
+    import numpy as np
+
+    from fel_spark.operators.dedup import banded_hamming_pairs
+    from fel_spark.sources import codecs
+    from fel_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_stats,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 60)
+    base = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    img0 = codecs.decode_image(base["m00000"])
+    var = img0.copy()
+    var[0, 0, 2] += 1  # b=(0*7)%256=0 -> safe +1; decoded vsum = vsum0 + 1
+    extra = spark.createDataFrame(
+        [
+            ("c00000", "image", bytearray(base["m00000"]),
+             {"width": None, "height": None, "duration_ms": None, "codec": "ppm"}),
+            ("c00001", "audio", bytearray(base["m00001"]),
+             {"width": None, "height": None, "duration_ms": None, "codec": "wav"}),
+            ("c00002", "video", bytearray(base["m00002"]),
+             {"width": None, "height": None, "duration_ms": None, "codec": "y4m"}),
+            ("n00000", "image", bytearray(codecs.encode_ppm(var)),
+             {"width": None, "height": None, "duration_ms": None, "codec": "ppm"}),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    fp = decode_stats(media.unionByName(extra)).select("media_id", "vsum")
+    return banded_hamming_pairs(
+        fp, "media_id", "vsum", max_hamming=8, max_block=1_000_000_000
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_media_filter(spark, sf_dir):
     """Decode-gated media quality filter (`media_filter_decisions`):
     real payloads plus planted CORRUPT rows; thresholds chosen so every
@@ -1888,7 +1939,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_md5": q_dedup_clusters_md5,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "simhash_pairs_md5": q_simhash_pairs_md5,
-        "ngram_jaccard_md5": q_ngram_jaccard_md5,
+        # media near-dup value twin takes the prefix slot ngram_jaccard_md5
+        # held in r3/r4: the media chain (real decode -> shared banded-
+        # Hamming kernel) had no driver value-check, while n-gram Jaccard's
+        # family keeps minhash_pairs_md5 + the dedup cluster twins and
+        # ngram_jaccard_md5 itself stays oracle-checked past the cap.
+        "media_neardup_md5": q_media_neardup_md5,
         "embed_neardup_md5": q_embed_neardup_md5,
         "doc_semantic_dedup": q_doc_semantic_dedup,
         # --- span dedup / containment / decontamination ---
@@ -1929,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_budget_sample": q_doc_budget_sample,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_decontaminate_report": q_doc_decontaminate_report,
+        "ngram_jaccard_md5": q_ngram_jaccard_md5,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "bpe_tokenize_trained": q_bpe_tokenize_trained,
         "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -3460,6 +3517,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM img2
             UNION ALL SELECT * FROM aud
             UNION ALL SELECT * FROM vid2
+        """,
+        # media_neardup_md5: closed-form vsum fingerprints (the
+        # media_decode_stats formulas + 3 byte-identical copies + the
+        # one-pixel +1 image variant) -> brute-force banded-Hamming replay
+        # (complete: bands = h+1 pigeonholes, salt cap disabled)
+        "media_neardup_md5": """
+            WITH idx AS (SELECT i FROM generate_series(0, 59) t(i)),
+            img AS (
+                SELECT i, 16 + (i % 8) * 8 AS w, 16 + (i % 5) * 8 AS h,
+                       (i * 7) % 256 AS b
+                FROM idx WHERE i % 3 = 0
+            ),
+            imgv AS (
+                SELECT printf('m%05d', i) AS media_id,
+                       CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                            + w * h * b AS BIGINT) AS vsum
+                FROM img
+            ),
+            audv AS (
+                SELECT printf('m%05d', i) AS media_id,
+                       CAST(800 * (1000 + (i % 7) * 500) AS BIGINT) AS vsum
+                FROM idx WHERE i % 3 = 1
+            ),
+            vidv AS (
+                SELECT printf('m%05d', i) AS media_id,
+                       CAST(SUM(256 * (16 + ((i * 13 + k * 29) % 220))) AS BIGINT) AS vsum
+                FROM idx, generate_series(0, 4) s(k)
+                WHERE i % 3 = 2 AND k <= 2 + ((i // 3) % 3)
+                GROUP BY i
+            ),
+            planted AS (
+                SELECT 'c00000' AS media_id, vsum FROM imgv WHERE media_id = 'm00000'
+                UNION ALL
+                SELECT 'c00001', vsum FROM audv WHERE media_id = 'm00001'
+                UNION ALL
+                SELECT 'c00002', vsum FROM vidv WHERE media_id = 'm00002'
+                UNION ALL
+                SELECT 'n00000', vsum + 1 FROM imgv WHERE media_id = 'm00000'
+            ),
+            fp AS (
+                SELECT * FROM imgv UNION ALL SELECT * FROM audv
+                UNION ALL SELECT * FROM vidv UNION ALL SELECT * FROM planted
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.vsum, b.vsum)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.vsum, b.vsum)) <= 8
         """,
         # media_resize_pixsum: nearest-neighbour floor sampling of the
         # gradient image to 8x6 — vsum = sum over destination pixels of

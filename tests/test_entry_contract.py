@@ -43,6 +43,7 @@ SUBSET = [
     "doc_pack_chunks",
     "doc_span_excise",
     "doc_containment",
+    "media_neardup_md5",
 ]
 
 
