@@ -172,6 +172,44 @@ WARNING — output NOT invariant across runs: linked-mention counts
 {sorted(mention_counts)}. Investigate before trusting the comparison.
 """
 
+    md += """
+## Why per-rep spread persists (and why best-of is the estimator)
+
+Single bench exposures sometimes show a slow FIRST measured ER rep
+despite the full-size untimed warmup. A controlled diagnostic (same job,
+forced JVM+Python GC between every rep so no warmup state survives)
+produced rep times 27.2 / 43.4 / 47.2 / 16.3 s — the slow reps land
+ANYWHERE in the sequence, not at rep 1. The spread is the host's
+CPU-steal storms (documented in the calibration above), not engine
+warmup state; a `<1.5x` rep-spread target is not achievable on this
+host. Steady-state capacity is therefore reported as the best rep over
+interleaved samples, which converges to the uncontended time
+symmetrically at both parallelism levels. bench.py (r5) measures ER
+over 5 reps and reports sec_best AND sec_median in the artifact so the
+convergence (or a storm) is visible without this out-of-band note.
+
+Corpus sizing also matters: at 480k turns the per-rep fixed costs
+(broadcast, DP/codegen setup, CC, job scheduling ~8-10 s) cap measured
+throughput at ~26.6k turns/s, while the SAME engine on 1.44M turns
+measures 42-50k turns/s at local[*]. bench.py therefore defaults to
+240k conversations (1.44M turns); FEL's extrapolated single-node
+ceiling is ~19.5k q/s (midpoint ~1.6 ms/q x 32 threads, BASELINE.md).
+
+## doc_span_coverage r3->r4 "regression": measurement artifact, closed
+
+BENCH_r04 showed doc_span_coverage 1.22 -> 1.99 s, the only
+like-for-like r3->r4 regression. Root cause (r5 profiling): commit
+f171794 (round 4) added `spark.catalog.clearCache()` between bench
+reps — before that, rep 2 of this query was served from rep 1's
+persisted shingle stream (`span_coverage` persists the
+normalize+explode output for its two consumers), so r3's best-of was a
+CACHE-WARM number. Controlled measurement (local[32], sf0.1, 3
+interleaved reps): cold 1.99-2.08 s (one outlier 3.99 s, host storm),
+persist-reuse 0.86-1.00 s — r3's 1.22 s sits exactly in the warm band,
+r4's 1.99 s is the honest cold time. The within-run persist is hit
+(warm reps confirm the cache works); no engine regression.
+"""
+
     f1_art = REPO / "BENCH" / "f1.json"
     if f1_art.exists():
         md += f"""
