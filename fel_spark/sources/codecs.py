@@ -6,12 +6,15 @@ large-scale ingest pipeline meets as intermediate representations:
 
 - PPM / PGM (netpbm P2/P3/P5/P6, 8- and 16-bit) images
 - BMP (BITMAPINFOHEADER, BI_RGB uncompressed, 24/32 bpp) images
+- PNG (full decoder: DEFLATE via stdlib zlib, all 5 scanline filters,
+  color types 0/2/3/4/6, bit depths 1-16, Adam7 interlace, CRC checks)
 - WAV (RIFF PCM 8/16/24/32-bit and IEEE float32/64) audio
 - Y4M (YUV4MPEG2, C420/C422/C444 8-bit planar) video
 
-Compressed codecs (png/jpeg/opus/av1/...) remain honestly stubbed in
-`sources/multimodal.py` — decoding those genuinely requires external
-libraries.  Everything here is stdlib `struct` + NumPy: byte-exact,
+Codecs whose compression genuinely requires external libraries
+(jpeg/opus/av1/...) remain honestly stubbed in `sources/multimodal.py`;
+a deployment with PIL/ffmpeg plugs them in via `register_codec`.
+Everything here is stdlib `struct`/`zlib` + NumPy: byte-exact,
 deterministic, and safe inside Arrow-batched UDFs (no per-row Python in
 the Spark hot path; these run on whole payloads inside mapInPandas).
 
@@ -31,10 +34,12 @@ __all__ = [
     "decode_image",
     "decode_netpbm",
     "decode_bmp",
+    "decode_png",
     "decode_wav",
     "decode_y4m",
     "encode_ppm",
     "encode_pgm",
+    "encode_png",
     "encode_wav",
     "encode_y4m",
     "resize_nearest",
@@ -128,6 +133,8 @@ def sniff_kind(payload: bytes, extra=()) -> str | None:
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return "image"
     if payload[:2] == b"BM":
+        return "image"
+    if payload[:8] == _PNG_SIG:
         return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio"
@@ -269,6 +276,8 @@ def decode_image(payload: bytes, extra=()) -> np.ndarray:
         return decode_netpbm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError(f"undecodable image magic {payload[:2]!r}")
 
 
@@ -439,6 +448,306 @@ def encode_y4m(luma: np.ndarray, chroma_value: int = 128, chroma: str = "420") -
         out.append(c_plane)
         out.append(c_plane)
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083 / W3C PNG spec) — real decode via stdlib zlib + NumPy.
+#
+# PNG is the one "compressed" media format this container CAN decode for
+# real: its only compression is DEFLATE, which ships in the Python stdlib.
+# Full decoder: all five scanline filters, color types 0/2/3/4/6, bit
+# depths 1/2/4/8/16, Adam7 interlace, CRC-verified chunks. Alpha channels
+# are dropped after decode (the documented image contract is (H, W) or
+# (H, W, 3)); low-bit grayscale is expanded with the exact 255/(2^d-1)
+# replication factor (integer-exact: 255, 85*3, 17*15). 16-bit samples
+# come back uint16 (same convention as 16-bit netpbm above).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per color type (3 = palette index, expanded via PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying length and CRC."""
+    import zlib
+
+    pos, n = 8, len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering -> (height, stride) uint8 of raw bytes.
+
+    ``stride`` is the filtered byte count per scanline (excluding the
+    leading filter-type byte); ``bpp`` the filter unit (bytes per pixel,
+    min 1). Filters None/Up/Sub vectorize (Sub via per-lag-class cumsum —
+    byte addition mod 256 is associative); Average/Paeth carry a true
+    along-row recurrence and fall back to a per-byte loop, which is fine
+    at payload scale (these run on whole payloads inside Arrow batches,
+    not per Spark row).
+    """
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    rows = np.frombuffer(raw[: height * (stride + 1)], dtype=np.uint8)
+    rows = rows.reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(ftypes[y])
+        line = rows[y, 1:]
+        if ft == 0:  # None
+            rec = line.copy()
+        elif ft == 2:  # Up
+            rec = line + prior  # uint8 wraps mod 256, exactly the spec
+        elif ft == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp]
+            rec = line.astype(np.uint64).copy()
+            for k in range(bpp):
+                np.cumsum(rec[k::bpp], out=rec[k::bpp])
+            rec = (rec & 0xFF).astype(np.uint8)
+        elif ft in (3, 4):  # Average / Paeth: sequential along the row
+            rec = np.zeros(stride, dtype=np.int32)
+            ln = line.astype(np.int32)
+            pr = prior.astype(np.int32)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(pr[i])
+                if ft == 3:
+                    rec[i] = (ln[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(pr[i - bpp]) if i >= bpp else 0
+                    rec[i] = (ln[i] + _paeth_predict(a, b, c)) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def _png_samples(recon: np.ndarray, width: int, channels: int, depth: int) -> np.ndarray:
+    """(H, stride) raw recon bytes -> (H, width, channels) sample array
+    (uint8, or uint16 for depth 16; low-bit samples NOT yet scaled)."""
+    h = recon.shape[0]
+    if depth == 8:
+        flat = recon[:, : width * channels]
+        return flat.reshape(h, width, channels)
+    if depth == 16:
+        flat = recon[:, : width * channels * 2].reshape(h, -1)
+        u16 = (flat[:, 0::2].astype(np.uint16) << 8) | flat[:, 1::2]
+        return u16.reshape(h, width, channels)
+    # 1/2/4-bit: only valid for 1-channel types (gray / palette)
+    bits = np.unpackbits(recon, axis=1)
+    per = bits[:, : width * depth].reshape(h, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, width, 1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (H, W) grayscale or (H, W, 3) RGB NumPy array.
+
+    uint8 output (uint16 for 16-bit depth). Alpha (types 4/6, tRNS) is
+    dropped; palette (type 3) is expanded through PLTE; 1/2/4-bit gray is
+    scaled by the exact 255/(2^d-1) factor. Adam7 interlace supported.
+    Chunk CRCs are verified (a deterministic corruption gate — corrupt
+    payloads fail decode and flow to the corrupt-audit path of
+    `media_filter_decisions` rather than yielding garbage pixels).
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat_parts = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+    if ihdr is None or not idat_parts:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if ctype_ not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype_}")
+    if w <= 0 or h <= 0 or w * h > 512 * 1024 * 1024:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    valid_depths = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }[ctype_]
+    if depth not in valid_depths:
+        raise ValueError(f"bad PNG bit depth {depth} for color type {ctype_}")
+    if ctype_ == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = _PNG_CHANNELS[ctype_]
+    raster = zlib.decompress(b"".join(idat_parts))
+    sdtype = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((h, w, channels), dtype=sdtype)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        bpp = max(1, channels * depth // 8)
+        need = ph * (stride + 1)
+        recon = _png_unfilter(raster[off : off + need], ph, stride, bpp)
+        off += need
+        img[y0::dy, x0::dx] = _png_samples(recon, pw, channels, depth)
+    # post-process by color type
+    if ctype_ == 3:
+        rgb = plte[img[:, :, 0]]
+        return np.ascontiguousarray(rgb)
+    if ctype_ == 0 and depth < 8:
+        img = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if channels == 1:
+        return np.ascontiguousarray(img[:, :, 0])
+    if channels == 2:  # gray + alpha -> gray
+        return np.ascontiguousarray(img[:, :, 0])
+    if channels == 4:  # RGBA -> RGB
+        return np.ascontiguousarray(img[:, :, :3])
+    return np.ascontiguousarray(img)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(line: np.ndarray, prior: np.ndarray, bpp: int, ft: int) -> np.ndarray:
+    """Apply filter ``ft`` to one reconstructed scanline (uint8 arrays)."""
+    ln = line.astype(np.int32)
+    if ft == 0:
+        return line.copy()
+    if ft == 2:
+        return line - prior  # uint8 arithmetic wraps mod 256, per spec
+    left = np.zeros_like(ln)
+    left[bpp:] = ln[:-bpp]
+    pr = prior.astype(np.int32)
+    if ft == 1:
+        out = ln - left
+    elif ft == 3:
+        out = ln - ((left + pr) >> 1)
+    elif ft == 4:
+        prl = np.zeros_like(pr)
+        prl[bpp:] = pr[:-bpp]
+        out = np.empty_like(ln)
+        for i in range(len(ln)):
+            out[i] = ln[i] - _paeth_predict(int(left[i]), int(pr[i]), int(prl[i]))
+    else:
+        raise ValueError(f"bad filter type {ft}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int | str = 0, interlace: bool = False, level: int = 6
+) -> bytes:
+    """(H, W) or (H, W, 3) uint8/uint16 -> PNG bytes.
+
+    ``filter_type``: 0-4 applied to every scanline, or "mixed" (row y gets
+    filter y % 5 — exercises every unfilter path in round-trip tests).
+    ``interlace=True`` writes Adam7. Exact inverse of :func:`decode_png`
+    for 8/16-bit gray and RGB inputs.
+    """
+    import zlib
+
+    if img.ndim == 2:
+        arr = img[:, :, None]
+        ctype_ = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        arr = img
+        ctype_ = 2
+    else:
+        raise ValueError("encode_png wants (H, W) or (H, W, 3)")
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError(f"encode_png wants uint8/uint16, got {arr.dtype}")
+    h, w, channels = arr.shape
+    bpp = channels * depth // 8
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    parts = []
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if depth == 16:
+            be = sub.astype(">u2").reshape(ph, pw * channels).view(np.uint8)
+            rows = np.ascontiguousarray(be).reshape(ph, pw * bpp)
+        else:
+            rows = np.ascontiguousarray(sub).reshape(ph, pw * bpp)
+        prior = np.zeros(pw * bpp, dtype=np.uint8)
+        for y in range(ph):
+            ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+            filtered = _png_filter_row(rows[y], prior, bpp, ft)
+            parts.append(bytes([ft]) + filtered.tobytes())
+            prior = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_, 0, 0, 1 if interlace else 0)
+    return b"".join(
+        [
+            _PNG_SIG,
+            _png_chunk(b"IHDR", ihdr),
+            _png_chunk(b"IDAT", zlib.compress(b"".join(parts), level)),
+            _png_chunk(b"IEND", b""),
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------

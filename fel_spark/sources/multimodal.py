@@ -6,8 +6,10 @@ batch shape, UDF signatures — is real and tested.
 
 Decode is REAL for every self-describing uncompressed format
 (`sources/codecs.py`: PPM/PGM, BMP BI_RGB, WAV PCM/float, Y4M) — pure
-NumPy, byte-exact, value-checked against closed-form SQL oracles.
-Compressed codecs (png/jpeg/opus/av1) remain honestly stubbed: decode
+NumPy, byte-exact, value-checked against closed-form SQL oracles — and
+for PNG (full stdlib-zlib decoder: all filters, color types, bit depths,
+Adam7; see `codecs.decode_png`). Codecs needing external libraries
+(jpeg/opus/av1) remain honestly stubbed: decode
 functions raise NotImplementedError for those unless `fake=True`, in which
 case a deterministic fake decoder (seeded from the payload hash) produces
 stable features so downstream plumbing stays exercisable for any codec.
@@ -78,8 +80,8 @@ def _real_feature(payload: bytes, dim: int, extra=()) -> np.ndarray:
     kind = codecs.sniff_kind(payload, extra)
     if kind is None:
         raise NotImplementedError(
-            "payload is not a self-describing uncompressed format "
-            "(PPM/PGM/BMP/WAV/Y4M) and no registered codec matches "
+            "payload is not a format the built-in codecs decode "
+            "(PPM/PGM/BMP/PNG/WAV/Y4M) and no registered codec matches "
             "(codecs.register_codec plugs external-library decoders in)"
         )
     if kind == "image":

@@ -194,13 +194,20 @@ def test_sniff_kind():
     assert C.sniff_kind(_make_bmp(_PIX)) == "image"
     assert C.sniff_kind(C.encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "audio"
     assert C.sniff_kind(C.encode_y4m(np.zeros((1, 2, 2), dtype=np.uint8))) == "video"
-    assert C.sniff_kind(b"\x89PNG\r\n\x1a\n") is None
+    # PNG is decodable built-in as of r5 (stdlib zlib); JPEG is not
+    assert C.sniff_kind(b"\x89PNG\r\n\x1a\n") == "image"
+    assert C.sniff_kind(b"\xff\xd8\xff\xe0rest") is None
 
 
 def test_real_feature_compressed_codec_raises():
     from fel_spark.sources.multimodal import _real_feature
 
+    # JPEG genuinely needs an external library -> honest stub
     with pytest.raises(NotImplementedError):
+        _real_feature(b"\xff\xd8\xff\xe0rest", 16)
+    # PNG with a valid signature but garbage chunks is a DECODE error
+    # (flows to the corrupt-audit path), not a missing-codec error
+    with pytest.raises(ValueError):
         _real_feature(b"\x89PNG\r\n\x1a\nrest", 16)
 
 
@@ -516,3 +523,143 @@ def test_registered_codec_overrides_builtin():
             C.decode_image(b"BMxxxx")
     finally:
         assert C.unregister_codec(b"BM")
+
+
+# ---------------------------------------------------------------------------
+# PNG (r5: real stdlib-zlib decoder)
+
+
+def test_png_roundtrip_filters_and_interlace():
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (7, 9), (16, 16), (33, 17)]:
+        for color in (False, True):
+            for dtype in (np.uint8, np.uint16):
+                hi = 256 if dtype == np.uint8 else 65536
+                full = shape + ((3,) if color else ())
+                arr = rng.randint(0, hi, size=full).astype(dtype)
+                for ft in (0, 1, 2, 3, 4, "mixed"):
+                    for il in (False, True):
+                        dec = C.decode_png(C.encode_png(arr, filter_type=ft, interlace=il))
+                        assert dec.dtype == arr.dtype and np.array_equal(dec, arr), (
+                            shape, color, dtype, ft, il)
+
+
+# The canonical Adam7 pass-number grid from the PNG spec (§ Interlaced data
+# order) — written here as a LITERAL so the test's pixel scattering is
+# independent of the decoder's _ADAM7 start/step arithmetic.
+_ADAM7_SPEC_GRID = [
+    [1, 6, 4, 6, 2, 6, 4, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [5, 6, 5, 6, 5, 6, 5, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [3, 6, 4, 6, 3, 6, 4, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [5, 6, 5, 6, 5, 6, 5, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+]
+
+
+def test_png_adam7_decode_vs_spec_grid():
+    """Hand-assemble an interlaced grayscale PNG by scanning the spec's 8x8
+    pass grid (not the decoder's pass arithmetic) and check decode."""
+    import zlib
+
+    w, h = 9, 7
+    img = np.fromfunction(lambda y, x: (37 * y + 5 * x) % 256, (h, w)).astype(np.uint8)
+    raster = bytearray()
+    for p in range(1, 8):
+        ys = [y for y in range(h) if any(_ADAM7_SPEC_GRID[y % 8][x % 8] == p for x in range(w))]
+        for y in ys:
+            xs = [x for x in range(w) if _ADAM7_SPEC_GRID[y % 8][x % 8] == p]
+            if xs:
+                raster += bytes([0]) + bytes(int(img[y, x]) for x in xs)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    png = (C._PNG_SIG + C._png_chunk(b"IHDR", ihdr)
+           + C._png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+           + C._png_chunk(b"IEND", b""))
+    assert np.array_equal(C.decode_png(png), img)
+
+
+def _manual_png(ihdr_fields, raster, plte=None):
+    import zlib
+
+    png = C._PNG_SIG + C._png_chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        png += C._png_chunk(b"PLTE", plte)
+    return png + C._png_chunk(b"IDAT", zlib.compress(raster)) + C._png_chunk(b"IEND", b"")
+
+
+def test_png_palette_expansion():
+    plte = bytes([10, 20, 30, 200, 100, 50, 0, 0, 255, 255, 255, 0])
+    idx = np.array([[0, 1, 2, 3, 0], [1, 1, 2, 2, 3], [3, 2, 1, 0, 0]], dtype=np.uint8)
+    raster = b"".join(bytes([0]) + idx[y].tobytes() for y in range(3))
+    dec = C.decode_png(_manual_png((5, 3, 8, 3, 0, 0, 0), raster, plte))
+    exp = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(dec, exp)
+
+
+def test_png_low_bit_gray_exact_scaling():
+    # 255/(2^d - 1) replication is integer-exact: x255, x85, x17
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        hi = (1 << depth) - 1
+        vals = np.array([[0, hi, hi, 0, 1 % (hi + 1)], [hi, 0, 1 % (hi + 1), hi, 0]],
+                        dtype=np.uint8)
+        packed_rows = []
+        for y in range(2):
+            bits = np.unpackbits(vals[y][:, None], axis=1)[:, 8 - depth:].flatten()
+            pad = (-len(bits)) % 8
+            bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+            packed_rows.append(bytes([0]) + np.packbits(bits).tobytes())
+        dec = C.decode_png(_manual_png((5, 2, depth, 0, 0, 0, 0), b"".join(packed_rows)))
+        assert np.array_equal(dec, vals.astype(np.uint16) * scale), depth
+
+
+def test_png_alpha_channels_dropped():
+    rng = np.random.RandomState(3)
+    rgba = rng.randint(0, 256, (4, 5, 4)).astype(np.uint8)
+    raster = b"".join(bytes([0]) + rgba[y].tobytes() for y in range(4))
+    assert np.array_equal(C.decode_png(_manual_png((5, 4, 8, 6, 0, 0, 0), raster)),
+                          rgba[:, :, :3])
+    ga = rng.randint(0, 256, (3, 6, 2)).astype(np.uint8)
+    raster = b"".join(bytes([0]) + ga[y].tobytes() for y in range(3))
+    assert np.array_equal(C.decode_png(_manual_png((6, 3, 8, 4, 0, 0, 0), raster)),
+                          ga[:, :, 0])
+
+
+def test_png_corruption_raises():
+    enc = bytearray(C.encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    enc[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.decode_png(bytes(enc))
+    with pytest.raises(ValueError):
+        C.decode_png(C.encode_png(np.zeros((4, 4), dtype=np.uint8))[:-8])  # no IEND
+    with pytest.raises(ValueError):
+        C.decode_png(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_png_format_independent_phash_and_stats(spark):
+    """The SAME pixels encoded as PNG and as PPM must produce identical
+    perceptual hashes and decode stats — decode is byte-exact for both."""
+    from fel_spark.sources.multimodal import (
+        MEDIA_SCHEMA, decode_stats, media_filter_decisions, phash64,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+    assert phash64(C.encode_png(img)) == phash64(C.encode_ppm(img))
+
+    rows = [
+        ("png0", "image", bytearray(C.encode_png(img, filter_type="mixed")),
+         {"width": 64, "height": 48, "duration_ms": None, "codec": "png"}),
+        ("ppm0", "image", bytearray(C.encode_ppm(img)),
+         {"width": 64, "height": 48, "duration_ms": None, "codec": "ppm"}),
+        ("bad0", "image", bytearray(C.encode_png(img)[:40]),
+         {"width": None, "height": None, "duration_ms": None, "codec": "png"}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    stats = {r.media_id: r for r in decode_stats(media.filter("media_id != 'bad0'")).collect()}
+    assert stats["png0"].vsum == stats["ppm0"].vsum == int(img.sum(dtype=np.int64))
+    assert (stats["png0"].width, stats["png0"].height) == (64, 48)
+    dec = {r.media_id: r for r in media_filter_decisions(media, min_width=8, min_height=8).collect()}
+    assert dec["png0"].keep and dec["ppm0"].keep
+    assert not dec["bad0"].keep and dec["bad0"].reason == "undecodable"
