@@ -1730,6 +1730,19 @@ def q_media_decode_stats(spark, sf_dir):
     return decode_stats(synth_media_real(spark, 60))
 
 
+def q_media_png_stats(spark, sf_dir):
+    """REAL PNG decode (r5, `codecs.decode_png` — stdlib-zlib DEFLATE, all
+    five scanline filters, Adam7 interlace, CRC-verified chunks): 36
+    gradient images PNG-encoded with the filter type cycling 0-4+"mixed"
+    and interlace alternating off/Adam7, decoded pixel-by-pixel inside
+    mapInPandas, reduced to integer-exact statistics. The oracle replays
+    the gradient closed form — a decoder missing any filter path or the
+    interlace join produces wrong pixel sums and fails the value hash."""
+    from fel_spark.sources.multimodal import decode_stats, synth_media_png
+
+    return decode_stats(synth_media_png(spark, 36))
+
+
 def q_media_resize_pixsum(spark, sf_dir):
     """REAL image resize: decode P6 -> nearest-neighbour (floor sampling)
     to 8x6 -> re-encode P6 -> decode AGAIN -> pixel sum. The oracle replays
@@ -1993,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
+        "media_png_stats": q_media_png_stats,
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
         "media_filter": q_media_filter,
@@ -3519,6 +3533,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM img2
             UNION ALL SELECT * FROM aud
             UNION ALL SELECT * FROM vid2
+        """,
+        # media_png_stats: the PNG payloads carry the same closed-form
+        # gradient as the PPM rows of media_decode_stats (r=x, g=y,
+        # b=(i*7)%256) for EVERY i; Spark really DEFLATE-decodes and
+        # unfilters them (filters 0-4+mixed, Adam7 on odd i)
+        "media_png_stats": """
+            WITH idx AS (SELECT i FROM generate_series(0, 35) t(i)),
+            img AS (
+                SELECT i, 16 + (i % 8) * 8 AS w, 16 + (i % 5) * 8 AS h,
+                       (i * 7) % 256 AS b
+                FROM idx
+            )
+            SELECT printf('g%05d', i) AS media_id, 'image' AS kind,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS depth,
+                   CAST(w * h AS BIGINT) AS units,
+                   CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                        + w * h * b AS BIGINT) AS vsum
+            FROM img
         """,
         # media_neardup_md5: closed-form vsum fingerprints (the
         # media_decode_stats formulas + 3 byte-identical copies + the

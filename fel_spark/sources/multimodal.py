@@ -347,6 +347,37 @@ def synth_media_real(spark: SparkSession, n: int = 60) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_media_png(spark: SparkSession, n: int = 36) -> DataFrame:
+    """Deterministic REAL PNG media table: the same closed-form gradient
+    as `_synth_image_payload` (r=x, g=y, b=(i*7)%256), but DEFLATE-encoded
+    as PNG with the filter type cycling through 0-4 + per-row "mixed" and
+    interlace alternating off/Adam7 — so a header-only or partial decoder
+    (missing a filter path or the interlace join) cannot reproduce the
+    decode statistics."""
+    rows = []
+    filters = [0, 1, 2, 3, 4, "mixed"]
+    for i in range(n):
+        w = 16 + (i % 8) * 8
+        h = 16 + (i % 5) * 8
+        b = (i * 7) % 256
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+        img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+        img[:, :, 2] = b
+        payload = codecs.encode_png(
+            img, filter_type=filters[i % 6], interlace=bool(i % 2)
+        )
+        rows.append(
+            (
+                f"g{i:05d}",
+                "image",
+                bytearray(payload),
+                {"width": w, "height": h, "duration_ms": None, "codec": "png"},
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """REAL decode -> integer-exact per-row statistics (value-checkable).
 
