@@ -8,12 +8,15 @@ large-scale ingest pipeline meets as intermediate representations:
 - BMP (BITMAPINFOHEADER, BI_RGB uncompressed, 24/32 bpp) images
 - PNG (full decoder: DEFLATE via stdlib zlib, all 5 scanline filters,
   color types 0/2/3/4/6, bit depths 1-16, Adam7 interlace, CRC checks)
+- JPEG baseline (`sources/jpegcodec.py`: Huffman + DCT in pure
+  NumPy/stdlib — dispatched from decode_image/sniff_kind here)
 - WAV (RIFF PCM 8/16/24/32-bit and IEEE float32/64) audio
 - Y4M (YUV4MPEG2, C420/C422/C444 8-bit planar) video
 
 Codecs whose compression genuinely requires external libraries
-(jpeg/opus/av1/...) remain honestly stubbed in `sources/multimodal.py`;
-a deployment with PIL/ffmpeg plugs them in via `register_codec`.
+(opus/av1/vp9/h264...) remain honestly stubbed in
+`sources/multimodal.py`; a deployment with ffmpeg bindings plugs them
+in via `register_codec`.
 Everything here is stdlib `struct`/`zlib` + NumPy: byte-exact,
 deterministic, and safe inside Arrow-batched UDFs (no per-row Python in
 the Spark hot path; these run on whole payloads inside mapInPandas).
@@ -135,6 +138,8 @@ def sniff_kind(payload: bytes, extra=()) -> str | None:
     if payload[:2] == b"BM":
         return "image"
     if payload[:8] == _PNG_SIG:
+        return "image"
+    if payload[:3] == b"\xff\xd8\xff":
         return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio"
@@ -278,6 +283,10 @@ def decode_image(payload: bytes, extra=()) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from fel_spark.sources.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"undecodable image magic {payload[:2]!r}")
 
 

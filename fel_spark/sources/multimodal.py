@@ -8,8 +8,9 @@ Decode is REAL for every self-describing uncompressed format
 (`sources/codecs.py`: PPM/PGM, BMP BI_RGB, WAV PCM/float, Y4M) — pure
 NumPy, byte-exact, value-checked against closed-form SQL oracles — and
 for PNG (full stdlib-zlib decoder: all filters, color types, bit depths,
-Adam7; see `codecs.decode_png`). Codecs needing external libraries
-(jpeg/opus/av1) remain honestly stubbed: decode
+Adam7) and baseline JPEG (`sources/jpegcodec.py`: Huffman + DCT in pure
+NumPy). Codecs needing external libraries (opus/av1/vp9/h264) remain
+honestly stubbed: decode
 functions raise NotImplementedError for those unless `fake=True`, in which
 case a deterministic fake decoder (seeded from the payload hash) produces
 stable features so downstream plumbing stays exercisable for any codec.
@@ -81,8 +82,9 @@ def _real_feature(payload: bytes, dim: int, extra=()) -> np.ndarray:
     if kind is None:
         raise NotImplementedError(
             "payload is not a format the built-in codecs decode "
-            "(PPM/PGM/BMP/PNG/WAV/Y4M) and no registered codec matches "
-            "(codecs.register_codec plugs external-library decoders in)"
+            "(PPM/PGM/BMP/PNG/JPEG/WAV/Y4M) and no registered codec "
+            "matches (codecs.register_codec plugs external-library "
+            "decoders in)"
         )
     if kind == "image":
         img = codecs.decode_image(payload, extra)

@@ -194,21 +194,26 @@ def test_sniff_kind():
     assert C.sniff_kind(_make_bmp(_PIX)) == "image"
     assert C.sniff_kind(C.encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "audio"
     assert C.sniff_kind(C.encode_y4m(np.zeros((1, 2, 2), dtype=np.uint8))) == "video"
-    # PNG is decodable built-in as of r5 (stdlib zlib); JPEG is not
+    # PNG and baseline JPEG are decodable built-in as of r5; compressed
+    # audio/video (e.g. Ogg/Opus, Matroska) are not
     assert C.sniff_kind(b"\x89PNG\r\n\x1a\n") == "image"
-    assert C.sniff_kind(b"\xff\xd8\xff\xe0rest") is None
+    assert C.sniff_kind(b"\xff\xd8\xff\xe0rest") == "image"
+    assert C.sniff_kind(b"OggS\x00rest") is None
+    assert C.sniff_kind(b"\x1a\x45\xdf\xa3rest") is None
 
 
 def test_real_feature_compressed_codec_raises():
     from fel_spark.sources.multimodal import _real_feature
 
-    # JPEG genuinely needs an external library -> honest stub
+    # Ogg/Opus genuinely needs an external library -> honest stub
     with pytest.raises(NotImplementedError):
-        _real_feature(b"\xff\xd8\xff\xe0rest", 16)
-    # PNG with a valid signature but garbage chunks is a DECODE error
+        _real_feature(b"OggS\x00rest", 16)
+    # PNG/JPEG with a valid signature but garbage bytes is a DECODE error
     # (flows to the corrupt-audit path), not a missing-codec error
     with pytest.raises(ValueError):
         _real_feature(b"\x89PNG\r\n\x1a\nrest", 16)
+    with pytest.raises(ValueError):
+        _real_feature(b"\xff\xd8\xff\xe0rest", 16)
 
 
 def test_extract_features_real_path(spark):
