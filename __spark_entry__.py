@@ -1743,6 +1743,19 @@ def q_media_png_stats(spark, sf_dir):
     return decode_stats(synth_media_png(spark, 36))
 
 
+def q_media_jpeg_stats(spark, sf_dir):
+    """REAL baseline JPEG decode (r5, `sources/jpegcodec.py` — pure
+    NumPy/stdlib Huffman + DCT): 24 block-constant grayscale images on the
+    exact-recovery subspace (DC-only blocks under flat quantization
+    round-trip byte-exactly), every 3rd with restart markers. The oracle
+    replays the block-pattern closed form; a decoder that mishandles the
+    Huffman tables, DC DPCM chain, byte-unstuffing, restart resync, or the
+    IDCT produces wrong pixel sums and fails the value hash."""
+    from fel_spark.sources.multimodal import decode_stats, synth_media_jpeg
+
+    return decode_stats(synth_media_jpeg(spark, 24))
+
+
 def q_media_resize_pixsum(spark, sf_dir):
     """REAL image resize: decode P6 -> nearest-neighbour (floor sampling)
     to 8x6 -> re-encode P6 -> decode AGAIN -> pixel sum. The oracle replays
@@ -2007,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
         "media_png_stats": q_media_png_stats,
+        "media_jpeg_stats": q_media_jpeg_stats,
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
         "media_filter": q_media_filter,
@@ -3552,6 +3566,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
                         + w * h * b AS BIGINT) AS vsum
             FROM img
+        """,
+        # media_jpeg_stats: block-constant grayscale images are DC-only
+        # under the DCT, so flat-quant baseline JPEG recovers them
+        # EXACTLY; the oracle sums the block pattern analytically while
+        # Spark really Huffman-decodes + IDCTs the payloads
+        "media_jpeg_stats": """
+            WITH idx AS (SELECT i FROM generate_series(0, 23) t(i)),
+            dims AS (
+                SELECT i, 8 * (2 + (i % 5)) AS w, 8 * (2 + (i % 4)) AS h
+                FROM idx
+            ),
+            blocks AS (
+                SELECT d.i, d.w, d.h,
+                       SUM((11 * bx.v + 23 * by.v + 7 * d.i) % 256) AS bsum
+                FROM dims d,
+                     generate_series(0, 6) bx(v),
+                     generate_series(0, 5) by(v)
+                WHERE bx.v < d.w // 8 AND by.v < d.h // 8
+                GROUP BY d.i, d.w, d.h
+            )
+            SELECT printf('j%05d', i) AS media_id, 'image' AS kind,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(1 AS INT) AS depth,
+                   CAST(w * h AS BIGINT) AS units,
+                   CAST(64 * bsum AS BIGINT) AS vsum
+            FROM blocks
         """,
         # media_neardup_md5: closed-form vsum fingerprints (the
         # media_decode_stats formulas + 3 byte-identical copies + the

@@ -380,6 +380,38 @@ def synth_media_png(spark: SparkSession, n: int = 36) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_media_jpeg(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Deterministic REAL JPEG media table on the exact-recovery subspace:
+    grayscale images constant within each 8x8 block (value (11*bx + 23*by
+    + 7*i) % 256) are DC-only under the DCT, so flat-quant baseline JPEG
+    (`jpegcodec.encode_jpeg(quant='flat')`) round-trips them byte-exactly
+    — the decode statistics stay closed-form in (i, w, h) while the
+    payload still exercises Huffman tables, DC DPCM chaining across
+    blocks, bit-unstuffing, and (on every 3rd row) restart-marker resync.
+    """
+    from fel_spark.sources.jpegcodec import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w = 8 * (2 + (i % 5))
+        h = 8 * (2 + (i % 4))
+        by, bx = np.mgrid[0 : h // 8, 0 : w // 8]
+        vals = (11 * bx + 23 * by + 7 * i) % 256
+        img = np.repeat(np.repeat(vals.astype(np.uint8), 8, axis=0), 8, axis=1)
+        payload = encode_jpeg(
+            img, quant="flat", restart_interval=2 if i % 3 == 0 else 0
+        )
+        rows.append(
+            (
+                f"j{i:05d}",
+                "image",
+                bytearray(payload),
+                {"width": w, "height": h, "duration_ms": None, "codec": "jpeg"},
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """REAL decode -> integer-exact per-row statistics (value-checkable).
 
