@@ -11,6 +11,8 @@ large-scale ingest pipeline meets as intermediate representations:
 - JPEG baseline (`sources/jpegcodec.py`: Huffman + DCT in pure
   NumPy/stdlib — dispatched from decode_image/sniff_kind here)
 - WAV (RIFF PCM 8/16/24/32-bit and IEEE float32/64) audio
+- FLAC (`sources/flaccodec.py`: lossless Rice + fixed/LPC predictors,
+  pure integer — dispatched from decode_wav/sniff_kind here)
 - Y4M (YUV4MPEG2, C420/C422/C444 8-bit planar) video
 
 Codecs whose compression genuinely requires external libraries
@@ -142,6 +144,8 @@ def sniff_kind(payload: bytes, extra=()) -> str | None:
     if payload[:3] == b"\xff\xd8\xff":
         return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio"
+    if payload[:4] == b"fLaC":
         return "audio"
     if payload[:9] == b"YUV4MPEG2":
         return "video"
@@ -304,6 +308,13 @@ def decode_wav(payload: bytes, extra=()) -> tuple[np.ndarray, int]:
     m = _extra_match(payload, extra)
     if m is not None and m[0] == "audio":
         return m[1](payload)
+    if payload[:4] == b"fLaC":
+        from fel_spark.sources.flaccodec import decode_flac, flac_info
+
+        pcm, sr = decode_flac(payload)
+        _sr, _nch, bps, _total = flac_info(payload)
+        # normalize like the PCM paths below: int at bps -> [-1, 1] float
+        return (pcm.astype(np.float32) / float(1 << (bps - 1)), sr)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
