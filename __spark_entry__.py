@@ -1756,6 +1756,18 @@ def q_media_jpeg_stats(spark, sf_dir):
     return decode_stats(synth_media_jpeg(spark, 24))
 
 
+def q_media_flac_stats(spark, sf_dir):
+    """REAL FLAC decode (r5, `sources/flaccodec.py` — lossless Rice +
+    fixed predictors, pure integer): 20 square waves FLAC-encoded, really
+    entropy-decoded + predictor-reconstructed on the Spark side. Because
+    FLAC is lossless the oracle reuses the WAV closed forms (|PCM| sums,
+    zero crossings) unchanged — any Rice/predictor/CRC bug changes the
+    sums and fails the value hash."""
+    from fel_spark.sources.multimodal import decode_stats, synth_media_flac
+
+    return decode_stats(synth_media_flac(spark, 20))
+
+
 def q_media_resize_pixsum(spark, sf_dir):
     """REAL image resize: decode P6 -> nearest-neighbour (floor sampling)
     to 8x6 -> re-encode P6 -> decode AGAIN -> pixel sum. The oracle replays
@@ -2021,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
+        "media_flac_stats": q_media_flac_stats,
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
         "media_filter": q_media_filter,
@@ -3592,6 +3605,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w * h AS BIGINT) AS units,
                    CAST(64 * bsum AS BIGINT) AS vsum
             FROM blocks
+        """,
+        # media_flac_stats: FLAC is lossless, so the square-wave closed
+        # forms from the WAV rows apply verbatim (vsum = n*amp, zero
+        # crossings = (n-1) // hp, sr, mono, n samples)
+        "media_flac_stats": """
+            SELECT printf('f%05d', i) AS media_id, 'audio' AS kind,
+                   CAST(8000 AS INT) AS width,
+                   CAST(799 // (2 + (i % 5)) AS INT) AS height,
+                   CAST(1 AS INT) AS depth,
+                   CAST(800 AS BIGINT) AS units,
+                   CAST(800 * (1000 + (i % 7) * 500) AS BIGINT) AS vsum
+            FROM generate_series(0, 19) t(i)
         """,
         # media_neardup_md5: closed-form vsum fingerprints (the
         # media_decode_stats formulas + 3 byte-identical copies + the

@@ -412,6 +412,38 @@ def synth_media_jpeg(spark: SparkSession, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_media_flac(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Deterministic REAL FLAC media table: the `_synth_audio_payload`
+    square waves (amplitude 1000 + (i%7)*500, half-period 2 + (i%5), 800
+    samples at 8 kHz) FLAC-encoded losslessly — decode statistics carry
+    the IDENTICAL closed forms as the WAV rows while the payload
+    exercises Rice coding, fixed predictors, and the CRC/MD5 chain."""
+    from fel_spark.sources.flaccodec import encode_flac
+
+    rows = []
+    sr, ns = 8000, 800
+    t = np.arange(ns)
+    for i in range(n):
+        amp = 1000 + (i % 7) * 500
+        hp = 2 + (i % 5)
+        wave = np.where((t // hp) % 2 == 0, amp, -amp).astype(np.int64)
+        payload = encode_flac(wave, sr, bps=16)
+        rows.append(
+            (
+                f"f{i:05d}",
+                "audio",
+                bytearray(payload),
+                {
+                    "width": None,
+                    "height": None,
+                    "duration_ms": ns * 1000 // sr,
+                    "codec": "flac",
+                },
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """REAL decode -> integer-exact per-row statistics (value-checkable).
 
