@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "bpe_tokenize_trained",
     "doc_tfidf_topk",
     "media_decode_stats",
+    "media_jpeg_stats",
     "conv_integrity",
     "doc_decontaminate",
     "doc_semantic_dedup",
@@ -68,7 +69,7 @@ BENCH_QUERIES = [
 # JSON so cross-scale comparisons can exclude them. corpus_prep_e2e is
 # listed because its MEDIA side is fixed-size (its text chain does scale
 # with sf_dir).
-FIXED_SIZE_QUERIES = ["media_decode_stats", "corpus_prep_e2e"]
+FIXED_SIZE_QUERIES = ["media_decode_stats", "media_jpeg_stats", "corpus_prep_e2e"]
 
 
 def _q_corpus_prep_e2e(spark, sf_dir):
@@ -84,16 +85,25 @@ def _q_corpus_prep_e2e(spark, sf_dir):
 
     from fel_spark.plans.corpus import run_corpus_prep
     from fel_spark.sources.multimodal import (
+        synth_media_flac,
+        synth_media_jpeg,
+        synth_media_png,
         synth_patterned_images,
         synth_patterned_videos,
         synth_toned_audio,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r5: the compressed-codec tables (really DEFLATE/Huffman/Rice
+    # decoded) ride the same media stage, so the e2e timing covers the
+    # PNG/JPEG/FLAC decode paths too
     media = (
         synth_patterned_images(spark, 24)
         .unionByName(synth_toned_audio(spark, 16))
         .unionByName(synth_patterned_videos(spark, 12))
+        .unionByName(synth_media_png(spark, 12))
+        .unionByName(synth_media_jpeg(spark, 12))
+        .unionByName(synth_media_flac(spark, 8))
     )
     run_dir = tempfile.mkdtemp(prefix="fel_bench_corpus_")
     atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
