@@ -10,6 +10,9 @@ large-scale ingest pipeline meets as intermediate representations:
   color types 0/2/3/4/6, bit depths 1-16, Adam7 interlace, CRC checks)
 - JPEG baseline (`sources/jpegcodec.py`: Huffman + DCT in pure
   NumPy/stdlib — dispatched from decode_image/sniff_kind here)
+- GIF 87a/89a (`sources/gifcodec.py`: full LZW, interlace, animation —
+  static GIFs dispatch as images, animated as video with exact Rec.601
+  luma)
 - WAV (RIFF PCM 8/16/24/32-bit and IEEE float32/64) audio
 - FLAC (`sources/flaccodec.py`: lossless Rice + fixed/LPC predictors,
   pure integer — dispatched from decode_wav/sniff_kind here)
@@ -143,6 +146,16 @@ def sniff_kind(payload: bytes, extra=()) -> str | None:
         return "image"
     if payload[:3] == b"\xff\xd8\xff":
         return "image"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # static GIF = image, animated GIF = video; the frame count comes
+        # from a cheap sub-block walk (no LZW decode). Corrupt containers
+        # classify as image and fail at decode (the filter's fenced path).
+        from fel_spark.sources.gifcodec import gif_frame_count
+
+        try:
+            return "video" if gif_frame_count(payload) > 1 else "image"
+        except ValueError:
+            return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio"
     if payload[:4] == b"fLaC":
@@ -291,6 +304,10 @@ def decode_image(payload: bytes, extra=()) -> np.ndarray:
         from fel_spark.sources.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from fel_spark.sources.gifcodec import decode_gif_image
+
+        return decode_gif_image(payload)
     raise ValueError(f"undecodable image magic {payload[:2]!r}")
 
 
@@ -410,6 +427,17 @@ def decode_y4m(payload: bytes, extra=()) -> tuple[np.ndarray, dict]:
     m = _extra_match(payload, extra)
     if m is not None and m[0] == "video":
         return m[1](payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from fel_spark.sources.gifcodec import decode_gif
+
+        frames, hdr = decode_gif(payload)
+        rgb = frames.astype(np.int64)
+        # integer-exact Rec.601 luma (SQL-replayable in oracles)
+        luma = (
+            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500)
+            // 1000
+        ).astype(np.uint8)
+        return luma, {"width": hdr["width"], "height": hdr["height"], "chroma": "gif"}
     nl = payload.find(b"\n")
     if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
