@@ -1768,6 +1768,19 @@ def q_media_flac_stats(spark, sf_dir):
     return decode_stats(synth_media_flac(spark, 20))
 
 
+def q_media_gif_stats(spark, sf_dir):
+    """REAL GIF decode (r5, `sources/gifcodec.py` — full LZW with variable
+    code widths + dictionary resets, interlace, animation): 24 payloads
+    with an identity grayscale palette — even rows static gradient images
+    (interlaced every 4th), odd rows animated solid-frame videos flowing
+    through the exact-Rec.601-luma video path. Both closed forms are
+    replayed analytically by the oracle; an LZW desync, a wrong interlace
+    join, or a bad frame composite changes the sums."""
+    from fel_spark.sources.multimodal import decode_stats, synth_media_gif
+
+    return decode_stats(synth_media_gif(spark, 24))
+
+
 def q_media_resize_pixsum(spark, sf_dir):
     """REAL image resize: decode P6 -> nearest-neighbour (floor sampling)
     to 8x6 -> re-encode P6 -> decode AGAIN -> pixel sum. The oracle replays
@@ -2034,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
+        "media_gif_stats": q_media_gif_stats,
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
         "media_filter": q_media_filter,
@@ -3617,6 +3631,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(800 AS BIGINT) AS units,
                    CAST(800 * (1000 + (i % 7) * 500) AS BIGINT) AS vsum
             FROM generate_series(0, 19) t(i)
+        """,
+        # media_gif_stats: identity grayscale palette makes decoded RGB =
+        # (v,v,v) for index v, so static images sum the gradient pattern
+        # x3 and animated videos reuse the solid-frame luma closed form
+        # (Rec.601 of (v,v,v) is exactly v)
+        "media_gif_stats": """
+            WITH idx AS (SELECT i FROM generate_series(0, 23) t(i)),
+            img AS (
+                SELECT i, 8 + (i % 5) * 8 AS w, 8 + (i % 4) * 8 AS h
+                FROM idx WHERE i % 2 = 0
+            ),
+            imgsum AS (
+                SELECT m.i, m.w, m.h,
+                       SUM((3 * x.v + 5 * y.v + 7 * m.i) % 256) AS isum
+                FROM img m,
+                     generate_series(0, 39) x(v),
+                     generate_series(0, 31) y(v)
+                WHERE x.v < m.w AND y.v < m.h
+                GROUP BY m.i, m.w, m.h
+            ),
+            img2 AS (
+                SELECT printf('s%05d', i) AS media_id, 'image' AS kind,
+                       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                       CAST(3 AS INT) AS depth,
+                       CAST(w * h AS BIGINT) AS units,
+                       CAST(3 * isum AS BIGINT) AS vsum
+                FROM imgsum
+            ),
+            vid AS (
+                SELECT i, 2 + (i % 3) AS nf FROM idx WHERE i % 2 = 1
+            ),
+            vidsum AS (
+                SELECT v.i, v.nf,
+                       SUM(16 + ((v.i * 13 + k.v * 29) % 220)) AS fsum
+                FROM vid v, generate_series(0, 4) k(v)
+                WHERE k.v < v.nf
+                GROUP BY v.i, v.nf
+            ),
+            vid2 AS (
+                SELECT printf('a%05d', i) AS media_id, 'video' AS kind,
+                       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                       CAST(nf AS INT) AS depth,
+                       CAST(256 * nf AS BIGINT) AS units,
+                       CAST(256 * fsum AS BIGINT) AS vsum
+                FROM vidsum
+            )
+            SELECT * FROM img2 UNION ALL SELECT * FROM vid2
         """,
         # media_neardup_md5: closed-form vsum fingerprints (the
         # media_decode_stats formulas + 3 byte-identical copies + the

@@ -444,6 +444,59 @@ def synth_media_flac(spark: SparkSession, n: int = 20) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_media_gif(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Deterministic REAL GIF media table with an identity grayscale
+    palette (index v -> RGB (v,v,v), so decoded sums are closed-form in
+    the index pattern and Rec.601 luma equals the index exactly):
+
+    - even i -> STATIC image `s####`: index (3x + 5y + 7i) % 256 over a
+      w x h grid (w = 8 + (i%5)*8, h = 8 + (i%4)*8), interlaced when
+      i % 4 == 0; decode_stats vsum = 3 * sum of indices (RGB replicate)
+    - odd i  -> ANIMATED video `a####`: nf = 2 + (i%3) solid frames of
+      luma 16 + ((i*13 + k*29) % 220) at 16x16 (the Y4M pattern), so
+      vsum = 256 * sum of frame values
+
+    Real LZW decode on the Spark side; the SQL oracle replays both closed
+    forms analytically."""
+    from fel_spark.sources.gifcodec import encode_gif
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w = 8 + (i % 5) * 8
+            h = 8 + (i % 4) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((3 * xx + 5 * yy + 7 * i) % 256).astype(np.uint8)
+            payload = encode_gif(idx, pal, interlace=(i % 4 == 0))
+            rows.append(
+                (
+                    f"s{i:05d}",
+                    "image",
+                    bytearray(payload),
+                    {"width": w, "height": h, "duration_ms": None, "codec": "gif"},
+                )
+            )
+        else:
+            nf = 2 + (i % 3)
+            frames = np.stack(
+                [
+                    np.full((16, 16), 16 + ((i * 13 + k * 29) % 220), dtype=np.uint8)
+                    for k in range(nf)
+                ]
+            )
+            payload = encode_gif(frames, pal)
+            rows.append(
+                (
+                    f"a{i:05d}",
+                    "video",
+                    bytearray(payload),
+                    {"width": 16, "height": 16, "duration_ms": nf * 40, "codec": "gif"},
+                )
+            )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """REAL decode -> integer-exact per-row statistics (value-checkable).
 
