@@ -1730,6 +1730,37 @@ def q_media_decode_stats(spark, sf_dir):
     return decode_stats(synth_media_real(spark, 60))
 
 
+def q_warc_extract(spark, sf_dir):
+    """REAL WARC ingest (r5, `sources/warc.py` — the crawl-archive format
+    an LLM-data pipeline meets first): 4 synthetic WARC segments with
+    per-record gzip members (the Common Crawl layout) are parsed by the
+    same mapInPandas path `read_warc` uses on files (gzip member walk,
+    WARC header framing, HTTP response split), then `warc_documents`
+    extracts visible text via the stdlib html.parser chain (script/head
+    dropped, blocks -> newlines, entities unescaped, whitespace
+    collapsed). The oracle rebuilds every page's EXACT extracted string
+    analytically (printf + ordered string_agg), so a framing bug, a
+    dropped-tag leak, or a whitespace-collapse difference fails the
+    value hash."""
+    from fel_spark.sources.warc import (
+        read_warc_bytes,
+        synth_warc_bytes_range,
+        warc_documents,
+    )
+
+    files = spark.createDataFrame(
+        [(bytearray(synth_warc_bytes_range(f * 5, 5)),) for f in range(4)],
+        "content binary",
+    )
+    docs = warc_documents(read_warc_bytes(files))
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
 def q_media_png_stats(spark, sf_dir):
     """REAL PNG decode (r5, `codecs.decode_png` — stdlib-zlib DEFLATE, all
     five scanline filters, Adam7 interlace, CRC-verified chunks): 36
@@ -2044,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
+        "warc_extract": q_warc_extract,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3574,6 +3606,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM img2
             UNION ALL SELECT * FROM aud
             UNION ALL SELECT * FROM vid2
+        """,
+        # warc_extract: rebuild each synthetic page's exact extracted
+        # text — 'heading i\n' + the ordered word list + ' & tail' (the
+        # html.parser chain drops <head>/<script>, emits newlines at
+        # blocks, unescapes &amp;, collapses whitespace)
+        "warc_extract": """
+            WITH idx AS (SELECT i FROM generate_series(0, 19) t(i)),
+            words AS (
+                SELECT m.i,
+                       string_agg(printf('w%d_%d', m.i, j.v), ' ' ORDER BY j.v)
+                           AS body
+                FROM idx m, generate_series(0, 11) j(v)
+                WHERE j.v < 5 + (m.i % 7)
+                GROUP BY m.i
+            )
+            SELECT printf('https://site%d.example/p/%d', i % 4, i) AS doc_id,
+                   printf('site%d.example', i % 4) AS source,
+                   printf('heading %d', i) || chr(10) || body || ' & tail'
+                       AS text,
+                   CAST(length(printf('heading %d', i) || chr(10) || body
+                        || ' & tail') AS INT) AS n_chars
+            FROM words
         """,
         # media_png_stats: the PNG payloads carry the same closed-form
         # gradient as the PPM rows of media_decode_stats (r=x, g=y,

@@ -1,0 +1,388 @@
+"""WARC web-archive reader + HTML text extraction — the ingest front-end
+of a web-scale LLM-data pipeline, pure stdlib (gzip via zlib, html.parser).
+
+Web crawls (Common Crawl and friends) ship as WARC/1.x files whose
+records are INDIVIDUALLY gzip-compressed and concatenated — a layout
+chosen so readers can stream member-by-member. This module implements:
+
+- `parse_warc_records(raw)` — record iterator over plain or per-record-
+  gzip WARC bytes (multi-member zlib.decompressobj loop; tolerates both
+  CRLF and LF header framing, Content-Length framed bodies, HTTP
+  response payload split)
+- `read_warc(spark, path)` — binaryFile source -> one mapInPandas parse,
+  yielding (warc_type, url, date, http_status, content_type, payload).
+  Parallelism is per FILE, which is the native grain of a crawl: a dump
+  is tens of thousands of ~1 GB segment files, far more than executor
+  slots at any cluster size, so no intra-file split is needed (an offset
+  index would enable one; documented, not implemented)
+- `html_to_text(html)` — stdlib html.parser extraction: script/style/
+  template dropped, block elements emit newlines, entities unescaped,
+  whitespace collapsed. Deterministic, so SQL oracles can replay it
+- `warc_documents(records)` — response records -> the engine's documents
+  shape (doc_id, source, text), feeding the existing dedup / quality /
+  langid / packing chain end-to-end
+- `synth_warc(n)` / `synth_warc_bytes` — deterministic WARC generator
+  (closed-form page contents) for tests and the driver oracle
+
+Reference analogue: the reference ingests its corpora via hand-rolled
+readers over public dump formats (`ExtractWikipediaAnchorText.java`,
+WebscopeXmlReader) rather than frameworks; WARC is the same posture
+applied to the crawl-archive format its pipelines would meet first.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import zlib
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import numpy as np  # noqa: F401 (kept for parity with sibling sources)
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WARC_SCHEMA = (
+    "warc_type string, url string, date string, http_status int, "
+    "content_type string, payload binary"
+)
+
+
+# ---------------------------------------------------------------------------
+# gzip member streaming
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (the WARC layout) to one
+    buffer. Plain (non-gzip) input is returned unchanged."""
+    if raw[:2] != b"\x1f\x8b":
+        return raw
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(raw[pos:]))
+        out.append(d.flush())
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member in WARC")
+        pos += consumed
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# WARC record parse
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\n"):
+        line = line.strip(b"\r")
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+    return headers
+
+
+def parse_warc_records(raw: bytes) -> Iterator[dict]:
+    """Yield dicts: warc_type, url, date, content_type (WARC-level),
+    http_status, http_content_type, payload (HTTP body for responses,
+    raw block otherwise)."""
+    data = _gunzip_members(raw)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if data[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"bad WARC version line at offset {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        sep = 4
+        alt = data.find(b"\n\n", pos)
+        if hdr_end < 0 or (0 <= alt < hdr_end):
+            hdr_end, sep = alt, 2
+        if hdr_end < 0:
+            raise ValueError("truncated WARC record header")
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("WARC record missing Content-Length") from e
+        body_start = hdr_end + sep
+        body = data[body_start : body_start + length]
+        if len(body) != length:
+            raise ValueError("truncated WARC record body")
+        pos = body_start + length
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "content_type": headers.get("content-type", ""),
+            "http_status": None,
+            "http_content_type": None,
+            "payload": body,
+        }
+        if rec["warc_type"] == "response" and body[:5] == b"HTTP/":
+            he = body.find(b"\r\n\r\n")
+            hsep = 4
+            halt = body.find(b"\n\n")
+            if he < 0 or (0 <= halt < he):
+                he, hsep = halt, 2
+            if he >= 0:
+                status_line = body.split(b"\n", 1)[0].decode("latin-1", "replace")
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    rec["http_status"] = int(parts[1])
+                hh = _parse_headers(body[:he])
+                rec["http_content_type"] = hh.get("content-type")
+                rec["payload"] = body[he + hsep :]
+        yield rec
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text
+
+
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "table", "section", "article", "header", "footer", "blockquote",
+    "pre", "hr", "title",
+}
+_DROP_TAGS = {"script", "style", "template", "noscript", "head"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._drop = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop += 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS and self._drop:
+            self._drop -= 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if not self._drop:
+            self.parts.append(data)
+
+
+_WS = re.compile(r"[ \t\f\v]+")
+_NL = re.compile(r" ?\n[ \n]*")
+
+
+def html_to_text(markup: str) -> str:
+    """Visible text: drop script/style/head, newline at block boundaries,
+    entities unescaped (html.parser convert_charrefs), whitespace
+    collapsed (spaces within lines, single newline between blocks)."""
+    p = _TextExtractor()
+    try:
+        p.feed(markup)
+        p.close()
+    except Exception:  # html.parser is permissive; only pathological input
+        return ""
+    text = "".join(p.parts)
+    text = _WS.sub(" ", text)
+    text = _NL.sub("\n", text)
+    return text.strip()
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files -> records DataFrame. One task per file (binaryFile):
+    the natural crawl grain — dumps are tens of thousands of ~1 GB
+    segments, so file-level parallelism saturates any executor count
+    without intra-file splitting."""
+    return read_warc_bytes(spark.read.format("binaryFile").load(path))
+
+
+def read_warc_bytes(files: DataFrame) -> DataFrame:
+    """Parse a DataFrame bearing a binary `content` column of whole WARC
+    files (the binaryFile shape) into records — factored out so synthetic
+    in-memory WARC bytes exercise the identical parse path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "warc_type", "url", "date", "http_status", "content_type",
+                "payload",
+            )}
+            for content in pdf["content"]:
+                for rec in parse_warc_records(bytes(content)):
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["url"].append(rec["url"])
+                    rows["date"].append(rec["date"])
+                    rows["http_status"].append(rec["http_status"])
+                    rows["content_type"].append(
+                        rec["http_content_type"] or rec["content_type"]
+                    )
+                    rows["payload"].append(rec["payload"])
+            yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(gen, schema=WARC_SCHEMA)
+
+
+def warc_documents(records: DataFrame) -> DataFrame:
+    """HTML response records -> the engine's documents shape
+    (doc_id = target URI, source = host, text = extracted visible text).
+    Feeds the existing dedup/quality/langid/packing chain."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sources, texts = [], [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                ids.append(url)
+                m = re.match(r"[a-z+]+://([^/]+)", url or "")
+                sources.append(m.group(1) if m else "")
+                texts.append(
+                    html_to_text(bytes(payload).decode("utf-8", "replace"))
+                )
+            yield pd.DataFrame({"doc_id": ids, "source": sources, "text": texts})
+
+    html_responses = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    return html_responses.select("url", "payload").mapInPandas(
+        gen, schema="doc_id string, source string, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic synth (tests + driver oracle)
+
+
+def synth_page_html(i: int) -> str:
+    """Closed-form page: title 'page <i>', one script (must be dropped),
+    a heading, and a paragraph of 5 + (i % 7) body words 'w<i>_<j>'."""
+    nw = 5 + (i % 7)
+    words = " ".join(f"w{i}_{j}" for j in range(nw))
+    return (
+        "<html><head><title>page {i}</title>"
+        "<script>var junk_{i} = 'DO NOT EXTRACT';</script></head>"
+        "<body><h1>heading {i}</h1>\n<p>{words} &amp; tail</p>"
+        "</body></html>"
+    ).format(i=i, words=words)
+
+
+def synth_warc_bytes(n: int, gzip_records: bool = True) -> bytes:
+    """n HTTP-response records (plus one warcinfo record, which readers
+    must pass over) with closed-form HTML bodies; per-record gzip members
+    when gzip_records (the Common Crawl layout)."""
+
+    def record(headers: list[tuple[str, str]], body: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers
+        )
+        blk = (
+            head
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+        if gzip_records:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return co.compress(blk) + co.flush()
+        return blk
+
+    out = [
+        record(
+            [("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+            b"software: fel-spark-synth\r\n",
+        )
+    ]
+    for i in range(n):
+        page = synth_page_html(i).encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(page)}\r\n\r\n".encode()
+            + page
+        )
+        out.append(
+            record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Target-URI", f"https://site{i % 4}.example/p/{i}"),
+                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    return b"".join(out)
+
+
+def synth_warc(spark: SparkSession, tmp_dir: str, n: int = 20, files: int = 4,
+               gzip_records: bool = True) -> str:
+    """Write `files` WARC files of n records each (record i of file f has
+    global index f*n + i) under tmp_dir; returns the glob path."""
+    import os
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    for f in range(files):
+        body = synth_warc_bytes_range(f * n, n, gzip_records)
+        ext = ".warc.gz" if gzip_records else ".warc"
+        with open(os.path.join(tmp_dir, f"seg{f:03d}{ext}"), "wb") as fh:
+            fh.write(body)
+    return tmp_dir
+
+
+def synth_warc_bytes_range(start: int, n: int, gzip_records: bool = True) -> bytes:
+    """Like synth_warc_bytes but pages numbered start..start+n-1."""
+    full = synth_warc_bytes(0, gzip_records)  # warcinfo only
+    parts = [full]
+
+    def record(headers: list[tuple[str, str]], body: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers
+        )
+        blk = (
+            head
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+        if gzip_records:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return co.compress(blk) + co.flush()
+        return blk
+
+    for i in range(start, start + n):
+        page = synth_page_html(i).encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(page)}\r\n\r\n".encode()
+            + page
+        )
+        parts.append(
+            record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Target-URI", f"https://site{i % 4}.example/p/{i}"),
+                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    return b"".join(parts)

@@ -1,0 +1,118 @@
+"""WARC reader + HTML text extraction (sources/warc.py)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from fel_spark.sources.warc import (
+    html_to_text,
+    parse_warc_records,
+    read_warc,
+    read_warc_bytes,
+    synth_page_html,
+    synth_warc,
+    synth_warc_bytes,
+    synth_warc_bytes_range,
+    warc_documents,
+)
+
+
+def test_parse_plain_and_gzip_layouts_agree():
+    plain = list(parse_warc_records(synth_warc_bytes(7, gzip_records=False)))
+    gz = list(parse_warc_records(synth_warc_bytes(7, gzip_records=True)))
+    assert len(plain) == len(gz) == 8  # warcinfo + 7 responses
+    for a, b in zip(plain, gz):
+        assert a == b
+
+
+def test_parse_http_split_and_status():
+    recs = list(parse_warc_records(synth_warc_bytes(3)))
+    assert recs[0]["warc_type"] == "warcinfo"
+    for i, r in enumerate(recs[1:]):
+        assert r["http_status"] == 200
+        assert r["http_content_type"].startswith("text/html")
+        assert r["url"].endswith(f"/p/{i}")
+        assert r["payload"].startswith(b"<html>")  # HTTP headers stripped
+
+
+def test_parse_corruption_gates():
+    good = synth_warc_bytes(2, gzip_records=False)
+    with pytest.raises(ValueError):
+        list(parse_warc_records(good[: len(good) // 2]))  # truncated body
+    with pytest.raises(ValueError):
+        list(parse_warc_records(b"NOTWARC/1.0\r\n\r\n"))
+    gz = synth_warc_bytes(2, gzip_records=True)
+    with pytest.raises(ValueError):
+        list(parse_warc_records(gz[:-10]))  # truncated gzip member
+
+
+def test_html_to_text_rules():
+    assert html_to_text(
+        "<html><head><title>t</title><style>p{}</style></head>"
+        "<body><p>a  b</p><script>x&amp;y</script><p>c &amp; d</p></body>"
+    ) == "a b\nc & d"
+    # nested drops + blocks inside drops stay dropped
+    assert html_to_text("<script><p>no</p></script>yes") == "yes"
+    # pathological input returns something (never raises)
+    assert isinstance(html_to_text("<<<>>&#x;<p"), str)
+
+
+def test_synth_closed_form():
+    for i in (0, 3, 6, 11):
+        nw = 5 + (i % 7)
+        exp = (
+            f"heading {i}\n"
+            + " ".join(f"w{i}_{j}" for j in range(nw))
+            + " & tail"
+        )
+        assert html_to_text(synth_page_html(i)) == exp
+
+
+def test_read_warc_files_and_documents(spark, tmp_path):
+    path = synth_warc(spark, str(tmp_path / "warc"), n=5, files=3)
+    recs = read_warc(spark, path + "/*.warc.gz")
+    assert recs.count() == 3 * 6  # warcinfo + 5 responses per file
+    docs = warc_documents(recs)
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert len(rows) == 15
+    r7 = rows["https://site3.example/p/7"]
+    assert r7.source == "site3.example"
+    assert r7.text.startswith("heading 7\nw7_0 ")
+    assert r7.text.endswith("& tail")
+
+
+def test_read_warc_bytes_matches_file_path(spark, tmp_path):
+    # the in-memory parse path (used by the driver oracle query) must
+    # agree with the binaryFile path record-for-record
+    path = synth_warc(spark, str(tmp_path / "warc2"), n=4, files=2)
+    via_files = {
+        (r.url, bytes(r.payload))
+        for r in read_warc(spark, path + "/*.warc.gz").collect()
+    }
+    mem = spark.createDataFrame(
+        [(bytearray(synth_warc_bytes_range(f * 4, 4)),) for f in range(2)],
+        "content binary",
+    )
+    via_bytes = {
+        (r.url, bytes(r.payload)) for r in read_warc_bytes(mem).collect()
+    }
+    assert via_files == via_bytes
+
+
+def test_warc_documents_feed_corpus_operators(spark):
+    # the extracted documents flow straight into the existing text stack
+    from fel_spark.operators.dedup import exact_dedup
+
+    mem = spark.createDataFrame(
+        [(bytearray(synth_warc_bytes_range(0, 6)),),
+         (bytearray(synth_warc_bytes_range(0, 6)),)],  # duplicate segment
+        "content binary",
+    )
+    docs = warc_documents(read_warc_bytes(mem))
+    assert docs.count() == 12
+    mapping = exact_dedup(docs, text_col="text", id_col="doc_id")
+    # byte-identical page bodies collapse to 6 canonical docs
+    assert mapping.select("canonical_id").distinct().count() == 6
+    assert mapping.filter("dup_count = 2").count() == 12
