@@ -1761,6 +1761,33 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+def q_warc_main_extract(spark, sf_dir):
+    """Boilerplate removal (r5, `warc.html_main_content` — justext-style
+    block scoring: drop blocks under 25 visible chars or with >40% of
+    their characters inside <a>): the same synthetic crawl pages as
+    warc_extract, but the nav bar, heading, and footer blocks are
+    stripped, leaving exactly the main paragraph. The oracle rebuilds the
+    surviving string; a scorer that keeps any boilerplate block or drops
+    the main paragraph fails the value hash."""
+    from fel_spark.sources.warc import (
+        read_warc_bytes,
+        synth_warc_bytes_range,
+        warc_documents,
+    )
+
+    files = spark.createDataFrame(
+        [(bytearray(synth_warc_bytes_range(f * 5, 5)),) for f in range(4)],
+        "content binary",
+    )
+    docs = warc_documents(read_warc_bytes(files), main_content=True)
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
 def q_media_png_stats(spark, sf_dir):
     """REAL PNG decode (r5, `codecs.decode_png` — stdlib-zlib DEFLATE, all
     five scanline filters, Adam7 interlace, CRC-verified chunks): 36
@@ -2076,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_embeddings": q_entity_embeddings,
         "media_features": q_media_features,
         "warc_extract": q_warc_extract,
+        "warc_main_extract": q_warc_main_extract,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3620,13 +3648,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM idx m, generate_series(0, 11) j(v)
                 WHERE j.v < 5 + (m.i % 7)
                 GROUP BY m.i
+            ),
+            pages AS (
+                SELECT i,
+                       'home about' || chr(10)
+                       || printf('heading %d', i) || chr(10)
+                       || body || ' & tail' || chr(10)
+                       || printf('footer %d', i) AS text
+                FROM words
             )
             SELECT printf('https://site%d.example/p/%d', i % 4, i) AS doc_id,
                    printf('site%d.example', i % 4) AS source,
-                   printf('heading %d', i) || chr(10) || body || ' & tail'
-                       AS text,
-                   CAST(length(printf('heading %d', i) || chr(10) || body
-                        || ' & tail') AS INT) AS n_chars
+                   text,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM pages
+        """,
+        # warc_main_extract: same pages through the justext-style block
+        # scorer — the nav bar (link density 1 on its visible chars) and
+        # the short heading/footer blocks are dropped; only the >=31-char
+        # main paragraph survives
+        "warc_main_extract": """
+            WITH idx AS (SELECT i FROM generate_series(0, 19) t(i)),
+            words AS (
+                SELECT m.i,
+                       string_agg(printf('w%d_%d', m.i, j.v), ' ' ORDER BY j.v)
+                           AS body
+                FROM idx m, generate_series(0, 11) j(v)
+                WHERE j.v < 5 + (m.i % 7)
+                GROUP BY m.i
+            )
+            SELECT printf('https://site%d.example/p/%d', i % 4, i) AS doc_id,
+                   printf('site%d.example', i % 4) AS source,
+                   body || ' & tail' AS text,
+                   CAST(length(body || ' & tail') AS INT) AS n_chars
             FROM words
         """,
         # media_png_stats: the PNG payloads carry the same closed-form

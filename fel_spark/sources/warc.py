@@ -203,6 +203,82 @@ def html_to_text(markup: str) -> str:
     return text.strip()
 
 
+class _BlockExtractor(HTMLParser):
+    """Per-block text + link-character accounting for boilerplate scoring
+    (justext-style): a block is the text run between block-tag boundaries;
+    characters inside <a> count toward its link density."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []  # (text, link_chars)
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._drop = 0
+        self._a_depth = 0
+
+    def _flush(self) -> None:
+        text = _WS.sub(" ", "".join(self._buf)).strip()
+        if text:
+            self.blocks.append((text, self._link_chars))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._a_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS and self._drop:
+            self._drop -= 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a" and self._a_depth:
+            self._a_depth -= 1
+
+    def handle_data(self, data):
+        if self._drop:
+            return
+        self._buf.append(data)
+        if self._a_depth:
+            # raw-char approximation of anchor mass; the density test is
+            # a ratio, so pre- vs post-collapse counting only matters for
+            # blocks sitting exactly at the threshold
+            self._link_chars += len(data)
+
+
+def html_main_content(
+    markup: str, min_len: int = 25, max_link_density: float = 0.4
+) -> str:
+    """Boilerplate-stripped main content (justext-style block scoring).
+
+    Blocks (text runs between block-tag boundaries, script/style/head
+    dropped) are KEPT when they are at least ``min_len`` characters after
+    whitespace collapse AND at most ``max_link_density`` of those
+    characters sit inside <a> tags — navigation bars, related-link boxes
+    and short footers fail one of the two. Kept blocks join with
+    newlines. Deterministic, so oracles can replay it on closed-form
+    pages."""
+    p = _BlockExtractor()
+    try:
+        p.feed(markup)
+        p.close()
+        p._flush()
+    except Exception:
+        return ""
+    kept = []
+    for text, link_chars in p.blocks:
+        if len(text) < min_len:
+            continue
+        if link_chars > max_link_density * len(text):
+            continue
+        kept.append(text)
+    return "\n".join(kept)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 
@@ -241,10 +317,13 @@ def read_warc_bytes(files: DataFrame) -> DataFrame:
     return files.select("content").mapInPandas(gen, schema=WARC_SCHEMA)
 
 
-def warc_documents(records: DataFrame) -> DataFrame:
+def warc_documents(records: DataFrame, main_content: bool = False) -> DataFrame:
     """HTML response records -> the engine's documents shape
-    (doc_id = target URI, source = host, text = extracted visible text).
-    Feeds the existing dedup/quality/langid/packing chain."""
+    (doc_id = target URI, source = host, text = extracted visible text;
+    ``main_content=True`` additionally strips boilerplate via the
+    justext-style block scorer). Feeds the existing dedup/quality/langid/
+    packing chain."""
+    extract = html_main_content if main_content else html_to_text
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,7 +333,7 @@ def warc_documents(records: DataFrame) -> DataFrame:
                 m = re.match(r"[a-z+]+://([^/]+)", url or "")
                 sources.append(m.group(1) if m else "")
                 texts.append(
-                    html_to_text(bytes(payload).decode("utf-8", "replace"))
+                    extract(bytes(payload).decode("utf-8", "replace"))
                 )
             yield pd.DataFrame({"doc_id": ids, "source": sources, "text": texts})
 
@@ -273,15 +352,20 @@ def warc_documents(records: DataFrame) -> DataFrame:
 
 
 def synth_page_html(i: int) -> str:
-    """Closed-form page: title 'page <i>', one script (must be dropped),
-    a heading, and a paragraph of 5 + (i % 7) body words 'w<i>_<j>'."""
+    """Closed-form page with realistic boilerplate: a head script (must
+    be dropped by BOTH extractors), a nav bar of links and a short footer
+    (visible to `html_to_text`, dropped by `html_main_content` — the nav
+    fails link density, 'heading'/'footer' fail min length), and a main
+    paragraph of 5 + (i % 7) body words 'w<i>_<j>' (always >= 31 chars,
+    kept by both)."""
     nw = 5 + (i % 7)
     words = " ".join(f"w{i}_{j}" for j in range(nw))
     return (
         "<html><head><title>page {i}</title>"
         "<script>var junk_{i} = 'DO NOT EXTRACT';</script></head>"
-        "<body><h1>heading {i}</h1>\n<p>{words} &amp; tail</p>"
-        "</body></html>"
+        '<body><div><a href="/">home</a> <a href="/about">about</a></div>'
+        "<h1>heading {i}</h1>\n<p>{words} &amp; tail</p>"
+        "<div>footer {i}</div></body></html>"
     ).format(i=i, words=words)
 
 

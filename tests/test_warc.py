@@ -60,14 +60,32 @@ def test_html_to_text_rules():
 
 
 def test_synth_closed_form():
+    from fel_spark.sources.warc import html_main_content
+
     for i in (0, 3, 6, 11):
         nw = 5 + (i % 7)
-        exp = (
-            f"heading {i}\n"
-            + " ".join(f"w{i}_{j}" for j in range(nw))
-            + " & tail"
-        )
-        assert html_to_text(synth_page_html(i)) == exp
+        body = " ".join(f"w{i}_{j}" for j in range(nw)) + " & tail"
+        exp_full = f"home about\nheading {i}\n{body}\nfooter {i}"
+        assert html_to_text(synth_page_html(i)) == exp_full
+        # boilerplate scorer keeps exactly the main paragraph
+        assert html_main_content(synth_page_html(i)) == body
+
+
+def test_html_main_content_rules():
+    from fel_spark.sources.warc import html_main_content
+
+    page = (
+        "<body>"
+        '<div><a href="/">Home</a> | <a href="/b">About this site</a></div>'
+        "<p>This paragraph is long enough to keep and contains no anchors.</p>"
+        '<p>Mostly <a href="/x">a very long anchor text that dominates</a> y.</p>'
+        "<p>tiny</p>"
+        "</body>"
+    )
+    out = html_main_content(page)
+    assert out == "This paragraph is long enough to keep and contains no anchors."
+    # threshold knobs work
+    assert "tiny" in html_main_content(page, min_len=1, max_link_density=1.0)
 
 
 def test_read_warc_files_and_documents(spark, tmp_path):
@@ -79,8 +97,14 @@ def test_read_warc_files_and_documents(spark, tmp_path):
     assert len(rows) == 15
     r7 = rows["https://site3.example/p/7"]
     assert r7.source == "site3.example"
-    assert r7.text.startswith("heading 7\nw7_0 ")
-    assert r7.text.endswith("& tail")
+    assert r7.text.startswith("home about\nheading 7\nw7_0 ")
+    assert r7.text.endswith("footer 7")
+    main = {
+        r.doc_id: r
+        for r in warc_documents(recs, main_content=True).collect()
+    }
+    assert main["https://site3.example/p/7"].text.startswith("w7_0 ")
+    assert main["https://site3.example/p/7"].text.endswith("& tail")
 
 
 def test_read_warc_bytes_matches_file_path(spark, tmp_path):
