@@ -2000,8 +2000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     As of r5 every prefix entry has a SQL oracle (no rows-only/no_oracle
     rows inside the cap). Entries after #50 are variants of
     already-covered families (heuristic twins, rows-only scale paths,
-    md5 sub-chains, the non-ANSI-expressible entity_embeddings GD) — all
-    still checked via scripts/check_oracle.py and pytest."""
+    md5 sub-chains, the non-ANSI-expressible entity_embeddings GD) plus
+    the late-r5 oracled additions (WARC ingest + boilerplate removal,
+    and the real PNG/JPEG/FLAC/GIF codec queries) — all still
+    value-checked via scripts/check_oracle.py and pytest."""
     return {
         # --- relational core (P1/P2, A1-A8, J1-J5, semi) ---
         "filter_project": q_filter_project,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "doc_tfidf_topk",
     "media_decode_stats",
     "media_jpeg_stats",
+    "warc_extract",
     "conv_integrity",
     "doc_decontaminate",
     "doc_semantic_dedup",
@@ -69,7 +70,12 @@ BENCH_QUERIES = [
 # JSON so cross-scale comparisons can exclude them. corpus_prep_e2e is
 # listed because its MEDIA side is fixed-size (its text chain does scale
 # with sf_dir).
-FIXED_SIZE_QUERIES = ["media_decode_stats", "media_jpeg_stats", "corpus_prep_e2e"]
+FIXED_SIZE_QUERIES = [
+    "media_decode_stats",
+    "media_jpeg_stats",
+    "warc_extract",
+    "corpus_prep_e2e",
+]
 
 
 def _q_corpus_prep_e2e(spark, sf_dir):
