@@ -1761,6 +1761,40 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+_PII_VALID_CCS = [
+    "4111111111111111",
+    "4532015112830366",
+    "378282246310005",
+    "6011111111111117",
+]  # Luhn-valid test numbers; bumping the last digit breaks the checksum
+
+
+def q_doc_pii_extended(spark, sf_dir):
+    """Extended PII scrub (r5, `textstats.scrub_pii_extended`): emails,
+    IPv4 literals, and LUHN-VALIDATED card redaction — the checksum runs
+    as pure column expressions (sequence/transform/aggregate inside
+    codegen, no UDF) and the per-match replace is an aggregate fold over
+    the valid-candidate list. 30 pinned rows each carry one valid card
+    and one checksum-broken twin; the oracle's closed form keeps the twin
+    and redacts the card, so a scrubber that redacts every digit run (no
+    checksum) or none fails the value hash."""
+    from fel_spark.operators.textstats import scrub_pii_extended
+
+    rows = []
+    for i in range(30):
+        valid = _PII_VALID_CCS[i % 4]
+        broken = valid[:-1] + str((int(valid[-1]) + 1) % 10)
+        rows.append(
+            (
+                f"d{i:03d}",
+                f"user{i} mail u{i}@ex.com ip 10.{i}.0.{i % 256} "
+                f"pay {valid} ref {broken} end",
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return df.select("doc_id", scrub_pii_extended("text").alias("scrubbed"))
+
+
 def q_warc_main_extract(spark, sf_dir):
     """Boilerplate removal (r5, `warc.html_main_content` — justext-style
     block scoring: drop blocks under 25 visible chars or with >40% of
@@ -2106,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "warc_extract": q_warc_extract,
         "warc_main_extract": q_warc_main_extract,
+        "doc_pii_extended": q_doc_pii_extended,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3684,6 +3719,29 @@ def oracle_sql() -> dict[str, str]:
                    body || ' & tail' AS text,
                    CAST(length(body || ' & tail') AS INT) AS n_chars
             FROM words
+        """,
+        # doc_pii_extended: pinned rows — the valid card (fixed Luhn test
+        # numbers by i%4) redacts, its last-digit-bumped twin (checksum
+        # provably broken by the +1) survives verbatim
+        "doc_pii_extended": """
+            WITH idx AS (SELECT i FROM generate_series(0, 29) t(i)),
+            cards AS (
+                SELECT i,
+                       CASE i % 4
+                           WHEN 0 THEN '4111111111111111'
+                           WHEN 1 THEN '4532015112830366'
+                           WHEN 2 THEN '378282246310005'
+                           ELSE '6011111111111117'
+                       END AS valid
+                FROM idx
+            )
+            SELECT printf('d%03d', i) AS doc_id,
+                   printf('user%d mail <EMAIL> ip <IP> pay <CC> ref %s end',
+                          i,
+                          substr(valid, 1, length(valid) - 1)
+                          || CAST((CAST(substr(valid, length(valid), 1) AS INT)
+                                   + 1) % 10 AS VARCHAR)) AS scrubbed
+            FROM cards
         """,
         # media_png_stats: the PNG payloads carry the same closed-form
         # gradient as the PPM rows of media_decode_stats (r=x, g=y,

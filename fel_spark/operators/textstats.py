@@ -291,6 +291,68 @@ def pii_counts(text_col: Column | str) -> tuple[Column, Column]:
     )
 
 
+PII_IPV4_RE = (
+    r"(?<![0-9]\.)\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b(?!\.[0-9])"
+)
+# card-number CANDIDATES: 13-16 digit runs; the Luhn checksum decides
+# which actually redact (an order id or timestamp fails the checksum)
+PII_CC_CANDIDATE_RE = r"\b[0-9]{13,16}\b"
+
+
+def luhn_valid(s: Column | str) -> Column:
+    """Luhn checksum over a digit string — PURE column expressions
+    (sequence + transform + aggregate run inside codegen; no UDF):
+    from the RIGHT, double every second digit, subtract 9 when the
+    double exceeds 9, and require the total to be divisible by 10."""
+    c = F.col(s) if isinstance(s, str) else s
+    rev = F.reverse(c)
+    digits = F.transform(
+        F.sequence(F.lit(1), F.length(rev)),
+        lambda p: rev.substr(p, F.lit(1)).cast("int"),
+    )
+    weighted = F.transform(
+        digits,
+        lambda d, i: F.when(
+            i % 2 == 1, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        ).otherwise(d),
+    )
+    total = F.aggregate(weighted, F.lit(0), lambda a, x: a + x)
+    return (total % 10 == 0) & (F.length(c) >= 13)
+
+
+def scrub_pii_extended(text_col: Column | str) -> Column:
+    """Emails, phones, IPv4 literals, and LUHN-VALID card numbers ->
+    <EMAIL>/<PHONE>/<IP>/<CC>. 13-16 digit runs that fail the checksum
+    (~90% of arbitrary numbers — order ids, most timestamps) are left
+    intact: the checksum gate keeps recall-oriented scrubbing from
+    destroying ordinary numeric text. The IPv4 lookarounds (Java regex;
+    the simpler RE2-safe patterns above stay for the SQL-auditable
+    scrub) stop partial matches inside longer dotted runs.
+
+    All JVM-side: the per-match validity decision Spark's regexp_replace
+    cannot express is an `aggregate` over the Luhn-filtered candidate
+    list with the text as accumulator — one bounded fold per row, no
+    Python in the hot path."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    valid_ccs = F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(out, F.lit(PII_CC_CANDIDATE_RE), 0),
+            lambda m: luhn_valid(m),
+        )
+    )
+    return F.aggregate(
+        valid_ccs,
+        out,
+        lambda acc, num: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), num, F.lit(r"\b")), "<CC>"
+        ),
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Deterministic 128-bit content fingerprint of normalized text."""
     return F.md5(normalize_fast(text_col))

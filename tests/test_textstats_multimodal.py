@@ -247,3 +247,57 @@ def test_rolling_fingerprints_tokens_column(spark):
     a = {r["doc_id"]: r["fps"] for r in via_col.collect()}
     b = {r["doc_id"]: r["fps"] for r in via_text.collect()}
     assert a == b and len(a[1]) == 2 and a[2] == [] and a[3] == []
+
+
+# ---------------------------------------------------------------------------
+# extended PII scrub (r5): Luhn-gated card redaction, IPv4 lookarounds
+
+
+def test_luhn_valid_column_matches_reference(spark):
+    import random
+
+    from fel_spark.operators.textstats import luhn_valid
+
+    def ref(s):
+        d = [int(x) for x in s][::-1]
+        t = sum(d[0::2]) + sum((2 * x - 9) if 2 * x > 9 else 2 * x for x in d[1::2])
+        return t % 10 == 0
+
+    rng = random.Random(7)
+    nums = ["4111111111111111", "4111111111111112", "378282246310005"]
+    nums += ["".join(rng.choice("0123456789") for _ in range(rng.randint(13, 16)))
+             for _ in range(60)]
+    df = spark.createDataFrame([(n,) for n in nums], "n string")
+    got = {r.n: r.ok for r in df.select("n", luhn_valid("n").alias("ok")).collect()}
+    for n in nums:
+        assert got[n] == ref(n), n
+
+
+def test_scrub_pii_extended_rules(spark):
+    from fel_spark.operators.textstats import scrub_pii_extended
+
+    rows = [
+        ("a", "pay 4111111111111111 or 4532015112830366 now"),
+        ("b", "order 4111111111111112 is not a card"),
+        ("c", "host 10.0.0.1 edge 255.255.255.255 non-ip 999.1.1.1 run 1.2.3.4.5"),
+        ("d", "mail bob@x.io card 378282246310005 ip 8.8.8.8"),
+        ("e", "plain 1234 text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r.s for r in
+           df.select("doc_id", scrub_pii_extended("text").alias("s")).collect()}
+    assert out["a"] == "pay <CC> or <CC> now"
+    assert out["b"] == "order 4111111111111112 is not a card"  # checksum fails
+    # lookarounds: 999.x never matches; the 5-octet run is left whole
+    assert out["c"] == "host <IP> edge <IP> non-ip 999.1.1.1 run 1.2.3.4.5"
+    assert out["d"] == "mail <EMAIL> card <CC> ip <IP>"
+    assert out["e"] == "plain 1234 text"
+
+
+def test_scrub_pii_extended_plan_is_udf_free(spark):
+    from fel_spark.operators.textstats import scrub_pii_extended
+
+    df = spark.createDataFrame([("x", "t 4111111111111111")],
+                               "doc_id string, text string")
+    plan = df.select(scrub_pii_extended("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
