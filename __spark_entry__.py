@@ -1795,6 +1795,39 @@ def q_doc_pii_extended(spark, sf_dir):
     return df.select("doc_id", scrub_pii_extended("text").alias("scrubbed"))
 
 
+_URL_CANON_CASES = [
+    ("HTTP://Example.COM:80/a/b?utm_source=x&z=1&a=2#frag",
+     "http://example.com/a/b?a=2&z=1"),
+    ("https://Site.io:443/", "https://site.io/"),
+    ("https://site.io:8443/p?b=2&fbclid=abc&a=1", "https://site.io:8443/p?a=1&b=2"),
+    ("https://site.io", "https://site.io/"),
+    ("http://h/p?utm_campaign=1&utm_medium=2", "http://h/p"),
+    ("ftp://Files.example/Path", "ftp://files.example/Path"),
+    ("not a url", "not a url"),
+    ("https://h/p?ref=tw&x=1&x=0", "https://h/p?x=0&x=1"),
+    ("https://A.b/C?gclid=1#x", "https://a.b/C"),
+    ("http://h:8080/?msclkid=9&k=v", "http://h:8080/?k=v"),
+    ("https://dup.example/page?utm_source=a", "https://dup.example/page"),
+    ("https://DUP.example:443/page#top", "https://dup.example/page"),
+]
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Crawl-dedup URL canonicalization (r5, `text.canonicalize_url` —
+    pure column expressions: fragment drop, scheme/host lowering, default
+    -port strip, tracking-param removal, param sort). Pinned hand-checked
+    pairs cover every rule; the last two inputs canonicalize to the SAME
+    key, which is the whole point — the oracle is the literal expected
+    table, so any rule regression flips the value hash."""
+    from fel_spark.functions.text import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(f"u{i:02d}", a) for i, (a, _e) in enumerate(_URL_CANON_CASES)],
+        "case_id string, url string",
+    )
+    return df.select("case_id", "url", canonicalize_url("url").alias("canon"))
+
+
 def q_warc_main_extract(spark, sf_dir):
     """Boilerplate removal (r5, `warc.html_main_content` — justext-style
     block scoring: drop blocks under 25 visible chars or with >40% of
@@ -2141,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "warc_main_extract": q_warc_main_extract,
         "doc_pii_extended": q_doc_pii_extended,
+        "url_canonicalize": q_url_canonicalize,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3720,6 +3754,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(body || ' & tail') AS INT) AS n_chars
             FROM words
         """,
+        # url_canonicalize: the literal hand-checked expected table,
+        # generated from the same _URL_CANON_CASES list (no transcription
+        # drift; none of the strings contain quotes)
+        "url_canonicalize": "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('u{i:02d}', '{a}', '{e}')"
+            for i, (a, e) in enumerate(_URL_CANON_CASES)
+        )
+        + ") t(case_id, url, canon)",
         # doc_pii_extended: pinned rows — the valid card (fixed Luhn test
         # numbers by i%4) redacts, its last-digit-bumped twin (checksum
         # provably broken by the +1) survives verbatim

@@ -186,6 +186,54 @@ def url_encode(col: Column | str) -> Column:
     return F.url_encode(F.col(col) if isinstance(col, str) else col)
 
 
+_TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Crawl-dedup URL canonicalization, pure column expressions:
+
+    - drop the fragment; lowercase scheme and host
+    - strip default ports (http:80, https:443); keep explicit others
+    - empty path -> '/'
+    - drop tracking params (utm_*, fbclid, gclid, msclkid, ref, ref_src),
+      sort the survivors so param order stops splitting duplicates
+
+    Scheme-less strings pass through trimmed (not URLs, nothing to do).
+    The canonical form is the dedup KEY for crawl pipelines — two fetches
+    of the same page via different tracking links must collide before
+    exact/near dedup ever sees the text."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port_part = (
+        F.when((scheme == "http") & (port == "80"), "")
+        .when((scheme == "https") & (port == "443"), "")
+        .when(port != "", F.concat(F.lit(":"), port))
+        .otherwise("")
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    q_part = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise("")
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return F.when(scheme == "", c).otherwise(canon)
+
+
 def char_bigrams(col: Column | str) -> Column:
     """Per-word adjacent character pairs, flattened over the string.
 

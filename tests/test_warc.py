@@ -140,3 +140,36 @@ def test_warc_documents_feed_corpus_operators(spark):
     # byte-identical page bodies collapse to 6 canonical docs
     assert mapping.select("canonical_id").distinct().count() == 6
     assert mapping.filter("dup_count = 2").count() == 12
+
+
+def test_canonicalize_url_rules(spark):
+    from fel_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a?utm_source=x&z=1&a=2#f", "http://example.com/a?a=2&z=1"),
+        ("https://Site.io:443/", "https://site.io/"),
+        ("https://site.io:8443/p?b=2&fbclid=abc&a=1", "https://site.io:8443/p?a=1&b=2"),
+        ("https://site.io", "https://site.io/"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame(cases, "u string, exp string")
+    rows = df.select("exp", canonicalize_url("u").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.exp
+    # duplicate-link collapse: the dedup-key property
+    dups = spark.createDataFrame(
+        [("https://dup.example/page?utm_source=a",),
+         ("https://DUP.example:443/page#top",),
+         ("https://dup.example/page",)],
+        "u string",
+    )
+    keys = dups.select(canonicalize_url("u").alias("k")).distinct().count()
+    assert keys == 1
+
+
+def test_canonicalize_url_plan_is_udf_free(spark):
+    from fel_spark.functions.text import canonicalize_url
+
+    df = spark.createDataFrame([("https://x.io/a?b=1",)], "u string")
+    plan = df.select(canonicalize_url("u"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
