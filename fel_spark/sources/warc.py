@@ -32,13 +32,11 @@ applied to the crawl-archive format its pipelines would meet first.
 
 from __future__ import annotations
 
-import html as _html
 import re
 import zlib
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
-import numpy as np  # noqa: F401 (kept for parity with sibling sources)
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
