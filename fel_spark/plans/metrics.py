@@ -118,7 +118,12 @@ class StageRunner:
         writer.parquet(path)
         wall = time.time() - t0
 
-        out = self.spark.read.parquet(path)
+        # read back with the build's schema: a stage that legitimately
+        # produces ZERO rows (e.g. a filter that drops everything) writes
+        # a snapshot with no data files, and schema inference on it fails
+        # with UNABLE_TO_INFER_SCHEMA — the explicit schema keeps empty
+        # snapshots readable (and skips footer-based inference besides)
+        out = self.spark.read.schema(df.schema).parquet(path)
         part_stats = (
             out.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid")
@@ -135,6 +140,9 @@ class StageRunner:
             "partitions": len(part_stats),
             "max_partition_rows": int(max((r["rows"] for r in part_stats), default=0)),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # persisted so read_stage can serve empty snapshots on RESUME
+            # too (schema inference has no footers to look at)
+            "schema_json": df.schema.json(),
         }
         self.metrics.append(stage_metrics)
         self._write_metrics(name, part_stats, stage_metrics)
@@ -173,7 +181,13 @@ class StageRunner:
                     "(parquet-with-manifest keeps only the latest snapshot — "
                     "re-resolve or re-run the downstream stage)"
                 )
-        return self.spark.read.parquet(self._stage_path(name))
+        schema_json = self._read_manifest(name).get("schema_json")
+        reader = self.spark.read
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(self._stage_path(name))
 
     def metrics_df(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.run_dir, "_metrics"))

@@ -373,3 +373,27 @@ def test_stage_runner_schema_evolution_propagates(spark, tmp_path):
     d2 = r2.run_stage("down", build_down, inputs=("src",))
     assert "lang" in d2.columns  # stale old-schema snapshot NOT reused
     assert d2.count() == 5
+
+
+def test_stage_runner_empty_snapshot_roundtrip(spark, tmp_path):
+    """A stage that legitimately produces ZERO rows (filter drops all)
+    must stay readable — in-run (run_stage's read-back) AND on resume
+    (read_stage schema from the manifest) — including partitioned
+    snapshots, where an empty write leaves no footers to infer from."""
+    from fel_spark.plans.metrics import StageRunner
+
+    run_dir = str(tmp_path / "empty_run")
+    runner = StageRunner(spark, run_dir)
+    src = spark.createDataFrame(
+        [("a", "train", 1)], "doc_id string, split string, n int"
+    )
+    out = runner.run_stage(
+        "none_left", lambda r: src.filter("n > 999"), partition_by=("split",)
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n", "split"] or \
+           [f.name for f in out.schema.fields] == ["doc_id", "split", "n"]
+    # fresh runner = resume: manifest schema serves the empty snapshot
+    resumed = StageRunner(spark, run_dir).read_stage("none_left")
+    assert resumed.count() == 0
+    assert set(f.name for f in resumed.schema.fields) == {"doc_id", "split", "n"}

@@ -173,3 +173,46 @@ def test_canonicalize_url_plan_is_udf_free(spark):
     df = spark.createDataFrame([("https://x.io/a?b=1",)], "u string")
     plan = df.select(canonicalize_url("u"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_to_corpus_prep_end_to_end(spark, tmp_path):
+    """The full crawl front-end composed with the existing corpus plan:
+    WARC segments -> records -> canonical-URL dedup -> main-content
+    extraction -> run_corpus_prep (filter/dedup/split/pack)."""
+    import pyspark.sql.functions as F
+
+    from fel_spark.functions.text import canonicalize_url
+    from fel_spark.plans.corpus import run_corpus_prep
+
+    path = synth_warc(spark, str(tmp_path / "warc3"), n=8, files=2)
+    recs = read_warc(spark, path + "/*.warc.gz")
+    docs = warc_documents(recs, main_content=True)
+    # canonical-URL dedup BEFORE text dedup: tracking-link twins collapse
+    docs = (
+        docs.withColumn("canon", canonicalize_url("doc_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("canon")
+                .orderBy("doc_id")
+            ),
+        )
+        .filter("rn = 1")
+        .select(F.col("canon").alias("doc_id"), "source", "text")
+    )
+    assert docs.count() == 16
+    run_dir = str(tmp_path / "run_warc")
+    # synthetic pages are token soup, so relax the English/stopword gates
+    # (the composition under test is ingest -> dedupe -> plan, not the
+    # filter thresholds, which have their own oracled query)
+    manifest = run_corpus_prep(
+        spark, run_dir, docs, pack_budget=64, pack_shards=2,
+        filter_kwargs={"min_words": 3, "max_words": 10_000,
+                       "min_stopword_4dp": 0, "langs": ("en", "other"),
+                       "max_top_word_4dp": 10_000},
+    )
+    rows = manifest.collect()
+    assert len(rows) > 0
+    kept = spark.read.parquet(f"{run_dir}/near_deduped")
+    assert 0 < kept.count() <= 16
