@@ -1855,6 +1855,46 @@ def q_warc_main_extract(spark, sf_dir):
     )
 
 
+def q_webdataset_stats(spark, sf_dir):
+    """WebDataset tar-shard ingestion (r5, `sources/webdataset.py` — the
+    container format multimodal training data ships in, stdlib tarfile):
+    3 shards of 8 samples, each a REAL PNG member + a text caption,
+    parsed into long member rows, pivoted one-row-per-sample (groupBy
+    pivot, one sample-keyed shuffle), PNGs really DEFLATE-decoded to
+    integer stats, captions joined alongside. The oracle replays shard
+    naming, caption strings, and the gradient pixel sums analytically."""
+    from fel_spark.sources.multimodal import decode_stats
+    from fel_spark.sources.webdataset import (
+        read_webdataset_bytes,
+        samples,
+        synth_webdataset_bytes,
+    )
+
+    files = spark.createDataFrame(
+        [
+            (f"shard-{s:05d}.tar", bytearray(synth_webdataset_bytes(s, 8)))
+            for s in range(3)
+        ],
+        "path string, content binary",
+    )
+    smp = samples(read_webdataset_bytes(files), exts=("png", "txt"))
+    media = smp.select(
+        F.col("key").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("png").alias("payload"),
+    )
+    caps = smp.select(
+        F.col("key").alias("media_id"),
+        "shard",
+        F.decode("txt", "UTF-8").alias("caption"),
+    )
+    return (
+        decode_stats(media)
+        .join(caps, "media_id")
+        .select("media_id", "shard", "caption", "width", "height", "vsum")
+    )
+
+
 def q_media_png_stats(spark, sf_dir):
     """REAL PNG decode (r5, `codecs.decode_png` — stdlib-zlib DEFLATE, all
     five scanline filters, Adam7 interlace, CRC-verified chunks): 36
@@ -2175,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_main_extract": q_warc_main_extract,
         "doc_pii_extended": q_doc_pii_extended,
         "url_canonicalize": q_url_canonicalize,
+        "webdataset_stats": q_webdataset_stats,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3785,6 +3826,24 @@ def oracle_sql() -> dict[str, str]:
                           || CAST((CAST(substr(valid, length(valid), 1) AS INT)
                                    + 1) % 10 AS VARCHAR)) AS scrubbed
             FROM cards
+        """,
+        # webdataset_stats: shard/caption naming is printf-closed-form and
+        # the PNG members carry the codec-oracle gradient (r=x, g=y,
+        # b=(g*7)%256), so pixel sums replay analytically
+        "webdataset_stats": """
+            WITH idx AS (SELECT g FROM generate_series(0, 23) t(g)),
+            dims AS (
+                SELECT g, 16 + (g % 8) * 8 AS w, 16 + (g % 5) * 8 AS h,
+                       (g * 7) % 256 AS b
+                FROM idx
+            )
+            SELECT printf('s%05d', g) AS media_id,
+                   printf('shard-%05d.tar', g // 8) AS shard,
+                   printf('caption for sample %d', g) AS caption,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                        + w * h * b AS BIGINT) AS vsum
+            FROM dims
         """,
         # media_png_stats: the PNG payloads carry the same closed-form
         # gradient as the PPM rows of media_decode_stats (r=x, g=y,

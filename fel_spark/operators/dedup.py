@@ -331,14 +331,17 @@ def banded_hamming_pairs(
     if bands > 64:
         raise ValueError(f"bands={bands} > 64 bits")
     chunk_bits = 64 // bands
-    mask = (1 << chunk_bits) - 1
+    # bands=1 (max_hamming=0, exact match) makes the chunk the whole
+    # 64-bit word: (1<<64)-1 overflows a JVM long, but -1 IS the all-ones
+    # word in two's complement
+    mask = F.lit(-1) if chunk_bits >= 64 else F.lit((1 << chunk_bits) - 1)
     keys = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(i)),
                 F.shiftright(F.col(hash_col), i * chunk_bits)
-                .bitwiseAND(F.lit(mask))
+                .bitwiseAND(mask)
                 .cast("string"),
             )
             for i in range(bands)

@@ -365,3 +365,21 @@ def test_semantic_dedup_empty_codebook_keeps_all_rows(spark):
     assert set(rows) == {1, 2, 3}
     for vid, r in rows.items():
         assert r["keep"] and r["cell_id"] == -1 and r["sem_cluster_id"] == vid
+
+
+def test_banded_hamming_max_hamming_zero_exact_match(spark):
+    """max_hamming=0 -> one band spanning all 64 bits; the all-ones mask
+    must not overflow a JVM long (regression: (1<<64)-1 vs lit(-1)),
+    and only byte-identical fingerprints pair — including negative ones
+    (bit 63 set)."""
+    from fel_spark.operators.dedup import banded_hamming_pairs
+
+    rows = [
+        ("a", 7), ("b", 7),                      # identical
+        ("c", 6),                                 # hamming 1 from a/b
+        ("d", -(2**63) + 5), ("e", -(2**63) + 5), # identical, sign bit set
+    ]
+    df = spark.createDataFrame(rows, "id string, h long")
+    pairs = {tuple(sorted((r.id_a, r.id_b)))
+             for r in banded_hamming_pairs(df, "id", "h", max_hamming=0).collect()}
+    assert pairs == {("a", "b"), ("d", "e")}
