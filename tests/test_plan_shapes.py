@@ -237,3 +237,34 @@ def test_media_phash_pairs_no_cartesian(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # only the fingerprint UDF is Python
+
+
+def test_warc_parse_plan_is_map_only(spark):
+    """WARC bytes -> documents is parse + extract with NO shuffle: at
+    crawl scale every Exchange here would move the whole corpus."""
+    from fel_spark.sources.warc import (
+        read_warc_bytes, synth_warc_bytes_range, warc_documents,
+    )
+
+    mem = spark.createDataFrame(
+        [(bytearray(synth_warc_bytes_range(0, 3)),)], "content binary"
+    )
+    plan = warc_documents(read_warc_bytes(mem))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_webdataset_samples_plan_has_one_exchange(spark):
+    """Member rows -> per-sample pivot is ONE hash aggregate keyed by
+    (shard, key): exactly one Exchange, no join, no second shuffle."""
+    from fel_spark.sources.webdataset import (
+        read_webdataset_bytes, samples, synth_webdataset_bytes,
+    )
+
+    mem = spark.createDataFrame(
+        [("s.tar", bytearray(synth_webdataset_bytes(0, 2)))],
+        "path string, content binary",
+    )
+    plan = samples(read_webdataset_bytes(mem), exts=("png", "txt")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
