@@ -1855,6 +1855,25 @@ def q_warc_main_extract(spark, sf_dir):
     )
 
 
+def q_chat_jsonl_ingest(spark, sf_dir):
+    """Chat-export JSONL -> the canonical transcripts contract (r5,
+    `sources/chatjsonl.py`): from_json + posexplode ONLY (pure columns,
+    map-only plan), malformed lines quarantined not fatal. 20 pinned
+    closed-form lines (every 7th deliberately broken JSON); the oracle
+    rebuilds the exploded (conv_id, turn_idx, role, text, tool, ts)
+    rows analytically, so a turn-numbering, role-cycling, or
+    quarantine regression flips the value hash."""
+    from fel_spark.sources.chatjsonl import (
+        chat_lines_to_transcripts,
+        synth_chat_jsonl_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [(l,) for l in synth_chat_jsonl_lines(20)], "value string"
+    )
+    return chat_lines_to_transcripts(lines)
+
+
 def q_webdataset_stats(spark, sf_dir):
     """WebDataset tar-shard ingestion (r5, `sources/webdataset.py` — the
     container format multimodal training data ships in, stdlib tarfile):
@@ -2215,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_main_extract": q_warc_main_extract,
         "doc_pii_extended": q_doc_pii_extended,
         "url_canonicalize": q_url_canonicalize,
+        "chat_jsonl_ingest": q_chat_jsonl_ingest,
         "webdataset_stats": q_webdataset_stats,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
@@ -3826,6 +3846,28 @@ def oracle_sql() -> dict[str, str]:
                           || CAST((CAST(substr(valid, length(valid), 1) AS INT)
                                    + 1) % 10 AS VARCHAR)) AS scrubbed
             FROM cards
+        """,
+        # chat_jsonl_ingest: replay the closed-form conversation lines —
+        # every 7th input line is broken JSON and must be absent; roles
+        # cycle user/assistant/tool; tool name only on tool turns
+        "chat_jsonl_ingest": """
+            WITH idx AS (
+                SELECT i FROM generate_series(0, 19) t(i) WHERE i % 7 <> 6
+            ),
+            msgs AS (
+                SELECT m.i, j.v AS j
+                FROM idx m, generate_series(0, 4) j(v)
+                WHERE j.v < 2 + (m.i % 3)
+            )
+            SELECT printf('c%04d', i) AS conv_id,
+                   CAST(j AS INT) AS turn_idx,
+                   CASE j % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                        ELSE 'tool' END AS role,
+                   printf('msg %d %d', i, j) AS text,
+                   CASE WHEN j % 3 = 2 THEN printf('t%d', i % 4) END AS tool,
+                   CAST(printf('2026-01-01 00:00:%02d', i % 60) AS TIMESTAMP)
+                       AS ts
+            FROM msgs
         """,
         # webdataset_stats: shard/caption naming is printf-closed-form and
         # the PNG members carry the codec-oracle gradient (r=x, g=y,
