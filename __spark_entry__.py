@@ -1874,6 +1874,39 @@ def q_chat_jsonl_ingest(spark, sf_dir):
     return chat_lines_to_transcripts(lines)
 
 
+def q_doc_sliding_chunks(spark, sf_dir):
+    """Sliding-window chunking (r5, `operators/examples.sliding_chunks`):
+    overlapping 32-token windows at stride 16 over every document —
+    map-only sequence/slice/explode, no shuffle (RAG indexing / long-doc
+    training prep; complements doc_pack_chunks, which concatenates docs
+    instead of splitting them). The oracle replays tokenization, start
+    grid, and slices with DuckDB list functions."""
+    from fel_spark.operators.examples import sliding_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sliding_chunks(docs, chunk_tokens=32, stride=16)
+
+
+def q_conv_context_windows(spark, sf_dir):
+    """SFT example extraction (r5, `operators/examples.context_windows`):
+    for every assistant turn, the previous <= 2 turns rendered
+    'role: text' as context and the turn's text as target — one
+    conversation-keyed window spec (the pipeline's native partitioning).
+    Pinned 10-conversation fixture; the oracle replays it with DuckDB's
+    own windowed string_agg over the same frame."""
+    from fel_spark.operators.examples import context_windows
+
+    rows = []
+    for i in range(10):
+        for j in range(4 + i % 4):
+            role = ["user", "assistant", "tool"][j % 3]
+            rows.append((f"c{i:03d}", j, role, f"m {i} {j}"))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    return context_windows(t, k=2)
+
+
 def q_webdataset_stats(spark, sf_dir):
     """WebDataset tar-shard ingestion (r5, `sources/webdataset.py` — the
     container format multimodal training data ships in, stdlib tarfile):
@@ -2236,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "chat_jsonl_ingest": q_chat_jsonl_ingest,
         "webdataset_stats": q_webdataset_stats,
+        "doc_sliding_chunks": q_doc_sliding_chunks,
+        "conv_context_windows": q_conv_context_windows,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3868,6 +3903,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(printf('2026-01-01 00:00:%02d', i % 60) AS TIMESTAMP)
                        AS ts
             FROM msgs
+        """,
+        # doc_sliding_chunks: same whitespace tokenization, start grid
+        # 0,16,32,... while start <= n-1, 32-token inclusive list slices
+        "doc_sliding_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, tk, g.v AS start_tok,
+                       CAST(g.v // 16 AS INT) AS chunk_idx
+                FROM toks, generate_series(0, 100000, 16) g(v)
+                WHERE len(tk) > 0 AND g.v <= len(tk) - 1
+            )
+            SELECT doc_id, chunk_idx, CAST(start_tok AS INT) AS start_tok,
+                   CAST(len(tk[start_tok + 1 : start_tok + 32]) AS INT)
+                       AS n_tokens,
+                   array_to_string(tk[start_tok + 1 : start_tok + 32], ' ')
+                       AS chunk_text
+            FROM starts
+        """,
+        # conv_context_windows: DuckDB's own windowed string_agg over the
+        # identical ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING frame — an
+        # independent engine replaying the same window semantics
+        "conv_context_windows": """
+            WITH t AS (
+                SELECT printf('c%03d', i.v) AS conv_id,
+                       CAST(j.v AS INT) AS turn_idx,
+                       CASE j.v % 3 WHEN 0 THEN 'user'
+                            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                       printf('m %d %d', i.v, j.v) AS text
+                FROM generate_series(0, 9) i(v),
+                     generate_series(0, 7) j(v)
+                WHERE j.v < 4 + (i.v % 4)
+            ),
+            r AS (
+                SELECT conv_id, turn_idx, role, text,
+                       coalesce(
+                           string_agg(role || ': ' || text, chr(10))
+                               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                     ROWS BETWEEN 2 PRECEDING
+                                     AND 1 PRECEDING),
+                           '') AS context
+                FROM t
+            )
+            SELECT conv_id, turn_idx, context, text AS target
+            FROM r WHERE role = 'assistant'
         """,
         # webdataset_stats: shard/caption naming is printf-closed-form and
         # the PNG members carry the codec-oracle gradient (r=x, g=y,
