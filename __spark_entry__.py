@@ -1907,6 +1907,22 @@ def q_conv_context_windows(spark, sf_dir):
     return context_windows(t, k=2)
 
 
+def q_doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (r5, `operators/lmscore.py` —
+    Wenzek et al.'s perplexity filter with a char-trigram model): the
+    model is trained on the corpus in ONE hash aggregate (explode +
+    groupBy at alphabet^3 keys, dictionary-scale), broadcast into the
+    scoring join, and every document gets its additive-smoothed mean
+    -log2 p(char | 2-char context) as a 4dp fixed-point. The oracle
+    re-trains and re-scores the identical model in DuckDB — counts,
+    smoothing, OOV floor, and the average all replay."""
+    from fel_spark.operators.lmscore import char_ngram_counts, doc_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = char_ngram_counts(docs, n=3)
+    return doc_lm_scores(docs, model, n=3)
+
+
 def q_webdataset_stats(spark, sf_dir):
     """WebDataset tar-shard ingestion (r5, `sources/webdataset.py` — the
     container format multimodal training data ships in, stdlib tarfile):
@@ -2271,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_stats": q_webdataset_stats,
         "doc_sliding_chunks": q_doc_sliding_chunks,
         "conv_context_windows": q_conv_context_windows,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -3952,6 +3969,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, context, text AS target
             FROM r WHERE role = 'assistant'
+        """,
+        # doc_lm_perplexity: full replay — train the same char-trigram
+        # model (same normalization as doc_normalize, '^^' padding),
+        # score with the same additive smoothing and OOV floor
+        "doc_lm_perplexity": f"""
+            WITH norm AS (
+                SELECT doc_id, '^^' || {_NORM.format(c='text')} AS s
+                FROM documents
+            ),
+            ev AS (
+                SELECT doc_id,
+                       substr(s, g.v, 2) AS ctx,
+                       substr(s, g.v + 2, 1) AS nxt
+                FROM norm, generate_series(1, 5000) g(v)
+                WHERE length(s) >= 3 AND g.v <= length(s) - 2
+            ),
+            model AS (
+                SELECT ctx, nxt, COUNT(*) AS cnt FROM ev GROUP BY ctx, nxt
+            ),
+            totals AS (
+                SELECT ctx, SUM(cnt) AS ctx_total FROM model GROUP BY ctx
+            ),
+            scored AS (
+                SELECT e.doc_id,
+                       -log2((coalesce(m.cnt, 0) + 1.0)
+                             / (coalesce(t.ctx_total, 0) + 37.0)) AS nl
+                FROM ev e
+                LEFT JOIN model m ON e.ctx = m.ctx AND e.nxt = m.nxt
+                LEFT JOIN totals t ON e.ctx = t.ctx
+            )
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_events,
+                   CAST(round(AVG(nl) * 10000) AS BIGINT) AS logppl_4dp
+            FROM scored GROUP BY doc_id
         """,
         # webdataset_stats: shard/caption naming is printf-closed-form and
         # the PNG members carry the codec-oracle gradient (r=x, g=y,
