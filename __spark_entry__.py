@@ -1923,6 +1923,39 @@ def q_doc_lm_perplexity(spark, sf_dir):
     return doc_lm_scores(docs, model, n=3)
 
 
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (r5, `operators/retrieval.py` — Okapi BM25 with the
+    Lucene-positive idf, relational end to end): five 2-term queries are
+    drawn deterministically from the corpus itself (terms ranked 2i+1,
+    2i+2 by global frequency, count-desc term-asc), scored against every
+    document, and top-5-per-query ranked on the ENGINE-NEUTRAL key
+    (score_4dp DESC, doc_id ASC) — ranks never touch raw doubles. The
+    oracle replays tf, df, avgdl, idf, saturation, and the ranking."""
+    from fel_spark.operators.retrieval import bm25_topk
+    from fel_spark.operators.textstats import normalize_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(normalize_tokens("text")).alias("term"))
+    ranked = (
+        toks.groupBy("term")
+        .count()
+        .select(
+            "term",
+            F.row_number()
+            .over(W.orderBy(F.col("count").desc(), F.col("term").asc()))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 10)
+    )
+    query_terms = ranked.select(
+        F.concat(F.lit("q"), ((F.col("r") - 1) / 2).cast("int")).alias(
+            "query_id"
+        ),
+        "term",
+    )
+    return bm25_topk(docs, query_terms, k=5)
+
+
 def q_webdataset_stats(spark, sf_dir):
     """WebDataset tar-shard ingestion (r5, `sources/webdataset.py` — the
     container format multimodal training data ships in, stdlib tarfile):
@@ -2288,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sliding_chunks": q_doc_sliding_chunks,
         "conv_context_windows": q_conv_context_windows,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "media_png_stats": q_media_png_stats,
         "media_jpeg_stats": q_media_jpeg_stats,
         "media_flac_stats": q_media_flac_stats,
@@ -4002,6 +4036,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS INT) AS n_events,
                    CAST(round(AVG(nl) * 10000) AS BIGINT) AS logppl_4dp
             FROM scored GROUP BY doc_id
+        """,
+        # doc_bm25_topk: full BM25 replay — same tokenization, query
+        # derivation (top-10 terms by count desc / term asc), tf, df,
+        # avgdl, Lucene-positive idf, saturation, and the neutral
+        # (score_4dp DESC, doc_id ASC) ranking
+        "doc_bm25_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term
+                FROM documents
+            ),
+            qterms AS (
+                SELECT printf('q%d', CAST((r - 1) // 2 AS INT)) AS query_id,
+                       term
+                FROM (
+                    SELECT term,
+                           row_number() OVER (ORDER BY COUNT(*) DESC,
+                                              term ASC) AS r
+                    FROM toks GROUP BY term
+                ) WHERE r <= 10
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT q.query_id, t.doc_id,
+                       SUM(
+                           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                           * t.tf * 2.2
+                           / (t.tf + 1.2 * (1 - 0.75
+                                            + 0.75 * l.dl / s.avgdl))
+                       ) AS score
+                FROM tf t
+                JOIN qterms q ON t.term = q.term
+                JOIN dfreq d ON t.term = d.term
+                JOIN dl l ON t.doc_id = l.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, t.doc_id
+            ),
+            fixed AS (
+                SELECT query_id, doc_id,
+                       CAST(round(score * 10000) AS BIGINT) AS score_4dp
+                FROM scored
+            )
+            SELECT query_id, doc_id, score_4dp, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score_4dp DESC, doc_id ASC) AS rank
+                FROM fixed
+            ) WHERE rank <= 5
         """,
         # webdataset_stats: shard/caption naming is printf-closed-form and
         # the PNG members carry the codec-oracle gradient (r=x, g=y,
