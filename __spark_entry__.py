@@ -2195,6 +2195,145 @@ def q_media_filter(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank entity prior (r5, `operators/graphrank.py` — the
+    iterative-DataFrame power method; the reference's popularity prior
+    is anchor counts, `ranker/ProbabilityRanker.java`, and PageRank is
+    the standard link-graph strengthening). The graph: distinct
+    customer->supplier edges mined from orders x lineitem (suppliers are
+    all dangling — the uniform-redistribution path is exercised on every
+    iteration). 3 iterations, d=0.85, rounded to 9 dp at the END only
+    (every intermediate op is an IEEE core op, see graphrank.py). The
+    oracle unrolls all three iterations as CTEs with the SAME
+    multiply-by-reciprocal forms (dm * (1.0/n), never dm / n)."""
+    from fel_spark.operators.graphrank import pagerank
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        "node", F.round(F.col("pr") * 1000000000).cast("long").alias("pr_9dp")
+    )
+
+
+def q_doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (r5,
+    `operators/retrieval.py::rrf_fuse` — Cormack et al. 2009): a BM25
+    lexical top-10 and an embedding-cosine dense top-10 are fused with
+    1/(60+rank) scores into a top-5 per query. Three queries: dense
+    probes are embeddings vec_id<3 (vec_id == doc_id in the testdata
+    contract); lexical terms are corpus-frequency ranks 2q+1, 2q+2 —
+    both derivations deterministic, both rankings on engine-neutral
+    keys, so the fused rrf_micro replays exactly (sums of at most two
+    IEEE divisions)."""
+    from fel_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from fel_spark.functions.sim import cosine_sim
+    from fel_spark.operators.textstats import normalize_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = docs.select(F.explode(normalize_tokens("text")).alias("term"))
+    qterms = (
+        toks.groupBy("term")
+        .count()
+        .select(
+            "term",
+            F.row_number()
+            .over(W.orderBy(F.col("count").desc(), F.col("term").asc()))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 6)
+        .select(
+            F.concat(F.lit("q"), ((F.col("r") - 1) / 2).cast("int")).alias(
+                "query_id"
+            ),
+            "term",
+        )
+    )
+    lexical = bm25_topk(docs, qterms, k=10)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(probes))
+        .withColumn("cos_raw", cosine_sim(F.col("embedding"), F.col("qv")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_raw").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(
+        [lexical.select("query_id", "doc_id", "rank"), cos], k=5
+    )
+
+
+def q_doc_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement via priority sampling (r5,
+    `operators/splits.py::priority_sample` — Duffield/Lund/Thorup 2007:
+    priority = w/u, keep the n largest). Weight = n_chars, so long
+    documents are favored proportionally; u comes from the
+    DuckDB-reproducible md5 hash so the oracle replays the identical
+    IEEE arithmetic (u and w/u are correctly-rounded core ops — the
+    reason this scheme was chosen over exponential/pow keys, whose libm
+    calls differ across engines in the last ulp)."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.splits import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = priority_sample(
+        docs,
+        40,
+        "n_chars",
+        hash_fn=lambda c: md5_hash60(c, seed=21),
+    )
+    return out.select("doc_id", "n_chars", "sample_rank")
+
+
+def q_conv_tool_transitions(spark, sf_dir):
+    """Tool-transition Markov stats over the transcript shape (r5,
+    `operators/convstats.py::tool_transitions`): the same deterministic
+    events->transcript derivation as conv_integrity (conv = user, the
+    engine-neutral rank key with NULLS LAST + sentinel coalesce), tool =
+    event_type. Adjacent tool calls per conversation form transitions;
+    output is the (tool, next_tool) matrix with round(1e6 * conditional
+    probability) and a per-tool neutral-key rank. A residual rank-key
+    tie implies equal event_type, so the transition multiset is
+    invariant under tie permutation — same argument as conv_integrity."""
+    from fel_spark.operators.convstats import tool_transitions
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.coalesce(F.col("event_id"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("event_type"), F.lit("")),
+    )
+    t = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("turn_idx", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "turn_idx",
+            F.col("event_type").alias("tool"),
+        )
+    )
+    return tool_transitions(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2329,6 +2468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_pixsum": q_media_resize_pixsum,
         "media_frame_sample": q_media_frame_sample,
         "media_filter": q_media_filter,
+        "graph_pagerank": q_graph_pagerank,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "doc_priority_sample": q_doc_priority_sample,
+        "conv_tool_transitions": q_conv_tool_transitions,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -2681,6 +2824,63 @@ def _bpe_trained_apply_oracle(n_rounds: int = 16, max_words: int = 10_000) -> st
         FROM d{n_rounds}
     """
     return sql
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE replay of q_graph_pagerank, generated from the same
+    iteration count (no transcription drift across iterations). Every
+    arithmetic form mirrors graphrank.py's exactly: base term
+    (1 - 0.85) * (1.0 / n) (the SUBTRACTION evaluated in-engine, since
+    1 - 0.85 != the literal 0.15 in binary), dangling mass multiplied by
+    the reciprocal (dm * (1.0 / n), never dm / n), contribution
+    pr / outdeg. Rounding to 9 dp happens once, at the end."""
+    iters = []
+    for k in range(iterations):
+        iters.append(
+            f"""
+            d{k} AS (
+                SELECT coalesce(sum(p.pr), 0) AS dm
+                FROM pr{k} p LEFT JOIN outdeg o ON p.node = o.node
+                WHERE o.odeg IS NULL
+            ),
+            c{k} AS (
+                SELECT e.dst AS node, sum(p.pr / o.odeg) AS in_sum
+                FROM edges e
+                JOIN pr{k} p ON e.src = p.node
+                JOIN outdeg o ON e.src = o.node
+                GROUP BY e.dst
+            ),
+            pr{k + 1} AS (
+                SELECT nd.node,
+                       (1 - 0.85) * (1.0 / nn.n)
+                       + 0.85 * (coalesce(c.in_sum, 0.0)
+                                 + d.dm * (1.0 / nn.n)) AS pr
+                FROM nodes nd
+                LEFT JOIN c{k} c ON nd.node = c.node
+                CROSS JOIN nn CROSS JOIN d{k} d
+            )"""
+        )
+    return f"""
+            WITH edges AS (
+                SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                                's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION
+                SELECT dst AS node FROM edges
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            outdeg AS (
+                SELECT src AS node, COUNT(*) AS odeg FROM edges GROUP BY src
+            ),
+            pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+            {",".join(iters)}
+            SELECT node,
+                   CAST(round(pr * 1000000000) AS BIGINT) AS pr_9dp
+            FROM pr{iterations}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4668,6 +4868,149 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(cent_cos * 100000) AS BIGINT) AS cent_cos_5dp,
                    rn = 1 AS keep
             FROM j
+        """,
+        # graph_pagerank: full 3-iteration power-method unroll, generated
+        # from the same iteration count as the Spark side
+        "graph_pagerank": _pagerank_oracle(3),
+        # doc_hybrid_rrf: BM25 chain (top-6 corpus terms -> 3 two-term
+        # queries, neutral score_4dp ranking) + dense cosine top-10
+        # (probes vec_id<3, self included on BOTH sides), RRF-fused with
+        # 1/(60+rank) and the neutral (rrf_micro DESC, doc_id ASC) key
+        "doc_hybrid_rrf": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term
+                FROM documents
+            ),
+            qterms AS (
+                SELECT printf('q%d', CAST((r - 1) // 2 AS INT)) AS query_id,
+                       term
+                FROM (
+                    SELECT term,
+                           row_number() OVER (ORDER BY COUNT(*) DESC,
+                                              term ASC) AS r
+                    FROM toks GROUP BY term
+                ) WHERE r <= 6
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT q.query_id, t.doc_id,
+                       SUM(
+                           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                           * t.tf * 2.2
+                           / (t.tf + 1.2 * (1 - 0.75
+                                            + 0.75 * l.dl / s.avgdl))
+                       ) AS score
+                FROM tf t
+                JOIN qterms q ON t.term = q.term
+                JOIN dfreq d ON t.term = d.term
+                JOIN dl l ON t.doc_id = l.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, t.doc_id
+            ),
+            lex AS (
+                SELECT query_id, doc_id, rank FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY CAST(round(score * 10000) AS BIGINT)
+                                            DESC,
+                                        doc_id ASC) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
+            ),
+            dense AS (
+                SELECT query_id, doc_id, rank FROM (
+                    SELECT printf('q%d', q.vec_id) AS query_id,
+                           e.vec_id AS doc_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])) DESC,
+                                        e.vec_id ASC) AS rank
+                    FROM embeddings e, embeddings q
+                    WHERE q.vec_id < 3
+                ) WHERE rank <= 10
+            ),
+            unioned AS (
+                SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS rr FROM lex
+                UNION ALL
+                SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS rr FROM dense
+            ),
+            fused AS (
+                SELECT query_id, doc_id,
+                       CAST(round(sum(rr) * 1000000) AS BIGINT) AS rrf_micro,
+                       CAST(count(*) AS INT) AS n_lists
+                FROM unioned GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, rrf_micro, n_lists,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+                FROM fused
+            ) WHERE rank <= 5
+        """,
+        # doc_priority_sample: identical IEEE arithmetic — u from the
+        # md5 60-bit hash, priority = w / u, top-40 on (priority DESC,
+        # doc_id ASC); priorities are bit-identical across engines (no
+        # summation, only correctly-rounded core ops)
+        "doc_priority_sample": """
+            WITH pri AS (
+                SELECT doc_id, n_chars,
+                       CAST(n_chars AS DOUBLE) / (
+                           CAST(CAST(('0x' || substr(md5('21:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                               + 1 AS DOUBLE)
+                           / 1152921504606846976.0
+                       ) AS priority
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (
+                       ORDER BY priority DESC, doc_id ASC) AS INT)
+                       AS sample_rank
+            FROM pri
+            ORDER BY priority DESC, doc_id ASC
+            LIMIT 40
+        """,
+        # conv_tool_transitions: lead over the tool-bearing subsequence
+        # under the conv_integrity neutral rank key; conditional
+        # probability replays as (n * 1000000.0) / sum(n) in that order
+        "conv_tool_transitions": """
+            WITH seq AS (
+                SELECT event_type AS tool,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC NULLS LAST,
+                                    coalesce(event_id,
+                                             -4611686018427387904),
+                                    coalesce(event_type, '')
+                       ) AS next_tool
+                FROM events
+                WHERE event_type IS NOT NULL AND event_type != ''
+            ),
+            pairs AS (
+                SELECT tool, next_tool, count(*) AS n
+                FROM seq WHERE next_tool IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT tool, next_tool, n,
+                   CAST(round(n * 1000000.0 /
+                              sum(n) OVER (PARTITION BY tool)) AS BIGINT)
+                       AS p_6dp,
+                   CAST(row_number() OVER (
+                       PARTITION BY tool
+                       ORDER BY n DESC, next_tool ASC) AS INT) AS rank
+            FROM pairs
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE

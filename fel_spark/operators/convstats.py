@@ -106,3 +106,56 @@ def quarantine_conversations(
         integ.filter(F.col("is_clean")).select(conv_col), conv_col, "left_semi"
     )
     return clean, dirty
+
+
+def tool_transitions(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """First-order tool-transition statistics over agent transcripts:
+    which tool follows which. For each conversation ordered by turn
+    index, adjacent tool-bearing turns form a (tool, next_tool)
+    transition; the output is the transition matrix with conditional
+    probabilities — the Markov summary an agent-behavior audit or a
+    routing prior starts from (the reference's datapack mines the
+    analogous alias->entity conditionals, `mine-datapack.sh`).
+
+    Turns with a NULL/empty tool are skipped, not barriers: the
+    transition is between CONSECUTIVE TOOL CALLS within a conversation
+    (lead over the tool-bearing subsequence), matching how a tool-use
+    trace reads. Output: (tool, next_tool, n, p_6dp, rank) where p_6dp
+    = round(1e6 * n / n_from) and rank orders next_tool per tool by the
+    engine-neutral key (n DESC, next_tool ASC).
+
+    Scale: one conversation-keyed window + one dictionary-scale
+    aggregate (distinct tool pairs); nothing corpus-wide shuffles twice.
+    """
+    from pyspark.sql import Window
+
+    calls = transcripts.filter(
+        F.col(tool_col).isNotNull() & (F.col(tool_col) != "")
+    )
+    w = Window.partitionBy(conv_col).orderBy(F.col(idx_col).asc())
+    pairs = (
+        calls.select(
+            F.col(tool_col).alias("tool"),
+            F.lead(tool_col).over(w).alias("next_tool"),
+        )
+        .filter(F.col("next_tool").isNotNull())
+        .groupBy("tool", "next_tool")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("tool")
+    wr = Window.partitionBy("tool").orderBy(
+        F.col("n").desc(), F.col("next_tool").asc()
+    )
+    return pairs.select(
+        "tool",
+        "next_tool",
+        "n",
+        F.round(F.col("n") * 1000000.0 / F.sum("n").over(wt))
+        .cast("long")
+        .alias("p_6dp"),
+    ).withColumn("rank", F.row_number().over(wr).cast("int"))

@@ -28,6 +28,51 @@ from pyspark.sql import DataFrame, Window, functions as F
 from fel_spark.operators.textstats import normalize_tokens
 
 
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 5,
+    k_const: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    retrieval lists: rrf(q, d) = sum over lists containing d of
+    1 / (k_const + rank). Hybrid lexical+dense retrieval is the standard
+    use — fuse :func:`bm25_topk` with an embedding-cosine top-k.
+
+    Relational end to end: union the lists, one (query, doc) aggregate,
+    one per-query window. The per-list reciprocal is an IEEE division of
+    integers (exact-rounded, engine-identical); the fused score is a sum
+    of at most len(ranked_lists) such terms, rounded to micro units at
+    the END for the engine-neutral rank key (rrf_micro DESC, doc_id ASC).
+
+    Scale: input lists are already top-k per query (tiny per query), so
+    every shuffle here is query-keyed and bounded by k * n_lists rows
+    per query — nothing corpus-sized.
+    """
+    u = None
+    for r in ranked_lists:
+        part = r.select(
+            query_col,
+            id_col,
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col))).alias(
+                "_rr"
+            ),
+        )
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.round(F.sum("_rr") * 1000000).cast("long").alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: DataFrame,

@@ -253,3 +253,62 @@ def _budget_prefix(
         .drop("_ob", "_boff")
     )
     return out
+
+
+def priority_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    hash_fn=None,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund, Thorup 2007): priority = w / u with u a
+    deterministic U(0,1] hash of the id; keep the n highest priorities.
+    Higher-weight records win proportionally more often, no record twice,
+    and membership is a pure function of (id, weight, the other rows'
+    priorities) — re-runs and re-partitionings agree exactly.
+
+    Engine-neutral by construction: u = (h + 1) / 2^60 and w / u are
+    IEEE core ops (correctly rounded, identical across engines), unlike
+    the textbook exponential/pow keys (-ln(u)/w, u^(1/w)) whose libm
+    transcendentals differ in the last ulp between runtimes. Ties broken
+    by id ASC. ``hash_fn(string_col) -> long in [0, 2^60)`` swaps in the
+    DuckDB-reproducible md5 hash for oracle-checked variants.
+
+    Scale: priorities are codegen'd column math. Per-group quotas use a
+    group-keyed top-n window. The GLOBAL case never runs a global window
+    or sort: ``orderBy().limit(n)`` compiles to TakeOrderedAndProject
+    (per-partition heap top-n, driver-side merge of n rows/partition),
+    and the rank window then runs over the n surviving rows only.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    s = F.col(id_col).cast("string")
+    h = (
+        hash_fn(s)
+        if hash_fn is not None
+        else F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(2**60))
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    d = df.withColumn("priority", w.cast("double") / u)
+    gc = list(group_cols)
+    if gc:
+        win = Window.partitionBy(*gc).orderBy(
+            F.col("priority").desc(), F.col(id_col).asc()
+        )
+        return (
+            d.withColumn("sample_rank", F.row_number().over(win).cast("int"))
+            .filter(F.col("sample_rank") <= n)
+            .drop("priority")
+        )
+    top = d.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(n)
+    win = Window.partitionBy().orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    return top.withColumn(
+        "sample_rank", F.row_number().over(win).cast("int")
+    ).drop("priority")
