@@ -2334,6 +2334,20 @@ def q_conv_tool_transitions(spark, sf_dir):
     return tool_transitions(t)
 
 
+def q_join_key_skew(spark, sf_dir):
+    """Ex-ante key-skew histogram (r5,
+    `operators/blocking.py::key_skew_report`) — the diagnostic a
+    shuffle-heavy job runs before choosing salting/AQE strategy, here
+    over lineitem's supplier join key: top-20 keys with row counts,
+    micro-unit shares, rank on the neutral (n DESC, key ASC) key, and
+    self-describing totals. One map-side-combined aggregate + a
+    TakeOrderedAndProject — no global sort. Complements the post-hoc
+    `capped_block_stats` audit the ER pipeline logs per stage."""
+    from fel_spark.operators.blocking import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), ["l_suppkey"], 20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2472,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf": q_doc_hybrid_rrf,
         "doc_priority_sample": q_doc_priority_sample,
         "conv_tool_transitions": q_conv_tool_transitions,
+        "join_key_skew": q_join_key_skew,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5011,6 +5026,30 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY tool
                        ORDER BY n DESC, next_tool ASC) AS INT) AS rank
             FROM pairs
+        """,
+        # join_key_skew: same hash-agg -> totals -> top-20 -> micro-share
+        # chain; sum(n) CAST to BIGINT (the conv_integrity HUGEINT lesson)
+        "join_key_skew": """
+            WITH counts AS (
+                SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1
+            ),
+            totals AS (
+                SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                       CAST(count(*) AS BIGINT) AS n_keys
+                FROM counts
+            ),
+            top AS (
+                SELECT l_suppkey, n,
+                       row_number() OVER (
+                           ORDER BY n DESC, l_suppkey ASC) AS rank
+                FROM counts ORDER BY n DESC, l_suppkey ASC LIMIT 20
+            )
+            SELECT t.l_suppkey, t.n,
+                   CAST(round(t.n * 1000000.0 / s.total_rows) AS BIGINT)
+                       AS share_6dp,
+                   CAST(t.rank AS INT) AS rank,
+                   s.total_rows, s.n_keys
+            FROM top t CROSS JOIN totals s
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE

@@ -125,3 +125,50 @@ def candidate_pairs(
     b = blocked.select([F.col(c).alias(f"{c}_b") for c in cols[:-1]] + [F.col("block_key")])
     pairs = a.join(b, "block_key").filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
     return pairs.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-key skew histogram — the diagnostic a shuffle-heavy job runs
+    BEFORE picking its salting / AQE strategy (`capped_block_stats` is
+    the post-hoc audit of what the cap then dropped; this is the
+    ex-ante view of WHICH keys are hot and how hot).
+
+    Returns the ``top_n`` heaviest keys with their row count, share of
+    all rows in micro units (round(1e6 * n / total) — engine-replayable
+    integer output), the total key cardinality and row count (constant
+    columns, so one row of the report is self-describing in a log), and
+    a rank on the engine-neutral (n DESC, key ASC) key.
+
+    Scale: one hash aggregate (map-side combined, so the shuffle is
+    #distinct keys, not #rows), a 1-row totals aggregate broadcast by
+    cross join, and a TakeOrderedAndProject top-n — no global sort, no
+    global window over the key table.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    order = [F.col("n").desc()] + [F.col(c).asc() for c in key_cols]
+    top = counts.orderBy(*order).limit(top_n)
+    win = Window.partitionBy().orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(win).cast("int"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n") * 1000000.0 / F.col("total_rows"))
+            .cast("long")
+            .alias("share_6dp"),
+            "rank",
+            "total_rows",
+            "n_keys",
+        )
+    )

@@ -179,3 +179,50 @@ def test_tool_transitions_hand_counted(spark):
     # neutral tie-break: browse->browse (n=1) ranks before browse->search
     assert out[("browse", "browse")][2] == 1
     assert out[("browse", "search")][2] == 2
+
+
+def test_key_skew_report_exact_and_surfaces_hot_lsh_band(spark):
+    from fel_spark.operators.blocking import (
+        blocking_keys,
+        cap_blocks,
+        key_skew_report,
+    )
+
+    # exact replay on a known distribution
+    rows = [(i, "k" + str(i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+    rep = key_skew_report(df, ["key"], 3).collect()
+    assert len(rep) == 3
+    assert rep[0]["n_keys"] == 5 and rep[0]["total_rows"] == 100
+    assert {r["key"]: r["n"] for r in rep} == {"k0": 20, "k1": 20, "k2": 20}
+    assert all(r["share_6dp"] == 200000 for r in rep)
+    assert [r["key"] for r in sorted(rep, key=lambda r: r["rank"])] == [
+        "k0",
+        "k1",
+        "k2",
+    ]
+
+    # the ER use: a planted hot alias floods one LSH band key; the
+    # report surfaces it ex ante, and cap_blocks then bounds it
+    mentions = spark.createDataFrame(
+        [(i, "acme corporation", i % 7) for i in range(300)]
+        + [(1000 + i, f"unique alias {i} xq{i}", i) for i in range(60)],
+        ["mention_id", "span", "entity_id"],
+    )
+    blocked = blocking_keys(mentions, use_entity_block=False)
+    rep = key_skew_report(blocked, ["block_key"], 5).collect()
+    # every band key of the planted alias holds >= 300 rows; the top
+    # entries must all be hot and carry the dominant share
+    assert rep[0]["n"] >= 300
+    hot_key = rep[0]["block_key"]
+    capped = cap_blocks(blocked, max_block=64)
+    sizes = {
+        r["block_key"]: r["n"]
+        for r in capped.groupBy("block_key").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert hot_key not in sizes  # the hot key was salted into shards
+    assert all(
+        n <= 64 + 8 for k, n in sizes.items() if k.startswith(hot_key)
+    )
