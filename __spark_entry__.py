@@ -2348,6 +2348,63 @@ def q_join_key_skew(spark, sf_dir):
     return key_skew_report(_t(spark, sf_dir, "lineitem"), ["l_suppkey"], 20)
 
 
+def q_er_bcubed_ari(spark, sf_dir):
+    """Clustering-quality metrics for ER output (r5,
+    `operators/evalmetrics.py` — B-cubed, Bagga & Baldwin 1998, and
+    Adjusted Rand Index, Hubert & Arabie 1985): gold clusters are
+    doc_id % 40; the predicted clustering plants BOTH error types
+    (doc_id % 7 == 0 records split off into 5 spurious clusters; gold
+    clusters 0 and 1 merged), so precision and recall separate. Both
+    metrics reduce to the (pred, gold) contingency table — ONE
+    corpus-scale aggregate, no record-pair join — and the oracle
+    replays the identical c^2 / C(n,2) algebra with every op in the
+    same order."""
+    from fel_spark.operators.evalmetrics import bcubed_ari
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 40
+    pred = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(1000) + F.col("doc_id") % 5)
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return bcubed_ari(assign)
+
+
+def q_conv_exact_dedup(spark, sf_dir):
+    """Conversation-level exact dedup (r5,
+    `operators/convstats.py::conversation_dedup`): the repeated unit in
+    a transcript corpus is the CONVERSATION (re-ingested/replayed
+    sessions), which row-level exact dedup misses. Transcript shape
+    derived from events under the conv_integrity neutral rank key with
+    text = event_type — so conversations with identical event-type
+    sequences form real duplicate groups, and a residual rank-key tie
+    implies equal text, making the ordered fingerprint tie-permutation
+    invariant. Oracle replays the fixed-width per-turn-md5 join via
+    string_agg ORDER BY the same key."""
+    from fel_spark.operators.convstats import conversation_dedup
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.coalesce(F.col("event_id"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("event_type"), F.lit("")),
+    )
+    t = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("turn_idx", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "turn_idx",
+            F.coalesce(F.col("event_type"), F.lit("")).alias("text"),
+        )
+    )
+    return conversation_dedup(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2487,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_priority_sample": q_doc_priority_sample,
         "conv_tool_transitions": q_conv_tool_transitions,
         "join_key_skew": q_join_key_skew,
+        "er_bcubed_ari": q_er_bcubed_ari,
+        "conv_exact_dedup": q_conv_exact_dedup,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5050,6 +5109,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.rank AS INT) AS rank,
                    s.total_rows, s.n_keys
             FROM top t CROSS JOIN totals s
+        """,
+        # er_bcubed_ari: contingency-table algebra replayed op-for-op
+        # (c^2/pn sums are exact-integer doubles; a/b1/b2 CAST to BIGINT)
+        "er_bcubed_ari": """
+            WITH assign AS (
+                SELECT CASE WHEN doc_id % 7 = 0 THEN 1000 + doc_id % 5
+                            WHEN doc_id % 40 < 2 THEN 0
+                            ELSE doc_id % 40 END AS pred,
+                       doc_id % 40 AS gold
+                FROM documents
+            ),
+            cells AS (
+                SELECT pred, gold, count(*) AS c FROM assign GROUP BY 1, 2
+            ),
+            psz AS (
+                SELECT pred, CAST(sum(c) AS BIGINT) AS pn
+                FROM cells GROUP BY 1
+            ),
+            gsz AS (
+                SELECT gold, CAST(sum(c) AS BIGINT) AS gn
+                FROM cells GROUP BY 1
+            ),
+            per AS (
+                SELECT sum(c * c / pn) AS sp, sum(c * c / gn) AS sg,
+                       CAST(sum(c * (c - 1) / 2) AS BIGINT) AS a,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM cells JOIN psz USING (pred) JOIN gsz USING (gold)
+            ),
+            bb1 AS (
+                SELECT CAST(sum(pn * (pn - 1) / 2) AS BIGINT) AS b1 FROM psz
+            ),
+            bb2 AS (
+                SELECT CAST(sum(gn * (gn - 1) / 2) AS BIGINT) AS b2 FROM gsz
+            ),
+            fin AS (
+                SELECT n, sp, sg, a,
+                       (b1 * b2) / (n * (n - 1) / 2) AS e,
+                       (b1 + b2) / 2.0 AS m
+                FROM per CROSS JOIN bb1 CROSS JOIN bb2
+            )
+            SELECT n AS n_records,
+                   CAST(round(sp / n * 1000000) AS BIGINT) AS b3_p_micro,
+                   CAST(round(sg / n * 1000000) AS BIGINT) AS b3_r_micro,
+                   CAST(round((2.0 * (sp / n) * (sg / n))
+                              / ((sp / n) + (sg / n)) * 1000000) AS BIGINT)
+                       AS b3_f1_micro,
+                   CAST(round((CASE WHEN m - e = 0 THEN 1.0
+                                    ELSE (a - e) / (m - e) END)
+                              * 1000000) AS BIGINT) AS ari_micro
+            FROM fin
+        """,
+        # conv_exact_dedup: ordered-fingerprint replay via string_agg of
+        # per-turn md5s (fixed-width — separator injection impossible)
+        # ORDER BY the same neutral key (a residual tie implies equal
+        # text, so the joined string is tie-permutation invariant)
+        "conv_exact_dedup": """
+            WITH per AS (
+                SELECT user_id AS conv_id,
+                       md5(string_agg(md5(coalesce(event_type, '')), chr(31)
+                           ORDER BY ts ASC NULLS LAST,
+                                    coalesce(event_id,
+                                             -4611686018427387904),
+                                    coalesce(event_type, ''))) AS conv_fp,
+                       count(*) AS n_turns
+                FROM events
+                GROUP BY user_id
+            )
+            SELECT conv_id, conv_fp, n_turns,
+                   count(*) OVER (PARTITION BY conv_fp) AS dup_group_size,
+                   conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
+                       AS is_canonical
+            FROM per
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE

@@ -159,3 +159,52 @@ def tool_transitions(
         .cast("long")
         .alias("p_6dp"),
     ).withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+def conversation_dedup(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact conversation-level dedup: two conversations are duplicates
+    iff their turn texts agree in turn order. The fingerprint is md5
+    over the joined PER-TURN md5s sorted by turn index — fixed-width
+    tokens, so a text containing the separator can never alias a
+    different turn split (document-level exact dedup —
+    `dedup.exact_dedup` — misses these: each turn row is unique, the
+    CONVERSATION is the repeated unit, e.g. re-ingested or replayed
+    sessions in a transcript corpus).
+
+    Returns one row per conversation: (conv_id, conv_fp, n_turns,
+    dup_group_size, is_canonical) with the canonical = min conv_id per
+    fingerprint group (the same keep-first convention as exact_dedup).
+
+    Scale: one conversation-keyed aggregate (collect_list is bounded by
+    turns-per-conversation, not corpus size) and one fingerprint-keyed
+    window — both shuffles are key-local; no pair materialization.
+    """
+    from pyspark.sql import Window
+
+    per = transcripts.groupBy(conv_col).agg(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(idx_col, text_col))
+                    ),
+                    lambda s: F.md5(s[text_col]),
+                ),
+            )
+        ).alias("conv_fp"),
+        F.count("*").alias("n_turns"),
+    )
+    w = Window.partitionBy("conv_fp")
+    return per.select(
+        conv_col,
+        "conv_fp",
+        "n_turns",
+        F.count("*").over(w).alias("dup_group_size"),
+        (F.col(conv_col) == F.min(conv_col).over(w)).alias("is_canonical"),
+    )

@@ -63,6 +63,18 @@ def main() -> int:
     # span-level); the invariant holds on the turn view, which passes
     # through by reference — validated input-vs-turn-view like the e2e test
     invariant_ok = validate_invariant(t, t)
+    # cluster-level metrics (B-cubed / ARI) over gold-labeled mentions —
+    # complements the pairwise-F1 BASELINE metric with the coreference
+    # community's standard clustering scores
+    from pyspark.sql import functions as F
+
+    from fel_spark.operators.evalmetrics import bcubed_ari
+
+    g = gold_mentions(corpus).select(
+        "mention_id", F.col("entity_id").alias("gold")
+    )
+    pm = res.mentions.select("mention_id", F.col("cluster_id").alias("pred"))
+    cm = bcubed_ari(pm.join(g, "mention_id")).collect()[0]
     out = {
         "turns": args.n_conv * args.turns_per_conv,
         "entities": args.entities,
@@ -72,6 +84,10 @@ def main() -> int:
         "f1": round(m["f1"], 6),
         "f1_target_met": m["f1"] >= 0.99,
         "per_turn_text_invariant": bool(invariant_ok),
+        "bcubed_precision": cm["b3_p_micro"] / 1e6,
+        "bcubed_recall": cm["b3_r_micro"] / 1e6,
+        "bcubed_f1": cm["b3_f1_micro"] / 1e6,
+        "ari": cm["ari_micro"] / 1e6,
     }
     spark.stop()
     print(json.dumps(out))

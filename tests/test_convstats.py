@@ -135,3 +135,40 @@ def test_conv_integrity_oracle_with_null_ts_and_ties(spark, tmp_path):
     by_id = {r[0]: r for r in srows}
     assert any(r["n_dup_idx"] > 0 for r in res.collect())
     assert by_id[11] != by_id[1]  # corruption branch fired
+
+
+def test_conversation_dedup_groups_and_canonical(spark):
+    from fel_spark.operators.convstats import conversation_dedup
+
+    # c1 and c3 are exact duplicates (same texts in turn order) even
+    # though c3's rows arrive permuted; c2 differs in one turn; c4 is a
+    # PREFIX of c1 (must NOT collapse — different n_turns, different fp)
+    rows = [
+        ("c1", 1, "hi"), ("c1", 2, "how do I reset?"), ("c1", 3, "thanks"),
+        ("c2", 1, "hi"), ("c2", 2, "how do I reset?"), ("c2", 3, "bye"),
+        ("c3", 3, "thanks"), ("c3", 1, "hi"), ("c3", 2, "how do I reset?"),
+        ("c4", 1, "hi"), ("c4", 2, "how do I reset?"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["conv_id"]: r for r in conversation_dedup(df).collect()}
+    assert len(out) == 4
+    assert out["c1"]["conv_fp"] == out["c3"]["conv_fp"]
+    assert out["c1"]["conv_fp"] != out["c2"]["conv_fp"]
+    assert out["c1"]["conv_fp"] != out["c4"]["conv_fp"]
+    assert out["c1"]["dup_group_size"] == 2
+    assert out["c1"]["is_canonical"] and not out["c3"]["is_canonical"]
+    assert out["c2"]["is_canonical"] and out["c4"]["is_canonical"]
+    assert out["c4"]["n_turns"] == 2
+
+
+def test_conversation_dedup_separator_injection(spark):
+    from fel_spark.operators.convstats import conversation_dedup
+
+    # a text containing the \x1f separator must not alias a two-turn
+    # conversation onto a one-turn one: per-turn md5s are fixed-width,
+    # so the joined fingerprint cannot be forged by embedded separators
+    rows = [("a", 1, "x\x1fy"), ("b", 1, "x"), ("b", 2, "y")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["conv_id"]: r for r in conversation_dedup(df).collect()}
+    assert out["a"]["conv_fp"] != out["b"]["conv_fp"]
+    assert out["a"]["dup_group_size"] == 1 and out["b"]["dup_group_size"] == 1

@@ -226,3 +226,50 @@ def test_key_skew_report_exact_and_surfaces_hot_lsh_band(spark):
     assert all(
         n <= 64 + 8 for k, n in sizes.items() if k.startswith(hot_key)
     )
+
+
+def test_bcubed_ari_against_python_replay(spark):
+    from collections import Counter
+
+    from fel_spark.operators.evalmetrics import bcubed_ari
+
+    rows = [(i, i % 6, (i % 6) if i % 4 else 99) for i in range(120)]
+    df = spark.createDataFrame(rows, ["rid", "gold", "pred"])
+    got = bcubed_ari(df).collect()[0]
+
+    cells = Counter((p, g) for _, g, p in rows)
+    pn = Counter()
+    gn = Counter()
+    for (p, g), c in cells.items():
+        pn[p] += c
+        gn[g] += c
+    n = sum(cells.values())
+    sp = sum(c * c / pn[p] for (p, g), c in cells.items())
+    sg = sum(c * c / gn[g] for (p, g), c in cells.items())
+    a = sum(c * (c - 1) // 2 for c in cells.values())
+    b1 = sum(c * (c - 1) // 2 for c in pn.values())
+    b2 = sum(c * (c - 1) // 2 for c in gn.values())
+    e = b1 * b2 / (n * (n - 1) / 2)
+    m = (b1 + b2) / 2.0
+    p_, r_ = sp / n, sg / n
+    assert got["n_records"] == n
+    assert got["b3_p_micro"] == round(p_ * 1e6)
+    assert got["b3_r_micro"] == round(r_ * 1e6)
+    assert got["b3_f1_micro"] == round(2.0 * p_ * r_ / (p_ + r_) * 1e6)
+    assert got["ari_micro"] == round((a - e) / (m - e) * 1e6)
+
+
+def test_bcubed_ari_perfect_clustering_is_all_ones(spark):
+    from fel_spark.operators.evalmetrics import bcubed_ari
+
+    df = spark.createDataFrame(
+        [(i, i % 4, 10 + i % 4) for i in range(40)], ["rid", "gold", "pred"]
+    )
+    got = bcubed_ari(df).collect()[0]
+    assert (
+        got["b3_p_micro"]
+        == got["b3_r_micro"]
+        == got["b3_f1_micro"]
+        == got["ari_micro"]
+        == 1000000
+    )
