@@ -2405,6 +2405,52 @@ def q_conv_exact_dedup(spark, sf_dir):
     return conversation_dedup(t)
 
 
+def q_er_blocking_quality(spark, sf_dir):
+    """Blocking-scheme evaluation (r5, `operators/blocking.py::
+    blocking_quality` — Christen 2012 ch.7): reduction ratio, pairs
+    completeness, pairs quality over a deterministic two-key blocking
+    (mod-13 and mod-17 residue keys, so pairs congruent mod 221 are
+    co-blocked by BOTH keys and the distinct-pair dedup is exercised)
+    with gold = doc_id % 40. The oracle replays the distinct blocked
+    self-join and the exact micro-unit ratio algebra."""
+    from fel_spark.operators.blocking import blocking_quality
+
+    d = _t(spark, sf_dir, "documents")
+    blocked = d.select(
+        F.col("doc_id").alias("record_id"),
+        F.concat(F.lit("m13:"), (F.col("doc_id") % 13).cast("string")).alias(
+            "block_key"
+        ),
+    ).unionAll(
+        d.select(
+            F.col("doc_id").alias("record_id"),
+            F.concat(
+                F.lit("m17:"), (F.col("doc_id") % 17).cast("string")
+            ).alias("block_key"),
+        )
+    )
+    gold = d.select(
+        F.col("doc_id").alias("record_id"),
+        (F.col("doc_id") % 40).alias("gold"),
+    )
+    return blocking_quality(blocked, gold)
+
+
+def q_er_golden_records(spark, sf_dir):
+    """Survivorship / golden-record fusion (r5,
+    `operators/fusion.py::golden_records` — Bleiholder & Naumann 2008):
+    majority-vote canonical (lang, source) per cluster (= doc_id % 40)
+    with the engine-neutral (count DESC, value ASC) tie-break. Oracle
+    replays the long-form melt -> count -> window argmax -> pivot."""
+    from fel_spark.operators.fusion import golden_records
+
+    d = _t(spark, sf_dir, "documents")
+    recs = d.select(
+        (F.col("doc_id") % 40).alias("cluster_id"), "lang", "source"
+    )
+    return golden_records(recs, "cluster_id", ["lang", "source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2546,6 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_skew": q_join_key_skew,
         "er_bcubed_ari": q_er_bcubed_ari,
         "conv_exact_dedup": q_conv_exact_dedup,
+        "er_blocking_quality": q_er_blocking_quality,
+        "er_golden_records": q_er_golden_records,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5181,6 +5229,98 @@ def oracle_sql() -> dict[str, str]:
                    conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
                        AS is_canonical
             FROM per
+        """,
+        # er_blocking_quality: distinct blocked self-join + exact
+        # micro-unit ratio algebra, op order mirrored (C(N,2) in double)
+        "er_blocking_quality": """
+            WITH blocked AS (
+                SELECT doc_id AS rid,
+                       'm13:' || CAST(doc_id % 13 AS VARCHAR) AS block_key
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       'm17:' || CAST(doc_id % 17 AS VARCHAR)
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id AS rid, doc_id % 40 AS gold FROM documents
+            ),
+            pairs AS (
+                SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+                FROM blocked a JOIN blocked b USING (block_key)
+                WHERE a.rid < b.rid
+            ),
+            cand AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+                       CAST(sum(CASE WHEN ga.gold = gb.gold
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_covered_gold_pairs
+                FROM pairs
+                JOIN g ga ON ga.rid = pairs.id_a
+                JOIN g gb ON gb.rid = pairs.id_b
+            ),
+            rec AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM g),
+            gp AS (
+                SELECT CAST(sum(gn * (gn - 1) / 2) AS BIGINT)
+                           AS n_gold_pairs
+                FROM (SELECT count(*) AS gn FROM g GROUP BY gold)
+            ),
+            blk AS (
+                SELECT CAST(count(DISTINCT block_key) AS BIGINT) AS n_blocks
+                FROM blocked
+            )
+            SELECT n_records, n_blocks, n_candidate_pairs, n_gold_pairs,
+                   n_covered_gold_pairs,
+                   CAST(round((1 - n_candidate_pairs /
+                               (CAST(n_records AS DOUBLE) * (n_records - 1)
+                                / 2)) * 1000000) AS BIGINT)
+                       AS reduction_ratio_micro,
+                   CAST(round(n_covered_gold_pairs / CAST(n_gold_pairs
+                              AS DOUBLE) * 1000000) AS BIGINT)
+                       AS pairs_completeness_micro,
+                   CAST(round(n_covered_gold_pairs / CAST(n_candidate_pairs
+                              AS DOUBLE) * 1000000) AS BIGINT)
+                       AS pairs_quality_micro
+            FROM cand CROSS JOIN rec CROSS JOIN gp CROSS JOIN blk
+        """,
+        # er_golden_records: long-form melt -> (cluster, attr, val)
+        # count -> (n DESC, val ASC) window argmax -> pivot back
+        "er_golden_records": """
+            WITH stacked AS (
+                SELECT doc_id % 40 AS cluster_id, 'lang' AS attr,
+                       lang AS val
+                FROM documents WHERE lang IS NOT NULL
+                UNION ALL
+                SELECT doc_id % 40, 'source', source
+                FROM documents WHERE source IS NOT NULL
+            ),
+            counts AS (
+                SELECT cluster_id, attr, val,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM stacked GROUP BY 1, 2, 3
+            ),
+            best AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY cluster_id, attr
+                           ORDER BY n DESC, val ASC) AS rk
+                FROM counts
+            ),
+            members AS (
+                SELECT doc_id % 40 AS cluster_id,
+                       CAST(count(*) AS BIGINT) AS n_members
+                FROM documents GROUP BY 1
+            )
+            SELECT m.cluster_id, m.n_members,
+                   max(CASE WHEN attr = 'lang' THEN val END) AS lang,
+                   CAST(max(CASE WHEN attr = 'lang' THEN n END) AS BIGINT)
+                       AS lang_support,
+                   max(CASE WHEN attr = 'source' THEN val END) AS source,
+                   CAST(max(CASE WHEN attr = 'source' THEN n END) AS BIGINT)
+                       AS source_support
+            FROM members m
+            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+                   USING (cluster_id)
+            GROUP BY 1, 2
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE

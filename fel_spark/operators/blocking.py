@@ -172,3 +172,95 @@ def key_skew_report(
             "n_keys",
         )
     )
+
+
+def blocking_quality(
+    blocked: DataFrame,
+    gold: DataFrame,
+    id_col: str = "record_id",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, *Data Matching* 2012, ch. 7):
+    reduction ratio, pairs completeness (blocking recall) and pairs
+    quality (blocking precision) — the three numbers that decide whether
+    a blocking key is usable BEFORE the expensive scoring pass runs.
+
+    ``blocked`` has one row per (record, block_key) assignment (a record
+    may carry several keys — LSH bands, multi-key schemes); ``gold`` has
+    one row per record with its true cluster id. Returns ONE row:
+
+    - ``n_records``, ``n_blocks``, ``n_candidate_pairs`` (distinct pairs
+      co-blocked by >= 1 key), ``n_gold_pairs`` (sum_g C(|g|,2)),
+      ``n_covered_gold_pairs`` (gold pairs that share a block);
+    - ``reduction_ratio_micro``  = 1e6 * (1 - cand / C(N,2));
+    - ``pairs_completeness_micro`` = 1e6 * covered / gold_pairs;
+    - ``pairs_quality_micro``      = 1e6 * covered / cand.
+
+    Scale: the distinct-pair count requires materializing the blocked
+    pairs — the SAME join the downstream scorer performs, so measuring
+    it costs one extra pass over work the pipeline does anyway; run it
+    on `cap_blocks` output (as the pipeline does) so hot keys cannot go
+    quadratic. C(N,2) is computed in double (N*(N-1) overflows int64
+    past ~4.3e9 records). All ratio outputs are micro-unit integers for
+    engine-exact replay.
+    """
+    g = gold.select(F.col(id_col).alias("rid"), F.col(gold_col).alias("gv"))
+    b = blocked.select(F.col(id_col).alias("rid"), "block_key").join(g, "rid")
+    a_side = b.select(
+        F.col("rid").alias("id_a"), F.col("gv").alias("g_a"), "block_key"
+    )
+    b_side = b.select(
+        F.col("rid").alias("id_b"), F.col("gv").alias("g_b"), "block_key"
+    )
+    pairs = (
+        a_side.join(b_side, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pairs.agg(
+        F.count("*").cast("long").alias("n_candidate_pairs"),
+        F.sum((F.col("g_a") == F.col("g_b")).cast("long"))
+        .cast("long")
+        .alias("n_covered_gold_pairs"),
+    )
+    rec = g.agg(F.count("*").cast("long").alias("n_records"))
+    gold_pairs = (
+        g.groupBy("gv")
+        .agg(F.count("*").alias("gn"))
+        .agg(
+            F.sum(F.col("gn") * (F.col("gn") - 1) / 2)
+            .cast("long")
+            .alias("n_gold_pairs")
+        )
+    )
+    blocks = blocked.agg(
+        F.countDistinct("block_key").cast("long").alias("n_blocks")
+    )
+    s = (
+        cand.crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(gold_pairs))
+        .crossJoin(F.broadcast(blocks))
+    )
+    total = F.col("n_records").cast("double") * (F.col("n_records") - 1) / 2
+    return s.select(
+        "n_records",
+        "n_blocks",
+        "n_candidate_pairs",
+        "n_gold_pairs",
+        "n_covered_gold_pairs",
+        F.round((1 - F.col("n_candidate_pairs") / total) * 1000000)
+        .cast("long")
+        .alias("reduction_ratio_micro"),
+        F.round(
+            F.col("n_covered_gold_pairs") / F.col("n_gold_pairs") * 1000000
+        )
+        .cast("long")
+        .alias("pairs_completeness_micro"),
+        F.round(
+            F.col("n_covered_gold_pairs")
+            / F.col("n_candidate_pairs")
+            * 1000000
+        )
+        .cast("long")
+        .alias("pairs_quality_micro"),
+    )
