@@ -2451,6 +2451,68 @@ def q_er_golden_records(spark, sf_dir):
     return golden_records(recs, "cluster_id", ["lang", "source"])
 
 
+def _fs_labeled_pairs(spark, sf_dir):
+    """Deterministic labeled candidate pairs for the Fellegi-Sunter
+    queries: mod-13 blocked self-join over documents, gold = doc_id % 40,
+    binary agreement features same_lang / same_source / close_len
+    (null-safe — IS NOT DISTINCT FROM semantics both engines)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = d.select(
+        *[F.col(c).alias(f"{c}_a") for c in d.columns],
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        *[F.col(c).alias(f"{c}_b") for c in d.columns],
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    p = a.join(b, "bk").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    return p.select(
+        F.col("doc_id_a").alias("id_a"),
+        F.col("doc_id_b").alias("id_b"),
+        F.col("lang_a").eqNullSafe(F.col("lang_b"))
+        .cast("long")
+        .alias("same_lang"),
+        F.col("source_a").eqNullSafe(F.col("source_b"))
+        .cast("long")
+        .alias("same_source"),
+        (F.abs(F.col("n_chars_a") - F.col("n_chars_b")) < 20)
+        .cast("long")
+        .alias("close_len"),
+        (F.col("doc_id_a") % 40 == F.col("doc_id_b") % 40)
+        .cast("long")
+        .alias("is_match"),
+    )
+
+
+_FS_FEATURES = ["same_lang", "same_source", "close_len"]
+
+
+def q_er_fs_weights(spark, sf_dir):
+    """Fellegi-Sunter m/u estimation (r5, `operators/linkage.py::
+    fs_weights` — Fellegi & Sunter 1969): per-feature match/non-match
+    agreement counts from labeled blocked pairs, add-half smoothed
+    m/u, log2 agreement/disagreement weights in micro units. One melt +
+    one feature-keyed hash aggregate; the oracle replays counts,
+    smoothing, and log algebra op-for-op."""
+    from fel_spark.operators.linkage import fs_weights
+
+    return fs_weights(_fs_labeled_pairs(spark, sf_dir), _FS_FEATURES)
+
+
+def q_er_fs_scores(spark, sf_dir):
+    """Fellegi-Sunter pair scoring (r5, `linkage.fs_score`): estimate
+    weights on the labeled pairs, then score every candidate pair as
+    the exact-integer sum of micro-unit per-feature weights (no float
+    sum-order sensitivity). Oracle replays estimate AND score."""
+    from fel_spark.operators.linkage import fs_score, fs_weights
+
+    pairs = _fs_labeled_pairs(spark, sf_dir)
+    w = fs_weights(pairs, _FS_FEATURES)
+    return fs_score(pairs, w, _FS_FEATURES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2594,6 +2656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_exact_dedup": q_conv_exact_dedup,
         "er_blocking_quality": q_er_blocking_quality,
         "er_golden_records": q_er_golden_records,
+        "er_fs_weights": q_er_fs_weights,
+        "er_fs_scores": q_er_fs_scores,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5320,6 +5384,120 @@ def oracle_sql() -> dict[str, str]:
             FROM members m
             LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
                    USING (cluster_id)
+            GROUP BY 1, 2
+        """,
+        # er_fs_weights / er_fs_scores: Fellegi-Sunter replay — melt ->
+        # feature-keyed counts -> add-half smoothing -> log2 weights;
+        # scoring sums the micro-integer weights per pair (exact int add)
+        "er_fs_weights": """
+            WITH d AS (
+                SELECT doc_id, lang, source, n_chars, doc_id % 13 AS bk
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                           AS same_lang,
+                       CAST(a.source IS NOT DISTINCT FROM b.source
+                            AS BIGINT) AS same_source,
+                       CAST(abs(a.n_chars - b.n_chars) < 20 AS BIGINT)
+                           AS close_len,
+                       CAST(a.doc_id % 40 = b.doc_id % 40 AS BIGINT)
+                           AS is_match
+                FROM d a JOIN d b USING (bk)
+                WHERE a.doc_id < b.doc_id
+            ),
+            melted AS (
+                SELECT is_match AS lbl, 'same_lang' AS feature,
+                       same_lang AS gamma FROM pairs
+                UNION ALL
+                SELECT is_match, 'same_source', same_source FROM pairs
+                UNION ALL
+                SELECT is_match, 'close_len', close_len FROM pairs
+            ),
+            g AS (
+                SELECT feature,
+                       CAST(sum(lbl) AS BIGINT) AS n_match,
+                       CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch,
+                       CAST(sum(gamma * lbl) AS BIGINT) AS n_agree_match,
+                       CAST(sum(gamma * (1 - lbl)) AS BIGINT)
+                           AS n_agree_nonmatch
+                FROM melted GROUP BY 1
+            )
+            SELECT feature, n_match, n_nonmatch, n_agree_match,
+                   n_agree_nonmatch,
+                   CAST(round((n_agree_match + 0.5) / (n_match + 1.0)
+                              * 1000000) AS BIGINT) AS m_micro,
+                   CAST(round((n_agree_nonmatch + 0.5) / (n_nonmatch + 1.0)
+                              * 1000000) AS BIGINT) AS u_micro,
+                   CAST(round(log2(((n_agree_match + 0.5) / (n_match + 1.0))
+                              / ((n_agree_nonmatch + 0.5)
+                                 / (n_nonmatch + 1.0))) * 1000000)
+                        AS BIGINT) AS w_agree_micro,
+                   CAST(round(log2((1 - (n_agree_match + 0.5)
+                                        / (n_match + 1.0))
+                              / (1 - (n_agree_nonmatch + 0.5)
+                                     / (n_nonmatch + 1.0))) * 1000000)
+                        AS BIGINT) AS w_disagree_micro
+            FROM g
+        """,
+        "er_fs_scores": """
+            WITH d AS (
+                SELECT doc_id, lang, source, n_chars, doc_id % 13 AS bk
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                           AS same_lang,
+                       CAST(a.source IS NOT DISTINCT FROM b.source
+                            AS BIGINT) AS same_source,
+                       CAST(abs(a.n_chars - b.n_chars) < 20 AS BIGINT)
+                           AS close_len,
+                       CAST(a.doc_id % 40 = b.doc_id % 40 AS BIGINT)
+                           AS is_match
+                FROM d a JOIN d b USING (bk)
+                WHERE a.doc_id < b.doc_id
+            ),
+            melted AS (
+                SELECT id_a, id_b, is_match AS lbl, 'same_lang' AS feature,
+                       same_lang AS gamma FROM pairs
+                UNION ALL
+                SELECT id_a, id_b, is_match, 'same_source', same_source
+                FROM pairs
+                UNION ALL
+                SELECT id_a, id_b, is_match, 'close_len', close_len
+                FROM pairs
+            ),
+            g AS (
+                SELECT feature,
+                       CAST(sum(gamma * lbl) AS BIGINT) AS n_agree_match,
+                       CAST(sum(lbl) AS BIGINT) AS n_match,
+                       CAST(sum(gamma * (1 - lbl)) AS BIGINT)
+                           AS n_agree_nonmatch,
+                       CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch
+                FROM melted GROUP BY 1
+            ),
+            w AS (
+                SELECT feature,
+                       CAST(round(log2(((n_agree_match + 0.5)
+                                        / (n_match + 1.0))
+                                  / ((n_agree_nonmatch + 0.5)
+                                     / (n_nonmatch + 1.0))) * 1000000)
+                            AS BIGINT) AS w_agree_micro,
+                       CAST(round(log2((1 - (n_agree_match + 0.5)
+                                            / (n_match + 1.0))
+                                  / (1 - (n_agree_nonmatch + 0.5)
+                                         / (n_nonmatch + 1.0))) * 1000000)
+                            AS BIGINT) AS w_disagree_micro
+                FROM g
+            )
+            SELECT id_a, id_b,
+                   CAST(sum(CASE WHEN gamma = 1 THEN w_agree_micro
+                                 ELSE w_disagree_micro END) AS BIGINT)
+                       AS fs_score_micro,
+                   CAST(sum(gamma) AS BIGINT) AS n_agree
+            FROM melted JOIN w USING (feature)
             GROUP BY 1, 2
         """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /

@@ -1,0 +1,118 @@
+"""Fellegi-Sunter probabilistic record linkage: m/u estimation + scoring.
+
+The canonical probabilistic framework for pairwise match scoring
+(Fellegi & Sunter 1969, JASA; the model behind Splink and most modern
+linkage engines). For each comparison feature k with binary agreement
+gamma_k on a candidate pair:
+
+    m_k = P(gamma_k = 1 | pair is a match)
+    u_k = P(gamma_k = 1 | pair is a non-match)
+
+    agreement weight     w_a(k) = log2(m_k / u_k)
+    disagreement weight  w_d(k) = log2((1 - m_k) / (1 - u_k))
+
+A pair's match score is the sum of per-feature weights (the
+log-likelihood ratio under conditional independence). The reference
+ranks alias candidates with exactly this shape of count-derived
+log-ratio score (`ranker/ProbabilityRanker.java` — prior/conditional
+count ratios); FS generalizes it to arbitrary agreement features.
+
+Scale shape: estimation melts the feature columns map-side (explode of
+a literal-width array — no shuffle) and reduces in ONE hash aggregate
+keyed by feature (dictionary-scale output). Scoring joins the tiny
+per-feature weight table (broadcast) against the melted pairs and
+re-aggregates per pair — one pair-keyed shuffle, nothing beyond the
+candidate-pair set the blocking stage already bounded.
+
+Probabilities are add-half (Jeffreys) smoothed — (agree + 0.5) /
+(n + 1.0) — so zero/complete agreement never yields infinite weights,
+and the arithmetic replays engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _melt_features(
+    pairs: DataFrame, feature_cols: list[str], keep: list[str]
+) -> DataFrame:
+    kvs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.col(c).cast("long").alias("gamma"),
+            )
+            for c in feature_cols
+        ]
+    )
+    return pairs.select(*keep, F.explode(kvs).alias("kv")).select(
+        *keep, "kv.feature", "kv.gamma"
+    )
+
+
+def fs_weights(
+    labeled_pairs: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Estimate per-feature m/u and log2 agreement/disagreement weights
+    from labeled candidate pairs (one row per pair; ``feature_cols`` are
+    0/1 agreement indicators, ``label_col`` is the 0/1 gold label).
+
+    Returns one row per feature: raw counts (n_match, n_nonmatch,
+    n_agree_match, n_agree_nonmatch — all BIGINT) plus smoothed
+    m/u and weights in micro units (round(1e6 * x))."""
+    lbl = F.col(label_col).cast("long")
+    melted = _melt_features(
+        labeled_pairs.withColumn("_lbl", lbl), feature_cols, ["_lbl"]
+    )
+    g = melted.groupBy("feature").agg(
+        F.sum("_lbl").cast("long").alias("n_match"),
+        F.sum(1 - F.col("_lbl")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("gamma") * F.col("_lbl"))
+        .cast("long")
+        .alias("n_agree_match"),
+        F.sum(F.col("gamma") * (1 - F.col("_lbl")))
+        .cast("long")
+        .alias("n_agree_nonmatch"),
+    )
+    m = (F.col("n_agree_match") + 0.5) / (F.col("n_match") + 1.0)
+    u = (F.col("n_agree_nonmatch") + 0.5) / (F.col("n_nonmatch") + 1.0)
+    return g.select(
+        "feature",
+        "n_match",
+        "n_nonmatch",
+        "n_agree_match",
+        "n_agree_nonmatch",
+        F.round(m * 1000000).cast("long").alias("m_micro"),
+        F.round(u * 1000000).cast("long").alias("u_micro"),
+        F.round(F.log2(m / u) * 1000000).cast("long").alias("w_agree_micro"),
+        F.round(F.log2((1 - m) / (1 - u)) * 1000000)
+        .cast("long")
+        .alias("w_disagree_micro"),
+    )
+
+
+def fs_score(
+    pairs: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str],
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Score candidate pairs with FS weights: per pair, sum w_agree for
+    agreeing features and w_disagree for disagreeing ones (micro units,
+    exact integer addition — no float sum-order sensitivity). Returns
+    (id_a, id_b, fs_score_micro, n_agree)."""
+    melted = _melt_features(pairs, feature_cols, list(id_cols))
+    w = F.broadcast(
+        weights.select("feature", "w_agree_micro", "w_disagree_micro")
+    )
+    scored = melted.join(w, "feature")
+    contrib = F.when(
+        F.col("gamma") == 1, F.col("w_agree_micro")
+    ).otherwise(F.col("w_disagree_micro"))
+    return scored.groupBy(*id_cols).agg(
+        F.sum(contrib).cast("long").alias("fs_score_micro"),
+        F.sum("gamma").cast("long").alias("n_agree"),
+    )

@@ -1,0 +1,83 @@
+"""Fellegi-Sunter m/u estimation and pair scoring."""
+
+from __future__ import annotations
+
+import math
+
+from fel_spark.operators.linkage import fs_score, fs_weights
+
+FEATS = ["f1", "f2"]
+
+
+def _pairs(spark):
+    # (id_a, id_b, f1, f2, is_match)
+    rows = [
+        (1, 2, 1, 1, 1),
+        (1, 3, 1, 0, 1),
+        (2, 3, 0, 1, 1),
+        (4, 5, 1, 0, 0),
+        (4, 6, 0, 0, 0),
+        (5, 6, 0, 0, 0),
+        (7, 8, 0, 1, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "id_a int, id_b int, f1 long, f2 long, is_match long"
+    )
+
+
+def test_fs_weights_python_replay(spark):
+    got = {r["feature"]: r for r in fs_weights(_pairs(spark), FEATS).collect()}
+    # f1: matches 3, agree 2; nonmatches 4, agree 1
+    r = got["f1"]
+    assert (r["n_match"], r["n_agree_match"]) == (3, 2)
+    assert (r["n_nonmatch"], r["n_agree_nonmatch"]) == (4, 1)
+    m = (2 + 0.5) / (3 + 1.0)
+    u = (1 + 0.5) / (4 + 1.0)
+    assert r["m_micro"] == round(m * 1e6)
+    assert r["u_micro"] == round(u * 1e6)
+    assert r["w_agree_micro"] == round(math.log2(m / u) * 1e6)
+    assert r["w_disagree_micro"] == round(
+        math.log2((1 - m) / (1 - u)) * 1e6
+    )
+
+
+def test_fs_weights_smoothing_never_infinite(spark):
+    # a feature that ALWAYS agrees on matches and NEVER on non-matches
+    # would have infinite weights unsmoothed; add-half keeps them finite
+    rows = [(1, 2, 1, 1), (3, 4, 1, 1), (5, 6, 0, 0), (7, 8, 0, 0)]
+    df = spark.createDataFrame(rows, "id_a int, id_b int, f1 long, is_match long")
+    r = fs_weights(df, ["f1"]).collect()[0]
+    assert r["w_agree_micro"] is not None
+    assert r["w_disagree_micro"] is not None
+    m = 2.5 / 3.0
+    u = 0.5 / 3.0
+    assert r["w_agree_micro"] == round(math.log2(m / u) * 1e6)
+
+
+def test_fs_score_separates_matches_from_nonmatches(spark):
+    pairs = _pairs(spark)
+    w = fs_weights(pairs, FEATS)
+    scored = {
+        (r["id_a"], r["id_b"]): r for r in fs_score(pairs, w, FEATS).collect()
+    }
+    assert len(scored) == 7
+    # exact integer sum of the per-feature micro weights
+    wrows = {r["feature"]: r for r in w.collect()}
+
+    def expect(f1, f2):
+        t = 0
+        for f, g in (("f1", f1), ("f2", f2)):
+            t += (
+                wrows[f]["w_agree_micro"]
+                if g
+                else wrows[f]["w_disagree_micro"]
+            )
+        return t
+
+    assert scored[(1, 2)]["fs_score_micro"] == expect(1, 1)
+    assert scored[(4, 6)]["fs_score_micro"] == expect(0, 0)
+    assert scored[(1, 2)]["n_agree"] == 2
+    # double agreement outranks double disagreement
+    assert (
+        scored[(1, 2)]["fs_score_micro"] > scored[(4, 6)]["fs_score_micro"]
+    )
