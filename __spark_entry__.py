@@ -2501,6 +2501,19 @@ def q_er_fs_weights(spark, sf_dir):
     return fs_weights(_fs_labeled_pairs(spark, sf_dir), _FS_FEATURES)
 
 
+def q_er_fs_em(spark, sf_dir):
+    """UNSUPERVISED Fellegi-Sunter via EM (r5, `linkage.fs_em_train` —
+    Winkler 1988; Splink's estimation engine): 3 fixed EM iterations on
+    the 2^K agreement-pattern histogram (the only corpus-scale work is
+    ONE hash aggregate; EM itself is dictionary-scale). Oracle unrolls
+    all iterations as generated CTEs with IEEE-identical arithmetic
+    forms (in-engine complements, left-associated products)."""
+    from fel_spark.operators.linkage import fs_em_train
+
+    pairs = _fs_labeled_pairs(spark, sf_dir).drop("is_match")
+    return fs_em_train(pairs, _FS_FEATURES, iters=3)
+
+
 def q_er_fs_scores(spark, sf_dir):
     """Fellegi-Sunter pair scoring (r5, `linkage.fs_score`): estimate
     weights on the labeled pairs, then score every candidate pair as
@@ -2658,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_records": q_er_golden_records,
         "er_fs_weights": q_er_fs_weights,
         "er_fs_scores": q_er_fs_scores,
+        "er_fs_em": q_er_fs_em,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -3010,6 +3024,88 @@ def _bpe_trained_apply_oracle(n_rounds: int = 16, max_words: int = 10_000) -> st
         FROM d{n_rounds}
     """
     return sql
+
+
+def _fs_em_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE replay of q_er_fs_em, generated from the same
+    iteration count (no transcription drift). Every arithmetic form
+    mirrors linkage.fs_em_train exactly: complements always evaluated
+    in-engine as ``1 - x`` (never pre-negated literals — 1 - 0.9 != the
+    literal 0.1 in binary), products left-associated in feature order
+    (lam * f1 * f2 * f3, matching the Python loop), posterior
+    p = pm / (pm + pu) in that order. Pattern-sum order is the only
+    permitted divergence (~1 ulp, absorbed by the micro rounding)."""
+    feats = ["same_lang", "same_source", "close_len"]
+    k = len(feats)
+
+    def prod(prefix: str, vals: list[str]) -> str:
+        parts = [prefix] + [
+            f"(CASE WHEN g{j + 1} = 1 THEN {v} ELSE 1 - {v} END)"
+            for j, v in enumerate(vals)
+        ]
+        return " * ".join(parts)
+
+    ctes = []
+    lam_e, m_e, u_e = "0.5", ["0.9"] * k, ["0.1"] * k
+    for i in range(1, iters + 1):
+        pm = prod(f"({lam_e})", m_e)
+        pu = prod(f"(1 - {lam_e})", u_e)
+        msel = ",\n                   ".join(
+            [
+                f"sum(p * c * g{j + 1}) / sum(p * c) AS m{j + 1}"
+                for j in range(k)
+            ]
+            + [
+                f"sum((1 - p) * c * g{j + 1}) / sum((1 - p) * c) AS u{j + 1}"
+                for j in range(k)
+            ]
+        )
+        src = "hist" if i == 1 else f"hist CROSS JOIN it{i - 1}"
+        ctes.append(
+            f"""it{i} AS (
+            SELECT sum(p * c) / sum(c) AS lam,
+                   {msel}
+            FROM (SELECT g1, g2, g3, c, pm / (pm + pu) AS p
+                  FROM (SELECT *, {pm} AS pm, {pu} AS pu
+                        FROM {src}) x) y
+        )"""
+        )
+        lam_e = "lam"
+        m_e = [f"m{j + 1}" for j in range(k)]
+        u_e = [f"u{j + 1}" for j in range(k)]
+    finals = "\n            UNION ALL\n".join(
+        f"""            SELECT '{f}' AS feature,
+                   CAST(round(m{j + 1} * 1000000) AS BIGINT) AS m_micro,
+                   CAST(round(u{j + 1} * 1000000) AS BIGINT) AS u_micro,
+                   CAST(round(lam * 1000000) AS BIGINT) AS lambda_micro,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS n_pairs
+            FROM it{iters}"""
+        for j, f in enumerate(feats)
+    )
+    cte_sql = ",\n        ".join(ctes)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang, source, n_chars, doc_id % 13 AS bk
+            FROM documents
+        ),
+        pairs AS (
+            SELECT CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                       AS same_lang,
+                   CAST(a.source IS NOT DISTINCT FROM b.source AS BIGINT)
+                       AS same_source,
+                   CAST(abs(a.n_chars - b.n_chars) < 20 AS BIGINT)
+                       AS close_len
+            FROM d a JOIN d b USING (bk)
+            WHERE a.doc_id < b.doc_id
+        ),
+        hist AS (
+            SELECT same_lang AS g1, same_source AS g2, close_len AS g3,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM pairs GROUP BY 1, 2, 3
+        ),
+        {cte_sql}
+{finals}
+    """
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -5500,6 +5596,9 @@ def oracle_sql() -> dict[str, str]:
             FROM melted JOIN w USING (feature)
             GROUP BY 1, 2
         """,
+        # er_fs_em: full 3-iteration EM unroll, generated from the same
+        # iteration count (see _fs_em_oracle)
+        "er_fs_em": _fs_em_oracle(3),
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters

@@ -116,3 +116,87 @@ def fs_score(
         F.sum(contrib).cast("long").alias("fs_score_micro"),
         F.sum("gamma").cast("long").alias("n_agree"),
     )
+
+
+def fs_em_train(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    iters: int = 3,
+    lam0: float = 0.5,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> DataFrame:
+    """UNSUPERVISED m/u estimation via expectation-maximization — the
+    label-free path (Winkler 1988; the estimation engine inside Splink).
+
+    The scale insight: pairs with the same agreement PATTERN have the
+    same posterior match probability, so EM never needs per-pair state —
+    it runs on the 2^K pattern histogram. The only corpus-scale work is
+    ONE hash aggregate (groupBy over the K binary features, map-side
+    combined); the fixed-iteration EM loop then runs driver-side on the
+    <= 2^K collected rows (the same gated dictionary-scale pattern as
+    BPE merge training — `tokenizer.py`).
+
+    Per iteration, for each pattern g (count c):
+
+        pm = lam * prod_k (m_k if g_k else 1 - m_k)
+        pu = (1 - lam) * prod_k (u_k if g_k else 1 - u_k)
+        p  = pm / (pm + pu)
+        lam' = sum(p c) / sum(c);  m_k' = sum(p c g_k) / sum(p c)
+        u_k' = sum((1-p) c g_k) / sum((1-p) c)
+
+    Complements are always computed as ``1 - x`` (never a pre-negated
+    literal) so an engine replay is IEEE-identical. Patterns are summed
+    in sorted-pattern order; outputs are micro-unit integers (half-up),
+    which absorbs sum-order ulps.
+
+    Returns one row per feature: (feature, m_micro, u_micro) plus the
+    self-describing constants lambda_micro, n_pairs.
+    """
+    import math
+
+    k = len(feature_cols)
+    hist_rows = sorted(
+        (tuple(int(r[c]) for c in feature_cols), int(r["c"]))
+        for r in pairs.groupBy(*feature_cols)
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    lam = lam0
+    m = [m0] * k
+    u = [u0] * k
+    for _ in range(iters):
+        sp = sc = 0.0
+        spg = [0.0] * k
+        sqg = [0.0] * k
+        sq = 0.0
+        for g, c in hist_rows:
+            pm = lam
+            pu = 1 - lam
+            for j in range(k):
+                pm *= m[j] if g[j] else 1 - m[j]
+                pu *= u[j] if g[j] else 1 - u[j]
+            p = pm / (pm + pu)
+            sp += p * c
+            sq += (1 - p) * c
+            sc += c
+            for j in range(k):
+                spg[j] += p * c * g[j]
+                sqg[j] += (1 - p) * c * g[j]
+        lam = sp / sc
+        m = [spg[j] / sp for j in range(k)]
+        u = [sqg[j] / sq for j in range(k)]
+
+    def micro(x: float) -> int:
+        return int(math.floor(x * 1000000 + 0.5))
+
+    n_pairs = sum(c for _, c in hist_rows)
+    out = [
+        (feature_cols[j], micro(m[j]), micro(u[j]), micro(lam), n_pairs)
+        for j in range(k)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        out,
+        "feature string, m_micro long, u_micro long, "
+        "lambda_micro long, n_pairs long",
+    )

@@ -81,3 +81,50 @@ def test_fs_score_separates_matches_from_nonmatches(spark):
     assert (
         scored[(1, 2)]["fs_score_micro"] > scored[(4, 6)]["fs_score_micro"]
     )
+
+
+def test_fs_em_recovers_latent_match_class(spark):
+    import random
+
+    from fel_spark.operators.linkage import fs_em_train
+
+    # latent ground truth: 30% matches; matches agree on each feature
+    # w.p. 0.95, non-matches w.p. 0.1 — EM gets NO labels
+    rng = random.Random(1234)
+    rows = []
+    n_match = 0
+    for i in range(4000):
+        is_m = rng.random() < 0.3
+        n_match += is_m
+        g = [
+            1 if rng.random() < (0.95 if is_m else 0.1) else 0
+            for _ in range(3)
+        ]
+        rows.append((i, i + 100000, *g))
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, f1 long, f2 long, f3 long"
+    )
+    out = {
+        r["feature"]: r
+        for r in fs_em_train(df, ["f1", "f2", "f3"], iters=20).collect()
+    }
+    lam = out["f1"]["lambda_micro"] / 1e6
+    assert abs(lam - n_match / 4000) < 0.05
+    for f in ("f1", "f2", "f3"):
+        m = out[f]["m_micro"] / 1e6
+        u = out[f]["u_micro"] / 1e6
+        assert m > 0.85 and u < 0.2, (f, m, u)
+    assert out["f1"]["n_pairs"] == 4000
+
+
+def test_fs_em_histogram_invariance(spark):
+    # EM must depend only on the pattern histogram: shuffling row order /
+    # repartitioning cannot change the result
+    from fel_spark.operators.linkage import fs_em_train
+
+    rows = [(i, i + 10_000, i % 2, (i // 2) % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, f1 long, f2 long")
+    a = fs_em_train(df, ["f1", "f2"], iters=5).collect()
+    b = fs_em_train(df.repartition(7).sortWithinPartitions("id_b"),
+                    ["f1", "f2"], iters=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
