@@ -2514,6 +2514,24 @@ def q_er_fs_em(spark, sf_dir):
     return fs_em_train(pairs, _FS_FEATURES, iters=3)
 
 
+def q_er_fs_em_scores(spark, sf_dir):
+    """Fully UNSUPERVISED pair scoring end-to-end (r5): EM-estimated
+    m/u (`fs_em_train`, no labels) -> log2 weights
+    (`fs_weights_from_mu`) -> exact-integer pair scores (`fs_score`).
+    The oracle chains the generated EM unroll, the weight derivation,
+    and the scoring sum — the whole label-free linkage path
+    value-checked as one query."""
+    from fel_spark.operators.linkage import (
+        fs_em_train,
+        fs_score,
+        fs_weights_from_mu,
+    )
+
+    pairs = _fs_labeled_pairs(spark, sf_dir).drop("is_match")
+    w = fs_weights_from_mu(fs_em_train(pairs, _FS_FEATURES, iters=3))
+    return fs_score(pairs, w, _FS_FEATURES)
+
+
 def q_er_fs_scores(spark, sf_dir):
     """Fellegi-Sunter pair scoring (r5, `linkage.fs_score`): estimate
     weights on the labeled pairs, then score every candidate pair as
@@ -2672,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_weights": q_er_fs_weights,
         "er_fs_scores": q_er_fs_scores,
         "er_fs_em": q_er_fs_em,
+        "er_fs_em_scores": q_er_fs_em_scores,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -3026,15 +3045,19 @@ def _bpe_trained_apply_oracle(n_rounds: int = 16, max_words: int = 10_000) -> st
     return sql
 
 
-def _fs_em_oracle(iters: int = 3) -> str:
-    """Unrolled-CTE replay of q_er_fs_em, generated from the same
-    iteration count (no transcription drift). Every arithmetic form
-    mirrors linkage.fs_em_train exactly: complements always evaluated
-    in-engine as ``1 - x`` (never pre-negated literals — 1 - 0.9 != the
-    literal 0.1 in binary), products left-associated in feature order
+def _fs_em_oracle(iters: int = 3, scores: bool = False) -> str:
+    """Unrolled-CTE replay of q_er_fs_em (and, with ``scores=True``, of
+    q_er_fs_em_scores: EM -> rounded-micro m/u -> log2 weights -> exact
+    integer pair-score sum), generated from the same iteration count
+    (no transcription drift). Every arithmetic form mirrors
+    linkage.fs_em_train exactly: complements always evaluated in-engine
+    as ``1 - x`` (never pre-negated literals — 1 - 0.9 != the literal
+    0.1 in binary), products left-associated in feature order
     (lam * f1 * f2 * f3, matching the Python loop), posterior
-    p = pm / (pm + pu) in that order. Pattern-sum order is the only
-    permitted divergence (~1 ulp, absorbed by the micro rounding)."""
+    p = pm / (pm + pu) in that order; the weight derivation reuses the
+    ROUNDED micro m/u exactly as fs_weights_from_mu does. Pattern-sum
+    order is the only permitted divergence (~1 ulp, absorbed by the
+    micro rounding)."""
     feats = ["same_lang", "same_source", "close_len"]
     k = len(feats)
 
@@ -3073,15 +3096,52 @@ def _fs_em_oracle(iters: int = 3) -> str:
         lam_e = "lam"
         m_e = [f"m{j + 1}" for j in range(k)]
         u_e = [f"u{j + 1}" for j in range(k)]
-    finals = "\n            UNION ALL\n".join(
-        f"""            SELECT '{f}' AS feature,
+    if scores:
+        wrows = "\n                UNION ALL\n".join(
+            f"""                SELECT '{f}' AS feature,
+                       CAST(round(log2(
+                           (CAST(round(m{j + 1} * 1000000) AS BIGINT)
+                            / 1000000.0)
+                           / (CAST(round(u{j + 1} * 1000000) AS BIGINT)
+                              / 1000000.0)) * 1000000) AS BIGINT)
+                           AS w_agree_micro,
+                       CAST(round(log2(
+                           (1 - CAST(round(m{j + 1} * 1000000) AS BIGINT)
+                                / 1000000.0)
+                           / (1 - CAST(round(u{j + 1} * 1000000) AS BIGINT)
+                                  / 1000000.0)) * 1000000) AS BIGINT)
+                           AS w_disagree_micro
+                FROM it{iters}"""
+            for j, f in enumerate(feats)
+        )
+        melted = "\n                UNION ALL\n".join(
+            f"""                SELECT id_a, id_b, '{f}' AS feature,
+                       {f} AS gamma FROM pairs"""
+            for f in feats
+        )
+        finals = f"""        , w AS (
+{wrows}
+        ),
+        melted AS (
+{melted}
+        )
+        SELECT id_a, id_b,
+               CAST(sum(CASE WHEN gamma = 1 THEN w_agree_micro
+                             ELSE w_disagree_micro END) AS BIGINT)
+                   AS fs_score_micro,
+               CAST(sum(gamma) AS BIGINT) AS n_agree
+        FROM melted JOIN w USING (feature)
+        GROUP BY 1, 2"""
+    else:
+        finals = "\n            UNION ALL\n".join(
+            f"""            SELECT '{f}' AS feature,
                    CAST(round(m{j + 1} * 1000000) AS BIGINT) AS m_micro,
                    CAST(round(u{j + 1} * 1000000) AS BIGINT) AS u_micro,
                    CAST(round(lam * 1000000) AS BIGINT) AS lambda_micro,
                    (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS n_pairs
             FROM it{iters}"""
-        for j, f in enumerate(feats)
-    )
+            for j, f in enumerate(feats)
+        )
     cte_sql = ",\n        ".join(ctes)
     return f"""
         WITH d AS (
@@ -3089,7 +3149,8 @@ def _fs_em_oracle(iters: int = 3) -> str:
             FROM documents
         ),
         pairs AS (
-            SELECT CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
                        AS same_lang,
                    CAST(a.source IS NOT DISTINCT FROM b.source AS BIGINT)
                        AS same_source,
@@ -5599,6 +5660,9 @@ def oracle_sql() -> dict[str, str]:
         # er_fs_em: full 3-iteration EM unroll, generated from the same
         # iteration count (see _fs_em_oracle)
         "er_fs_em": _fs_em_oracle(3),
+        # er_fs_em_scores: the full unsupervised path — EM unroll ->
+        # rounded-micro m/u -> log2 weights -> integer score sum
+        "er_fs_em_scores": _fs_em_oracle(3, scores=True),
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters

@@ -200,3 +200,20 @@ def fs_em_train(
         "feature string, m_micro long, u_micro long, "
         "lambda_micro long, n_pairs long",
     )
+
+
+def fs_weights_from_mu(mu: DataFrame) -> DataFrame:
+    """Derive log2 agreement/disagreement weights from an (m, u) table
+    in micro units (e.g. `fs_em_train` output) — the bridge that makes
+    the unsupervised path feed `fs_score` directly. The division by 1e6
+    and the log2 arguments are formed identically engine-side and in
+    the SQL replay."""
+    m = F.col("m_micro") / 1000000.0
+    u = F.col("u_micro") / 1000000.0
+    return mu.select(
+        "feature",
+        F.round(F.log2(m / u) * 1000000).cast("long").alias("w_agree_micro"),
+        F.round(F.log2((1 - m) / (1 - u)) * 1000000)
+        .cast("long")
+        .alias("w_disagree_micro"),
+    )

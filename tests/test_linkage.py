@@ -128,3 +128,31 @@ def test_fs_em_histogram_invariance(spark):
     b = fs_em_train(df.repartition(7).sortWithinPartitions("id_b"),
                     ["f1", "f2"], iters=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fs_weights_from_mu_bridges_em_to_score(spark):
+    import math
+
+    from fel_spark.operators.linkage import (
+        fs_em_train,
+        fs_score,
+        fs_weights_from_mu,
+    )
+
+    rows = [(i, i + 10_000, 1 if i % 3 == 0 else 0, i % 2)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, f1 long, f2 long")
+    mu = fs_em_train(df, ["f1", "f2"], iters=4)
+    w = {r["feature"]: r for r in fs_weights_from_mu(mu).collect()}
+    mu_rows = {r["feature"]: r for r in mu.collect()}
+    for f in ("f1", "f2"):
+        m = mu_rows[f]["m_micro"] / 1e6
+        u = mu_rows[f]["u_micro"] / 1e6
+        assert w[f]["w_agree_micro"] == round(math.log2(m / u) * 1e6)
+    scored = fs_score(df, fs_weights_from_mu(mu), ["f1", "f2"]).collect()
+    assert len(scored) == 300
+    expect = (
+        w["f1"]["w_agree_micro"] + w["f2"]["w_disagree_micro"]
+    )
+    got = {(r["id_a"], r["id_b"]): r["fs_score_micro"] for r in scored}
+    assert got[(0, 10_000)] == expect  # f1=1, f2=0
