@@ -268,3 +268,28 @@ def test_webdataset_samples_plan_has_one_exchange(spark):
     plan = samples(read_webdataset_bytes(mem), exts=("png", "txt")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_fs_pipeline_plans_no_cartesian_no_python(spark):
+    """Fellegi-Sunter estimation/scoring and blocking-quality are pure
+    DataFrame algebra: blocked equi-joins only (never cartesian), no
+    Python/pandas eval anywhere, and the melt is an explode (map-side,
+    no extra Exchange for the feature fan-out)."""
+    import __spark_entry__ as E
+
+    for q in ("er_fs_weights", "er_fs_scores", "er_blocking_quality"):
+        plan = _plan(E.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+
+
+def test_golden_records_plan_cluster_keyed(spark):
+    """Survivorship: no cartesian, no Python eval; the explode melt is
+    map-side (Generate node present, not an Exchange producer)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["er_golden_records"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
