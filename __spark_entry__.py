@@ -2501,6 +2501,31 @@ def q_er_fs_weights(spark, sf_dir):
     return fs_weights(_fs_labeled_pairs(spark, sf_dir), _FS_FEATURES)
 
 
+def q_er_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (r5, `operators/blocking.py::
+    sorted_neighborhood_pairs` — Hernandez & Stolfo 1995): window-5
+    candidate pairs over the composite sort key lang|source|lpad(n_chars)
+    with the sharded-rank construction (prefix-bucket offsets, NO global
+    single-partition window) and a band self-join. The oracle computes
+    the same ranks with a plain row_number and joins on the rank band —
+    value-equality proves the sharded ranks are exact."""
+    from fel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit("|"),
+            F.col("source"),
+            F.lit("|"),
+            F.lpad(F.col("n_chars").cast("string"), 6, "0"),
+        ).alias("snm_key"),
+    )
+    return sorted_neighborhood_pairs(
+        d, "snm_key", id_col="doc_id", window=5, prefix_len=2
+    )
+
+
 def q_er_fs_em(spark, sf_dir):
     """UNSUPERVISED Fellegi-Sunter via EM (r5, `linkage.fs_em_train` —
     Winkler 1988; Splink's estimation engine): 3 fixed EM iterations on
@@ -2691,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_scores": q_er_fs_scores,
         "er_fs_em": q_er_fs_em,
         "er_fs_em_scores": q_er_fs_em_scores,
+        "er_snm_pairs": q_er_snm_pairs,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5656,6 +5682,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gamma) AS BIGINT) AS n_agree
             FROM melted JOIN w USING (feature)
             GROUP BY 1, 2
+        """,
+        # er_snm_pairs: the oracle's plain row_number + rank-band join
+        # proves the engine's SHARDED rank construction exact
+        "er_snm_pairs": """
+            WITH d AS (
+                SELECT doc_id AS rid,
+                       lang || '|' || source || '|' ||
+                       lpad(CAST(n_chars AS VARCHAR), 6, '0') AS k
+                FROM documents
+            ),
+            r AS (
+                SELECT rid, CAST(row_number() OVER (ORDER BY k, rid)
+                                 AS BIGINT) AS rank
+                FROM d
+            )
+            SELECT a.rid AS id_a, b.rid AS id_b,
+                   a.rank AS rank_a, b.rank AS rank_b
+            FROM r a JOIN r b
+              ON b.rank > a.rank AND b.rank - a.rank <= 4
         """,
         # er_fs_em: full 3-iteration EM unroll, generated from the same
         # iteration count (see _fs_em_oracle)

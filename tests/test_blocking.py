@@ -72,3 +72,45 @@ def test_capped_block_stats_quantifies_drop(spark):
     assert got["pairs_before_cap"] == 45  # C(10,2)
     # 3 shards of ~3.33 rows -> well under 45
     assert 0 < got["est_pairs_after_cap"] < 45
+
+
+def test_snm_pairs_hand_example_and_prefix_invariance(spark):
+    from fel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    # sorted key order: aa(1) ab(2) ac(3) ba(4) bb(5) — window 3 pairs
+    # every rank distance <= 2
+    rows = [(10, "ba"), (11, "aa"), (12, "ac"), (13, "bb"), (14, "ab")]
+    df = spark.createDataFrame(rows, "record_id int, k string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["rank_a"], r["rank_b"])
+        for r in sorted_neighborhood_pairs(df, "k", window=3).collect()
+    }
+    # ranks: 11->1, 14->2, 12->3, 10->4, 13->5
+    expect = {
+        (11, 14): (1, 2), (11, 12): (1, 3), (14, 12): (2, 3),
+        (14, 10): (2, 4), (12, 10): (3, 4), (12, 13): (3, 5),
+        (10, 13): (4, 5),
+    }
+    assert got == expect
+    # result invariant to prefix_len AND to input partitioning
+    for pl in (1, 3, 10):
+        alt = {
+            (r["id_a"], r["id_b"]): (r["rank_a"], r["rank_b"])
+            for r in sorted_neighborhood_pairs(
+                df.repartition(4), "k", window=3, prefix_len=pl
+            ).collect()
+        }
+        assert alt == expect, pl
+
+
+def test_snm_pairs_null_keys_sort_first_and_window2(spark):
+    from fel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [(1, None), (2, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "record_id int, k string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "k", window=2).collect()
+    )
+    # window 2 -> only adjacent pairs; null ('' after coalesce) is rank 1
+    assert got == [(1, 2), (2, 3)]
