@@ -2557,6 +2557,20 @@ def q_er_fs_em_scores(spark, sf_dir):
     return fs_score(pairs, w, _FS_FEATURES)
 
 
+def q_er_fs_em_posteriors(spark, sf_dir):
+    """FS predict step (r5, `linkage.fs_posteriors`): per-pair posterior
+    match probability under the EM-estimated model + the Fellegi-Sunter
+    three-way decision (match / possible / non_match — the clerical-
+    review band). The parameter table is burned into column literals,
+    so the scoring pass is map-only codegen arithmetic with NO join;
+    the oracle chains the EM unroll into the same CASE products."""
+    from fel_spark.operators.linkage import fs_em_train, fs_posteriors
+
+    pairs = _fs_labeled_pairs(spark, sf_dir).drop("is_match")
+    params = fs_em_train(pairs, _FS_FEATURES, iters=3)
+    return fs_posteriors(pairs, params, _FS_FEATURES)
+
+
 def q_er_fs_scores(spark, sf_dir):
     """Fellegi-Sunter pair scoring (r5, `linkage.fs_score`): estimate
     weights on the labeled pairs, then score every candidate pair as
@@ -2717,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_em": q_er_fs_em,
         "er_fs_em_scores": q_er_fs_em_scores,
         "er_snm_pairs": q_er_snm_pairs,
+        "er_fs_em_posteriors": q_er_fs_em_posteriors,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -3071,7 +3086,7 @@ def _bpe_trained_apply_oracle(n_rounds: int = 16, max_words: int = 10_000) -> st
     return sql
 
 
-def _fs_em_oracle(iters: int = 3, scores: bool = False) -> str:
+def _fs_em_oracle(iters: int = 3, mode: str = "params") -> str:
     """Unrolled-CTE replay of q_er_fs_em (and, with ``scores=True``, of
     q_er_fs_em_scores: EM -> rounded-micro m/u -> log2 weights -> exact
     integer pair-score sum), generated from the same iteration count
@@ -3122,7 +3137,77 @@ def _fs_em_oracle(iters: int = 3, scores: bool = False) -> str:
         lam_e = "lam"
         m_e = [f"m{j + 1}" for j in range(k)]
         u_e = [f"u{j + 1}" for j in range(k)]
-    if scores:
+    if mode == "posteriors":
+        # rounded-micro params burned into scalars, then map-only CASE
+        # products per pair — mirrors fs_posteriors exactly
+        rparams = ", ".join(
+            [
+                "CAST(round(lam * 1000000) AS BIGINT) / 1000000.0 AS lam_r"
+            ]
+            + [
+                f"CAST(round(m{j + 1} * 1000000) AS BIGINT) / 1000000.0"
+                f" AS m{j + 1}_r"
+                for j in range(k)
+            ]
+            + [
+                f"CAST(round(u{j + 1} * 1000000) AS BIGINT) / 1000000.0"
+                f" AS u{j + 1}_r"
+                for j in range(k)
+            ]
+        )
+        pm = " * ".join(
+            ["(lam_r)"]
+            + [
+                f"(CASE WHEN {f} = 1 THEN m{j + 1}_r"
+                f" ELSE 1 - m{j + 1}_r END)"
+                for j, f in enumerate(feats)
+            ]
+        )
+        pu = " * ".join(
+            ["(1 - lam_r)"]
+            + [
+                f"(CASE WHEN {f} = 1 THEN u{j + 1}_r"
+                f" ELSE 1 - u{j + 1}_r END)"
+                for j, f in enumerate(feats)
+            ]
+        )
+        finals = f"""        , post AS (SELECT {rparams} FROM it{iters})
+        SELECT id_a, id_b,
+               CAST(round(pm / (pm + pu) * 1000000) AS BIGINT)
+                   AS posterior_micro,
+               CASE WHEN CAST(round(pm / (pm + pu) * 1000000) AS BIGINT)
+                         > 900000 THEN 'match'
+                    WHEN CAST(round(pm / (pm + pu) * 1000000) AS BIGINT)
+                         >= 100000 THEN 'possible'
+                    ELSE 'non_match' END AS decision
+        FROM (SELECT id_a, id_b, {pm} AS pm, {pu} AS pu
+              FROM pairs CROSS JOIN post) x"""
+        cte_sql = ",\n        ".join(ctes)
+        return f"""
+        WITH d AS (
+            SELECT doc_id, lang, source, n_chars, doc_id % 13 AS bk
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                       AS same_lang,
+                   CAST(a.source IS NOT DISTINCT FROM b.source AS BIGINT)
+                       AS same_source,
+                   CAST(abs(a.n_chars - b.n_chars) < 20 AS BIGINT)
+                       AS close_len
+            FROM d a JOIN d b USING (bk)
+            WHERE a.doc_id < b.doc_id
+        ),
+        hist AS (
+            SELECT same_lang AS g1, same_source AS g2, close_len AS g3,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM pairs GROUP BY 1, 2, 3
+        ),
+        {cte_sql}
+{finals}
+    """
+    if mode == "scores":
         wrows = "\n                UNION ALL\n".join(
             f"""                SELECT '{f}' AS feature,
                        CAST(round(log2(
@@ -5707,7 +5792,10 @@ def oracle_sql() -> dict[str, str]:
         "er_fs_em": _fs_em_oracle(3),
         # er_fs_em_scores: the full unsupervised path — EM unroll ->
         # rounded-micro m/u -> log2 weights -> integer score sum
-        "er_fs_em_scores": _fs_em_oracle(3, scores=True),
+        "er_fs_em_scores": _fs_em_oracle(3, mode="scores"),
+        # er_fs_em_posteriors: EM unroll -> rounded-micro scalar params
+        # -> map-only CASE products -> posterior + 3-way FS decision
+        "er_fs_em_posteriors": _fs_em_oracle(3, mode="posteriors"),
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters

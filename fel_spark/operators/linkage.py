@@ -217,3 +217,47 @@ def fs_weights_from_mu(mu: DataFrame) -> DataFrame:
         .cast("long")
         .alias("w_disagree_micro"),
     )
+
+
+def fs_posteriors(
+    pairs: DataFrame,
+    params: DataFrame,
+    feature_cols: list[str],
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    upper: float = 0.9,
+    lower: float = 0.1,
+) -> DataFrame:
+    """The predict step: posterior match probability per pair under the
+    estimated FS model (`fs_em_train` output), plus the Fellegi-Sunter
+    three-way decision rule — 'match' above ``upper``, 'non_match'
+    below ``lower``, 'possible' (the clerical-review band) between.
+
+        pm = lam * prod_k (m_k if gamma_k else 1 - m_k)
+        pu = (1 - lam) * prod_k (u_k if gamma_k else 1 - u_k)
+        posterior = pm / (pm + pu)
+
+    The k-row parameter table is collected (dictionary-scale, like the
+    EM loop itself) and burned into pure column literals — the scoring
+    pass is map-only whole-stage-codegen arithmetic, no join at all.
+    Products are left-associated in feature order and complements are
+    in-engine ``1 - x`` so a SQL replay is IEEE-identical. Returns
+    (id_a, id_b, posterior_micro, decision)."""
+    rows = {r["feature"]: r for r in params.collect()}
+    lam = rows[feature_cols[0]]["lambda_micro"] / 1e6
+    pm = F.lit(lam)
+    pu = F.lit(1 - lam)
+    for f in feature_cols:
+        m = rows[f]["m_micro"] / 1e6
+        u = rows[f]["u_micro"] / 1e6
+        g = F.col(f) == 1
+        pm = pm * F.when(g, F.lit(m)).otherwise(F.lit(1 - m))
+        pu = pu * F.when(g, F.lit(u)).otherwise(F.lit(1 - u))
+    post = F.round(pm / (pm + pu) * 1000000).cast("long")
+    return pairs.select(
+        *id_cols,
+        post.alias("posterior_micro"),
+        F.when(post > int(upper * 1000000), F.lit("match"))
+        .when(post >= int(lower * 1000000), F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )

@@ -156,3 +156,42 @@ def test_fs_weights_from_mu_bridges_em_to_score(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["fs_score_micro"] for r in scored}
     assert got[(0, 10_000)] == expect  # f1=1, f2=0
+
+
+def test_fs_posteriors_decisions_and_python_replay(spark):
+    from fel_spark.operators.linkage import fs_em_train, fs_posteriors
+
+    # strong separation: f1/f2 both driven by a latent class
+    rows = []
+    for i in range(500):
+        is_m = i % 4 == 0
+        g1 = 1 if is_m else (1 if i % 17 == 0 else 0)
+        g2 = 1 if is_m else (1 if i % 19 == 0 else 0)
+        rows.append((i, i + 10_000, g1, g2))
+    df = spark.createDataFrame(rows, "id_a long, id_b long, f1 long, f2 long")
+    params = fs_em_train(df, ["f1", "f2"], iters=15)
+    out = fs_posteriors(df, params, ["f1", "f2"]).collect()
+    assert len(out) == 500
+    by_id = {r["id_a"]: r for r in out}
+    # python replay of one agreeing and one disagreeing pair
+    p = {r["feature"]: r for r in params.collect()}
+    lam = p["f1"]["lambda_micro"] / 1e6
+    for rid, g in ((0, (1, 1)), (1, (0, 0))):
+        pm, pu = lam, 1 - lam
+        for j, f in enumerate(("f1", "f2")):
+            m = p[f]["m_micro"] / 1e6
+            u = p[f]["u_micro"] / 1e6
+            pm *= m if g[j] else 1 - m
+            pu *= u if g[j] else 1 - u
+        import math
+
+        want = int(math.floor(pm / (pm + pu) * 1e6 + 0.5))
+        assert by_id[rid]["posterior_micro"] == want, rid
+    # the decision rule separates the planted classes
+    assert by_id[0]["decision"] == "match"
+    assert by_id[1]["decision"] == "non_match"
+    # map-only: no join in the scoring plan
+    plan = fs_posteriors(
+        df, params, ["f1", "f2"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
