@@ -293,3 +293,15 @@ def test_golden_records_plan_cluster_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_snm_pairs_plan_broadcast_offsets_no_cartesian(spark):
+    """SNM: the rank-offset table joins back via BROADCAST (never a
+    corpus shuffle), the band self-join is an equi-join (no cartesian),
+    and nothing drops to Python eval."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["er_snm_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
