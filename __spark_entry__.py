@@ -2571,6 +2571,18 @@ def q_er_fs_em_posteriors(spark, sf_dir):
     return fs_posteriors(pairs, params, _FS_FEATURES)
 
 
+def q_er_fs_tf_adjust(spark, sf_dir):
+    """Term-frequency adjustment table (r5, `linkage.tf_adjustments` —
+    Winkler 1990): per-value agreement-weight corrections for the
+    documents.source field — log2(u_field / f_v) with u_field = sum
+    f_v^2. One dictionary-scale hash agg + 1-row totals cross join;
+    the oracle replays counts, the double-summed n^2, and the log
+    algebra op-for-op."""
+    from fel_spark.operators.linkage import tf_adjustments
+
+    return tf_adjustments(_t(spark, sf_dir, "documents"), "source")
+
+
 def q_er_fs_scores(spark, sf_dir):
     """Fellegi-Sunter pair scoring (r5, `linkage.fs_score`): estimate
     weights on the labeled pairs, then score every candidate pair as
@@ -2732,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_em_scores": q_er_fs_em_scores,
         "er_snm_pairs": q_er_snm_pairs,
         "er_fs_em_posteriors": q_er_fs_em_posteriors,
+        "er_fs_tf_adjust": q_er_fs_tf_adjust,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5786,6 +5799,27 @@ def oracle_sql() -> dict[str, str]:
                    a.rank AS rank_a, b.rank AS rank_b
             FROM r a JOIN r b
               ON b.rank > a.rank AND b.rank - a.rank <= 4
+        """,
+        # er_fs_tf_adjust: counts -> double-summed n^2 -> log2(u/f)
+        "er_fs_tf_adjust": """
+            WITH counts AS (
+                SELECT source AS value, CAST(count(*) AS BIGINT) AS n_value
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(n_value) AS BIGINT) AS n_total,
+                       sum(CAST(n_value * n_value AS DOUBLE)) AS sum_sq
+                FROM counts
+            )
+            SELECT value, n_value,
+                   CAST(round(n_value / n_total * 1000000) AS BIGINT)
+                       AS f_micro,
+                   CAST(round(log2(
+                       (sum_sq / (CAST(n_total AS DOUBLE) * n_total))
+                       / (n_value / n_total)) * 1000000) AS BIGINT)
+                       AS tf_adj_micro
+            FROM counts CROSS JOIN tot
         """,
         # er_fs_em: full 3-iteration EM unroll, generated from the same
         # iteration count (see _fs_em_oracle)

@@ -261,3 +261,75 @@ def fs_posteriors(
         .otherwise(F.lit("non_match"))
         .alias("decision"),
     )
+
+
+def tf_adjustments(
+    records: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Winkler term-frequency adjustment table (Winkler 1990; Splink's
+    `term_frequency_adjustments`): agreement on a COMMON value ("Smith")
+    is weaker evidence than agreement on a rare one ("Zylberberg"). For
+    field value v with relative frequency f_v, the value-specific
+    non-match agreement probability is u_v = f_v, so the agreement
+    weight correction is
+
+        tf_adj(v) = log2(u_field / f_v),   u_field = sum_v f_v^2
+
+    (negative for values more common than the field average, positive
+    for rarer ones; adding it to the base agreement weight yields
+    log2(m / f_v)). Returns (value, n_value, f_micro, tf_adj_micro).
+
+    Scale: one hash aggregate over the field (dictionary-scale output)
+    + a 1-row broadcast totals cross join. sum f^2 rides
+    sum(n^2)/total^2 with n^2 summed in DOUBLE (BIGINT would overflow
+    past ~3e9 rows per value; sum order is absorbed by micro rounding),
+    and total^2 is formed as double * long for the same reason. NULL
+    values get no row (a NULL never counts as agreement).
+    """
+    counts = (
+        records.select(F.col(value_col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").cast("long").alias("n_value"))
+    )
+    tot = counts.agg(
+        F.sum("n_value").cast("long").alias("n_total"),
+        F.sum((F.col("n_value") * F.col("n_value")).cast("double")).alias(
+            "sum_sq"
+        ),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    f = F.col("n_value") / F.col("n_total")
+    u = F.col("sum_sq") / (F.col("n_total").cast("double") * F.col("n_total"))
+    return j.select(
+        "value",
+        "n_value",
+        F.round(f * 1000000).cast("long").alias("f_micro"),
+        F.round(F.log2(u / f) * 1000000).cast("long").alias("tf_adj_micro"),
+    )
+
+
+def apply_tf_adjustment(
+    scored: DataFrame,
+    tf: DataFrame,
+    agree_col: str,
+    value_col: str,
+    score_col: str = "fs_score_micro",
+) -> DataFrame:
+    """Add the value-specific TF correction to FS pair scores: for pairs
+    that AGREE on the field (``agree_col`` = 1), score += tf_adj(value);
+    disagreeing pairs are untouched. Plain equi-join on the shared value
+    (AQE decides broadcast vs shuffle — a high-cardinality field's tf
+    table is NOT broadcast-safe at corpus scale), exact integer add."""
+    t = tf.select(
+        F.col("value").alias(value_col), F.col("tf_adj_micro")
+    )
+    out = scored.join(t, value_col, "left")
+    adj = F.when(
+        (F.col(agree_col) == 1) & F.col("tf_adj_micro").isNotNull(),
+        F.col("tf_adj_micro"),
+    ).otherwise(F.lit(0))
+    return out.withColumn(
+        score_col, (F.col(score_col) + adj).cast("long")
+    ).drop("tf_adj_micro")

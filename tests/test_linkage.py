@@ -195,3 +195,52 @@ def test_fs_posteriors_decisions_and_python_replay(spark):
         df, params, ["f1", "f2"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_tf_adjustments_math_and_null_drop(spark):
+    import math
+
+    from fel_spark.operators.linkage import tf_adjustments
+
+    # 6 smith, 2 jones, 1 zylberberg, 1 NULL (dropped)
+    rows = [("smith",)] * 6 + [("jones",)] * 2 + [("zylberberg",), (None,)]
+    df = spark.createDataFrame(rows, "name string")
+    out = {r["value"]: r for r in tf_adjustments(df, "name").collect()}
+    assert set(out) == {"smith", "jones", "zylberberg"}
+    n_total = 9
+    sum_sq = 36.0 + 4.0 + 1.0
+    u = sum_sq / (float(n_total) * n_total)
+    for v, n in (("smith", 6), ("jones", 2), ("zylberberg", 1)):
+        f = n / n_total
+        assert out[v]["n_value"] == n
+        assert out[v]["f_micro"] == round(f * 1e6)
+        assert out[v]["tf_adj_micro"] == round(math.log2(u / f) * 1e6), v
+    # common value penalized, rare value boosted
+    assert out["smith"]["tf_adj_micro"] < 0 < out["zylberberg"]["tf_adj_micro"]
+
+
+def test_apply_tf_adjustment_only_on_agreement(spark):
+    from fel_spark.operators.linkage import apply_tf_adjustment, tf_adjustments
+
+    recs = spark.createDataFrame(
+        [("smith",)] * 3 + [("rare",)], "name string"
+    )
+    tf = tf_adjustments(recs, "name")
+    adj = {r["value"]: r["tf_adj_micro"] for r in tf.collect()}
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 100, 1, "smith"),   # agrees on smith -> adjusted
+            (1, 3, 100, 1, "rare"),    # agrees on rare -> boosted
+            (2, 3, 100, 0, "smith"),   # disagrees -> untouched
+            (4, 5, 100, 1, None),      # agree flag but NULL value -> untouched
+        ],
+        "id_a int, id_b int, fs_score_micro long, same_name long, name string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["fs_score_micro"]
+        for r in apply_tf_adjustment(scored, tf, "same_name", "name").collect()
+    }
+    assert out[(1, 2)] == 100 + adj["smith"]
+    assert out[(1, 3)] == 100 + adj["rare"]
+    assert out[(2, 3)] == 100
+    assert out[(4, 5)] == 100
