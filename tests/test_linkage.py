@@ -244,3 +244,55 @@ def test_apply_tf_adjustment_only_on_agreement(spark):
     assert out[(1, 3)] == 100 + adj["rare"]
     assert out[(2, 3)] == 100
     assert out[(4, 5)] == 100
+
+
+def test_fs_weights_hypothesis_python_parity(spark):
+    """Property: fs_weights equals the plain-Python computation exactly
+    (counts integer-exact, smoothed ratios and log2 weights to the
+    micro unit) on arbitrary labeled pair tables."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,  # stable draws: Spark round is HALF_UP, the
+        # replay uses Python round — only exact-.5 micro values could
+        # diverge and none arise in the derandomized corpus
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 1), st.integers(0, 1), st.integers(0, 1)
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def prop(rows):
+        data = [(i, i + 1000, g1, g2, lbl) for i, (g1, g2, lbl) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "id_a long, id_b long, f1 long, f2 long, is_match long"
+        )
+        got = {r["feature"]: r for r in fs_weights(df, ["f1", "f2"]).collect()}
+        for j, f in enumerate(("f1", "f2")):
+            nm = sum(1 for r in rows if r[2] == 1)
+            nn = len(rows) - nm
+            am = sum(1 for r in rows if r[2] == 1 and r[j] == 1)
+            an = sum(1 for r in rows if r[2] == 0 and r[j] == 1)
+            r = got[f]
+            assert (r["n_match"], r["n_nonmatch"]) == (nm, nn)
+            assert (r["n_agree_match"], r["n_agree_nonmatch"]) == (am, an)
+            m = (am + 0.5) / (nm + 1.0)
+            u = (an + 0.5) / (nn + 1.0)
+            assert r["m_micro"] == round(m * 1e6)
+            assert r["u_micro"] == round(u * 1e6)
+            assert r["w_agree_micro"] == round(math.log2(m / u) * 1e6)
+            assert r["w_disagree_micro"] == round(
+                math.log2((1 - m) / (1 - u)) * 1e6
+            )
+
+    prop()
