@@ -2595,6 +2595,71 @@ def q_er_fs_scores(spark, sf_dir):
     return fs_score(pairs, w, _FS_FEATURES)
 
 
+def q_er_edit_scores(spark, sf_dir):
+    """Classic string-comparator battery over candidate pairs (r5,
+    `operators/editsim.py::edit_distance_scores` — Winkler 1990, Christen
+    2012 ch.5): Levenshtein (Spark-native vs DuckDB-native — two
+    independent engine implementations of the published DP), fixed-width
+    Hamming (zip_with columns vs DuckDB ``hamming``), character-set
+    Jaccard (array algebra vs DuckDB ``jaccard``), and Jaro-Winkler (the
+    fuzz-proven NumPy batch kernel vs DuckDB
+    ``jaro_winkler_similarity``). Pairs: mod-13 blocked self-join over
+    10-char document-text prefixes; map-only past the blocked join."""
+    from fel_spark.operators.editsim import edit_distance_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return edit_distance_scores(pairs, "s_a", "s_b", hamming_width=12)
+
+
+def q_er_monge_elkan(spark, sf_dir):
+    """Monge-Elkan hybrid comparator (r5,
+    `operators/editsim.py::monge_elkan` — Monge & Elkan 1996): per-pair
+    mean over A-tokens of the best Jaro-Winkler match among B-tokens —
+    the standard multi-word-name comparator. Inner JW is micro-rounded
+    BEFORE aggregation so max/sum are order-invariant integers; only the
+    final mean divides two exact ints. Pairs: mod-17 blocked self-join
+    over the first 4 text tokens of a 150-doc slice (bounds the
+    |A|x|B| inner expansion); oracle replays the explode/argmax/mean
+    chain with DuckDB's native jaro_winkler_similarity."""
+    from fel_spark.operators.editsim import monge_elkan
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 150) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.slice(F.split(F.col("text"), " "), 1, 4).alias("toks"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return monge_elkan(pairs, "toks_a", "toks_b", ("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2745,6 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_snm_pairs": q_er_snm_pairs,
         "er_fs_em_posteriors": q_er_fs_em_posteriors,
         "er_fs_tf_adjust": q_er_fs_tf_adjust,
+        "er_edit_scores": q_er_edit_scores,
+        "er_monge_elkan": q_er_monge_elkan,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5830,6 +5897,71 @@ def oracle_sql() -> dict[str, str]:
         # er_fs_em_posteriors: EM unroll -> rounded-micro scalar params
         # -> map-only CASE products -> posterior + 3-way FS decision
         "er_fs_em_posteriors": _fs_em_oracle(3, mode="posteriors"),
+        # er_edit_scores: four comparators, three of them DuckDB-NATIVE
+        # (levenshtein / hamming / jaccard) against Spark-native or
+        # pure-column implementations — the strongest oracle class in
+        # the repo (two independent engine-native implementations of a
+        # published algorithm), plus the fuzz-proven JW kernel
+        "er_edit_scores": """
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.s AS s_a, b.s AS s_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 13 = b.doc_id % 13
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, s_a, s_b,
+                   CAST(levenshtein(s_a, s_b) AS BIGINT) AS lev,
+                   CAST(hamming(lpad(s_a, 12, '0'),
+                                lpad(s_b, 12, '0')) AS BIGINT) AS ham,
+                   CAST(round(jaro_winkler_similarity(s_a, s_b) * 1000000)
+                        AS BIGINT) AS jw_micro,
+                   CAST(round(jaccard(s_a, s_b) * 1000000)
+                        AS BIGINT) AS cjacc_micro
+            FROM p
+        """,
+        # er_monge_elkan: inner JW micro-rounded before max/mean so the
+        # aggregates are order-invariant integers; DuckDB-native JW
+        "er_monge_elkan": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_slice(string_split(text, ' '), 1, 4) AS toks
+                FROM documents WHERE doc_id < 150 AND length(text) > 0
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.toks AS toks_a, b.toks AS toks_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 17 = b.doc_id % 17
+                 AND a.doc_id < b.doc_id
+            ),
+            melted AS (
+                SELECT id_a, id_b,
+                       generate_subscripts(toks_a, 1) AS pos_a,
+                       unnest(toks_a) AS tok_a,
+                       toks_b
+                FROM p
+            ),
+            inner_jw AS (
+                SELECT id_a, id_b, pos_a,
+                       CAST(round(jaro_winkler_similarity(tok_a, tb.tok)
+                                  * 1000000) AS BIGINT) AS jw_micro
+                FROM melted, unnest(melted.toks_b) AS tb(tok)
+            ),
+            best AS (
+                SELECT id_a, id_b, pos_a,
+                       max(jw_micro) AS best_micro
+                FROM inner_jw GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b,
+                   CAST(round(CAST(sum(best_micro) AS DOUBLE)
+                              / count(*)) AS BIGINT) AS me_micro
+            FROM best GROUP BY 1, 2
+        """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters
