@@ -2660,6 +2660,51 @@ def q_er_monge_elkan(spark, sf_dir):
     return monge_elkan(pairs, "toks_a", "toks_b", ("id_a", "id_b"))
 
 
+def q_er_phonetic_blocking(spark, sf_dir):
+    """Soundex phonetic blocking audit (r5, `operators/blocking.py::
+    phonetic_block_stats` + `functions/phonetic.py::soundex_col` — Odell
+    & Russell 1918; Christen 2012 ch.4): every alphabetic token of
+    documents.text keyed by a pure-column American-Soundex chain
+    (translate + per-digit run collapses — no UDF, whole-stage codegen),
+    one hash aggregate per phonetic code with the candidate-pair budget.
+    The Spark chain is pinned against Spark's OWN JVM built-in
+    ``F.soundex`` in pytest; the oracle runs the identical chain
+    generated for DuckDB (`phonetic.soundex_sql`) — two engines, one
+    published algorithm, third-party-validated."""
+    from fel_spark.operators.blocking import phonetic_block_stats
+
+    return phonetic_block_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _phonetic_blocking_oracle() -> str:
+    """SQL replay of q_er_phonetic_blocking: unnest alphabetic tokens,
+    key by the generated DuckDB rendering of the SAME Soundex chain the
+    Spark side runs (`phonetic.soundex_sql` — no transcription drift),
+    one aggregate per code. n*(n-1) is always even, so the /2 division
+    is exact in both engines."""
+    from fel_spark.functions.phonetic import soundex_sql
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS rid,
+                   unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+            FROM documents
+        ),
+        coded AS (
+            SELECT rid, tok, {soundex_sql("tok")} AS code FROM toks
+        )
+        SELECT code,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_forms,
+               CAST(count(DISTINCT rid) AS BIGINT) AS n_records,
+               CAST(count(DISTINCT rid) * (count(DISTINCT rid) - 1) / 2
+                    AS BIGINT) AS n_cand_pairs
+        FROM coded GROUP BY code
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """CURATED ORDER: the driver's correctness battery runs a ~50-query
     prefix of this registry (CORRECTNESS_r03 cut at entry 50), so the
@@ -2812,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_tf_adjust": q_er_fs_tf_adjust,
         "er_edit_scores": q_er_edit_scores,
         "er_monge_elkan": q_er_monge_elkan,
+        "er_phonetic_blocking": q_er_phonetic_blocking,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -5962,6 +6008,10 @@ def oracle_sql() -> dict[str, str]:
                               / count(*)) AS BIGINT) AS me_micro
             FROM best GROUP BY 1, 2
         """,
+        # er_phonetic_blocking: the DuckDB replay of the identical
+        # Soundex chain (generated by phonetic.soundex_sql; the Spark
+        # side is additionally pinned to F.soundex in pytest)
+        "er_phonetic_blocking": _phonetic_blocking_oracle(),
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters

@@ -343,3 +343,45 @@ def sorted_neighborhood_pairs(
         )
         .select("id_a", "id_b", "rank_a", "rank_b")
     )
+
+
+def phonetic_block_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Soundex phonetic blocking over every alphabetic token (Odell &
+    Russell 1918; Christen 2012 ch.4): explode tokens, key each by
+    :func:`fel_spark.functions.phonetic.soundex_col`, and report per
+    phonetic block the token volume, distinct-surface-form count,
+    distinct-record count, and the candidate-pair budget n*(n-1)/2 the
+    block would feed a pairwise scorer — the ex-ante audit that decides
+    whether a phonetic key needs the salt cap before the self-join
+    (same role as `key_skew_report` for equi-join keys).
+
+    Scale shape: one map-side explode + ONE hash aggregate keyed by the
+    dictionary-scale code; the whole soundex chain is codegen column
+    algebra (no UDF).
+    """
+    from fel_spark.functions.phonetic import soundex_col
+
+    toks = df.select(
+        F.col(id_col).alias("rid"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0)
+        ).alias("tok"),
+    )
+    coded = toks.withColumn("code", soundex_col(F.col("tok")))
+    agg = coded.groupBy("code").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_forms"),
+        F.countDistinct("rid").alias("n_records"),
+    )
+    n = F.col("n_records")
+    return agg.select(
+        "code",
+        "n_tokens",
+        "n_forms",
+        "n_records",
+        (n * (n - 1) / 2).cast("long").alias("n_cand_pairs"),
+    )
