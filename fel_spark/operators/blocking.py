@@ -385,3 +385,75 @@ def phonetic_block_stats(
         "n_records",
         (n * (n - 1) / 2).cast("long").alias("n_cand_pairs"),
     )
+
+
+def metablocking_pairs(
+    blocked: DataFrame,
+    id_col: str = "record_id",
+    key_col: str = "block_key",
+    purge_above: int | None = None,
+) -> DataFrame:
+    """Meta-blocking with block purging + weighted edge pruning
+    (Papadakis et al. 2011, 2014 — the standard redundancy-aware
+    candidate-pair filter for overlapping blocking schemes).
+
+    Records exploded into MULTIPLE blocks produce redundant candidate
+    pairs; the co-occurrence structure itself carries signal. Build the
+    block graph: edge weight per pair = CBS (number of common blocks)
+    and JS (Jaccard of the two records' block-key sets); prune edges
+    whose JS falls below the global mean edge weight (WEP). Block
+    purging (drop blocks above ``purge_above`` members) runs first —
+    oversized blocks are both the scale hazard and the least
+    discriminative evidence.
+
+    Scale shape: distinct -> (optional) purge via one block-keyed count
+    -> self-join co-partitioned on the block key -> ONE pair-keyed hash
+    aggregate -> per-record block-count join -> 1-row mean cross join.
+    Weights are micro-unit integers; the mean divides two exact integer
+    sums, so the WEP threshold compare replays engine-exact.
+
+    Returns kept edges: (id_a, id_b, common, js_micro).
+    """
+    b = blocked.select(
+        F.col(id_col).alias("rid"), F.col(key_col).alias("bk")
+    ).distinct()
+    if purge_above is not None:
+        sizes = b.groupBy("bk").agg(F.count("*").alias("_n"))
+        b = b.join(
+            sizes.filter(F.col("_n") <= purge_above).select("bk"), "bk"
+        )
+    per_rec = b.groupBy("rid").agg(F.count("*").alias("nb"))
+    pa = b.select(F.col("rid").alias("id_a"), "bk")
+    pb = b.select(F.col("rid").alias("id_b"), "bk")
+    common = (
+        pa.join(pb, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    edges = (
+        common.join(
+            per_rec.select(F.col("rid").alias("id_a"), F.col("nb").alias("nb_a")),
+            "id_a",
+        )
+        .join(
+            per_rec.select(F.col("rid").alias("id_b"), F.col("nb").alias("nb_b")),
+            "id_b",
+        )
+        .withColumn(
+            "js_micro",
+            F.round(
+                F.col("common")
+                / (F.col("nb_a") + F.col("nb_b") - F.col("common"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    mean = edges.agg(
+        (F.sum("js_micro").cast("double") / F.count(F.lit(1))).alias("_thr")
+    )
+    return (
+        edges.crossJoin(F.broadcast(mean))
+        .filter(F.col("js_micro").cast("double") >= F.col("_thr"))
+        .select("id_a", "id_b", F.col("common").cast("long").alias("common"), "js_micro")
+    )
