@@ -2678,6 +2678,51 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def q_er_vmeasure(spark, sf_dir):
+    """Homogeneity / completeness / V-measure (r5,
+    `operators/evalmetrics.py::vmeasure` — Rosenberg & Hirschberg 2007):
+    the entropy-based clustering metric over the same planted
+    split+merge clustering as er_bcubed_ari (so h and c separate), one
+    contingency-table aggregate, entropies as H(X) = ln(N) - (1/N) sum
+    n ln(n) with the oracle replaying the identical op order."""
+    from fel_spark.operators.evalmetrics import vmeasure
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 40
+    pred = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(1000) + F.col("doc_id") % 5)
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return vmeasure(assign)
+
+
+def q_er_threshold_curve(spark, sf_dir):
+    """Decision-threshold calibration sweep (r5,
+    `operators/evalmetrics.py::threshold_curve` — Christen 2012 ch.7):
+    precision/recall/F1 at every distinct Fellegi-Sunter score over the
+    labeled blocked pairs — supervised weights -> exact-integer pair
+    scores -> score-keyed aggregate -> dictionary-scale cumulative
+    window. The oracle chains the er_fs_scores replay into the same
+    cumsum/ratio algebra (labels recomputed from the id residues)."""
+    from fel_spark.operators.evalmetrics import threshold_curve
+    from fel_spark.operators.linkage import fs_score, fs_weights
+
+    pairs = _fs_labeled_pairs(spark, sf_dir)
+    w = fs_weights(pairs, _FS_FEATURES)
+    # curve labels use a mod-5 gold: lcm(13, 5) = 65 fits inside the
+    # doc-id range at every sf, so matched pairs actually exist in the
+    # mod-13 blocks (the FS training label's mod-40 gold shares no
+    # co-blocked pair with mod-13 below id 520)
+    scored = fs_score(pairs, w, _FS_FEATURES).withColumn(
+        "is_match", (F.col("id_a") % 5 == F.col("id_b") % 5)
+    )
+    return threshold_curve(scored, "fs_score_micro", "is_match")
+
+
 def _phonetic_blocking_oracle() -> str:
     """SQL replay of q_er_phonetic_blocking: unnest alphabetic tokens,
     key by the generated DuckDB rendering of the SAME Soundex chain the
@@ -2883,6 +2928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_monge_elkan": q_er_monge_elkan,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
+        "er_vmeasure": q_er_vmeasure,
+        "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
         "media_phash_neardup": q_media_phash_neardup,
         "media_audiofp_neardup": q_media_audiofp_neardup,
@@ -3490,7 +3537,7 @@ def _pagerank_oracle(iterations: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS.format(c="text")
-    return {
+    oracles = {
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_c
@@ -6071,6 +6118,59 @@ def oracle_sql() -> dict[str, str]:
             FROM edges CROSS JOIN thr
             WHERE CAST(js_micro AS DOUBLE) >= t
         """,
+        # er_vmeasure: entropy algebra replayed in the identical op
+        # order (H(X) = ln(N) - (1/N) sum n ln(n); conditionals from
+        # cell/marginal ratios)
+        "er_vmeasure": """
+            WITH assign AS (
+                SELECT CAST(CASE WHEN doc_id % 7 = 0 THEN 1000 + doc_id % 5
+                                 WHEN doc_id % 40 < 2 THEN 0
+                                 ELSE doc_id % 40 END AS BIGINT) AS pred,
+                       CAST(doc_id % 40 AS BIGINT) AS gold
+                FROM documents
+            ),
+            cells AS (
+                SELECT pred, gold, CAST(count(*) AS BIGINT) AS c
+                FROM assign GROUP BY 1, 2
+            ),
+            pn AS (SELECT pred, CAST(sum(c) AS BIGINT) AS pn
+                   FROM cells GROUP BY 1),
+            gn AS (SELECT gold, CAST(sum(c) AS BIGINT) AS gn
+                   FROM cells GROUP BY 1),
+            cond AS (
+                SELECT sum(c * ln(c / pn)) AS s_gp,
+                       sum(c * ln(c / gn)) AS s_pg,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM cells JOIN pn USING (pred) JOIN gn USING (gold)
+            ),
+            hp AS (SELECT sum(pn * ln(pn)) AS s_p FROM pn),
+            hg AS (SELECT sum(gn * ln(gn)) AS s_g FROM gn),
+            hs AS (
+                SELECT n,
+                       ln(CAST(n AS DOUBLE)) - s_g / CAST(n AS DOUBLE)
+                           AS h_gold,
+                       ln(CAST(n AS DOUBLE)) - s_p / CAST(n AS DOUBLE)
+                           AS h_pred,
+                       -s_gp / CAST(n AS DOUBLE) AS h_gp,
+                       -s_pg / CAST(n AS DOUBLE) AS h_pg
+                FROM cond CROSS JOIN hp CROSS JOIN hg
+            ),
+            hc AS (
+                SELECT n,
+                       CASE WHEN h_gold = 0.0 THEN 1.0
+                            ELSE 1.0 - h_gp / h_gold END AS h,
+                       CASE WHEN h_pred = 0.0 THEN 1.0
+                            ELSE 1.0 - h_pg / h_pred END AS c
+                FROM hs
+            )
+            SELECT n AS n_records,
+                   CAST(round(h * 1000000) AS BIGINT) AS homogeneity_micro,
+                   CAST(round(c * 1000000) AS BIGINT) AS completeness_micro,
+                   CAST(round(CASE WHEN h + c = 0.0 THEN 0.0
+                                   ELSE 2.0 * h * c / (h + c) END
+                              * 1000000) AS BIGINT) AS vmeasure_micro
+            FROM hc
+        """,
         # no oracle (not ANSI-SQL-expressible): minhash_near_dup /
         # simhash_pairs (xxhash64 banding — their md5 twins above ARE
         # value-checked; these remain as the scale path), dedup_clusters
@@ -6080,3 +6180,36 @@ def oracle_sql() -> dict[str, str]:
         # band-key -> bucket-join -> cosine-verify chain with integer-exact
         # planes), entity_embeddings (iterative GD)
     }
+    # derived oracles that embed another entry's SQL as a CTE
+    oracles["er_threshold_curve"] = f"""
+        WITH scored AS ({oracles["er_fs_scores"]}),
+        per_score AS (
+            SELECT fs_score_micro AS thr,
+                   sum(CAST(id_a % 5 = id_b % 5 AS BIGINT)) AS m,
+                   sum(CAST(id_a % 5 != id_b % 5 AS BIGINT)) AS u
+            FROM scored GROUP BY 1
+        ),
+        cum AS (
+            SELECT thr,
+                   CAST(sum(m) OVER (ORDER BY thr DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS tp,
+                   CAST(sum(u) OVER (ORDER BY thr DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS fp
+            FROM per_score
+        ),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS total_m FROM per_score)
+        SELECT thr, tp, fp,
+               CAST(total_m - tp AS BIGINT) AS fn,
+               CAST(round(tp / (tp + fp) * 1000000) AS BIGINT) AS prec_micro,
+               CAST(round(CASE WHEN total_m = 0 THEN 0.0
+                               ELSE tp / total_m END * 1000000)
+                    AS BIGINT) AS rec_micro,
+               CAST(CASE WHEN tp = 0 THEN 0 ELSE round(
+                   2.0 * (tp / (tp + fp)) * (tp / total_m)
+                   / (tp / (tp + fp) + tp / total_m) * 1000000)
+               END AS BIGINT) AS f1_micro
+        FROM cum CROSS JOIN tot
+    """
+    return oracles

@@ -75,3 +75,116 @@ def bcubed_ari(
         .alias("b3_f1_micro"),
         F.round(ari * 1000000).cast("long").alias("ari_micro"),
     )
+
+
+def vmeasure(
+    assign: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    2007) — the entropy-based counterpart to B-cubed, over the same
+    one-aggregate contingency table:
+
+        h = 1 - H(gold|pred) / H(gold)    (1.0 when H(gold) = 0)
+        c = 1 - H(pred|gold) / H(pred)    (1.0 when H(pred) = 0)
+        v = 2hc / (h + c)                 (0.0 when h + c = 0)
+
+    All entropies are plain sums over the dictionary-scale table of
+    cell/marginal count ratios (natural log); output in micro units.
+    One corpus-scale hash aggregate, no pair materialization — same
+    posture as :func:`bcubed_ari`.
+    """
+    cells = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("c"))
+    pred_sizes = cells.groupBy(pred_col).agg(F.sum("c").alias("pn"))
+    gold_sizes = cells.groupBy(gold_col).agg(F.sum("c").alias("gn"))
+    j = cells.join(pred_sizes, pred_col).join(gold_sizes, gold_col)
+    # H(gold|pred) = -sum (c/N) ln(c/pn); H(pred|gold) symmetric.
+    cond = j.agg(
+        F.sum(F.col("c") * F.log(F.col("c") / F.col("pn"))).alias("s_gp"),
+        F.sum(F.col("c") * F.log(F.col("c") / F.col("gn"))).alias("s_pg"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    hp = pred_sizes.agg(
+        F.sum(F.col("pn") * F.log(F.col("pn"))).alias("s_p")
+    )
+    hg = gold_sizes.agg(
+        F.sum(F.col("gn") * F.log(F.col("gn"))).alias("s_g")
+    )
+    s = cond.crossJoin(F.broadcast(hp)).crossJoin(F.broadcast(hg))
+    n = F.col("n").cast("double")
+    # H(X) = ln(N) - (1/N) sum n_x ln(n_x): exact same op order as the
+    # SQL replay; all H >= 0 up to float error.
+    h_gold = F.log(n) - F.col("s_g") / n
+    h_pred = F.log(n) - F.col("s_p") / n
+    h_gold_given_pred = -F.col("s_gp") / n
+    h_pred_given_gold = -F.col("s_pg") / n
+    h = F.when(h_gold == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_gold_given_pred / h_gold
+    )
+    c = F.when(h_pred == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_pred_given_gold / h_pred
+    )
+    v = F.when(h + c == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * h * c / (h + c)
+    )
+    return s.select(
+        F.col("n").alias("n_records"),
+        F.round(h * 1000000).cast("long").alias("homogeneity_micro"),
+        F.round(c * 1000000).cast("long").alias("completeness_micro"),
+        F.round(v * 1000000).cast("long").alias("vmeasure_micro"),
+    )
+
+
+def threshold_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Precision / recall / F1 at every distinct score threshold — the
+    calibration sweep that picks a linkage decision threshold (the FS
+    three-way bands' empirical counterpart; Christen 2012 ch.7).
+
+    For each distinct score s (as threshold "predict match iff score >=
+    s"): tp/fp from cumulative sums DESC over the score-keyed aggregate,
+    fn = total matches - tp. ONE corpus-scale aggregate keyed by score;
+    the cumulative window runs on the dictionary-scale distinct-score
+    table (single-partition by construction — bounded by the score
+    dictionary, not the corpus). Ratios divide exact integers; micro
+    units; f1 = 2pr/(p+r) in that op order, 0 when tp = 0.
+    """
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(F.col(score_col).alias("thr")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("m"),
+        F.sum((~F.col(label_col).cast("boolean")).cast("long")).alias("u"),
+    )
+    w = Window.orderBy(F.col("thr").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        "thr",
+        F.sum("m").over(w).cast("long").alias("tp"),
+        F.sum("u").over(w).cast("long").alias("fp"),
+    )
+    tot = per_score.agg(F.sum("m").cast("long").alias("total_m"))
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    # degenerate corpus with zero labeled matches: recall defined as 0
+    r = F.when(F.col("total_m") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("total_m")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "thr",
+            "tp",
+            "fp",
+            (F.col("total_m") - F.col("tp")).cast("long").alias("fn"),
+            F.round(p * 1000000).cast("long").alias("prec_micro"),
+            F.round(r * 1000000).cast("long").alias("rec_micro"),
+            F.when(F.col("tp") == 0, F.lit(0))
+            .otherwise(F.round(F.lit(2.0) * p * r / (p + r) * 1000000))
+            .cast("long")
+            .alias("f1_micro"),
+        )
+    )
