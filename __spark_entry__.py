@@ -2678,6 +2678,39 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def q_er_damerau_scores(spark, sf_dir):
+    """True Damerau-Levenshtein pair scoring (r5,
+    `functions/sim.py::damerau_levenshtein_batch` — the unrestricted-
+    transposition DP, dl('CA','ABC')=2): the (i,j) loops run over max
+    string positions with every step one O(batch) vector op, including
+    the transposition lookup (per-pair last-occurrence table over a
+    batch-compacted alphabet + a d[arange,k,l] gather). Oracled against
+    DuckDB's NATIVE damerau_levenshtein — engine-native vs vectorized-
+    NumPy implementations of the same published algorithm. Pairs:
+    mod-11 blocked self-join over 12-char text prefixes."""
+    from fel_spark.functions.sim import damerau_levenshtein_pudf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 12).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 11).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 11).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return pairs.withColumn(
+        "dl", damerau_levenshtein_pudf(F.col("s_a"), F.col("s_b"))
+    )
+
+
 def q_er_vmeasure(spark, sf_dir):
     """Homogeneity / completeness / V-measure (r5,
     `operators/evalmetrics.py::vmeasure` — Rosenberg & Hirschberg 2007):
@@ -2928,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_monge_elkan": q_er_monge_elkan,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
+        "er_damerau_scores": q_er_damerau_scores,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6117,6 +6151,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, common, js_micro
             FROM edges CROSS JOIN thr
             WHERE CAST(js_micro AS DOUBLE) >= t
+        """,
+        # er_damerau_scores: DuckDB's NATIVE damerau_levenshtein
+        "er_damerau_scores": """
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 12) AS s
+                FROM documents WHERE length(text) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.s AS s_a, b.s AS s_b,
+                   CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl
+            FROM d a JOIN d b
+              ON a.doc_id % 11 = b.doc_id % 11 AND a.doc_id < b.doc_id
         """,
         # er_vmeasure: entropy algebra replayed in the identical op
         # order (H(X) = ln(N) - (1/N) sum n ln(n); conditionals from

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 
 def array_jaccard(a: Column, b: Column) -> Column:
@@ -281,4 +281,114 @@ def jaro_winkler_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
         jaro_winkler_batch(a.fillna("").tolist(), b.fillna("").tolist()),
         index=a.index,
         dtype="float64",
+    )
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Scalar TRUE Damerau-Levenshtein (unrestricted transpositions —
+    dl('CA','ABC') == 2, unlike OSA's 3), the published dictionary-based
+    DP. Reference implementation for the batch kernel's tests; matches
+    DuckDB's native damerau_levenshtein."""
+    da: dict[str, int] = {}
+    la, lb = len(a), len(b)
+    inf = la + lb + 1
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k, l = da.get(b[j - 1], 0), db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+_DL_CHUNK = 4096  # bounds the (chunk, LA+2, LB+2) DP tensor
+
+
+def damerau_levenshtein_batch(
+    strs_a: list[str], strs_b: list[str]
+) -> np.ndarray:
+    """Vectorized TRUE Damerau-Levenshtein over a batch of pairs.
+
+    The (i, j) DP loops run over MAX string positions; every step is one
+    O(batch) vector op, including the transposition lookup (per-pair
+    last-occurrence table `da` over a batch-compacted alphabet + a fancy
+    d[arange, k, l] gather). Padding uses the module's distinct
+    sentinels, so pad positions never match and never poison `da` (a
+    B-side pad's `da` entry stays 0 -> the transposition candidate reads
+    the INF guard row, exactly the published algorithm's miss case).
+    Cells past a pair's true lengths are computed but provably unread by
+    that pair's final d[la+1][lb+1] (DP dependencies only go up/left).
+    Chunked so the DP tensor stays bounded regardless of Arrow batch
+    size. Equal to the scalar reference and to DuckDB's native
+    damerau_levenshtein (fuzz suites).
+    """
+    n = len(strs_a)
+    out = np.empty(n, dtype=np.int64)
+    for s in range(0, n, _DL_CHUNK):
+        e = min(n, s + _DL_CHUNK)
+        out[s:e] = _dl_chunk(strs_a[s:e], strs_b[s:e])
+    return out
+
+
+def _dl_chunk(strs_a: list[str], strs_b: list[str]) -> np.ndarray:
+    n = len(strs_a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    At, la = _code_matrix(strs_a, _PAD_A)  # (LA, n) position-major
+    Bt, lb = _code_matrix(strs_b, _PAD_B)
+    LA, LB = At.shape[0], Bt.shape[0]
+    # batch-compact alphabet for the last-occurrence table
+    uniq, inv = np.unique(
+        np.concatenate([At.ravel(), Bt.ravel()]), return_inverse=True
+    )
+    K = uniq.shape[0]
+    A = inv[: LA * n].reshape(LA, n)
+    B = inv[LA * n :].reshape(LB, n)
+    INF = np.int32(LA + LB + 1)
+    d = np.full((n, LA + 2, LB + 2), INF, dtype=np.int32)
+    d[:, 1, 1:] = np.arange(LB + 1, dtype=np.int32)
+    d[:, 1:, 1] = np.arange(LA + 1, dtype=np.int32)
+    da = np.zeros((n, K), dtype=np.int32)
+    rng = np.arange(n)
+    for i in range(1, LA + 1):
+        ai = A[i - 1]
+        db = np.zeros(n, dtype=np.int32)
+        for j in range(1, LB + 1):
+            bj = B[j - 1]
+            k = da[rng, bj]
+            l = db
+            eq = ai == bj
+            cost = (~eq).astype(np.int32)
+            db = np.where(eq, np.int32(j), db)
+            best = np.minimum(d[:, i, j] + cost, d[:, i + 1, j] + 1)
+            best = np.minimum(best, d[:, i, j + 1] + 1)
+            trans = d[rng, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            d[:, i + 1, j + 1] = np.minimum(best, trans)
+        da[rng, ai] = i
+    return d[rng, la + 1, lb + 1].astype(np.int64)
+
+
+@F.pandas_udf(LongType())
+def damerau_levenshtein_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched true Damerau-Levenshtein; kernel is
+    :func:`damerau_levenshtein_batch`."""
+    return pd.Series(
+        damerau_levenshtein_batch(a.fillna("").tolist(), b.fillna("").tolist()),
+        index=a.index,
+        dtype="int64",
     )
