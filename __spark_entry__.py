@@ -2678,6 +2678,29 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def q_er_incremental_assign(spark, sf_dir):
+    """Incremental cluster attachment (r5, `operators/linkage.py::
+    incremental_assign` — the attach half of the lambda split for
+    incremental ER): every doc_id % 3 == 0 document arrives "new" and is
+    assigned to the existing mod-40 clusters held by the other records,
+    via mod-13 blocked JW best-match with the engine-neutral
+    (score DESC, cluster ASC, member ASC) argmax and a 600k-micro attach
+    threshold; below-threshold and unblocked arrivals surface as
+    is_new. Oracle replays the blocked left join with DuckDB's native
+    jaro_winkler_similarity and the same row_number tie-break."""
+    from fel_spark.operators.linkage import incremental_assign
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("record_id"),
+        F.substring("text", 1, 12).alias("key"),
+        (F.col("doc_id") % 13).alias("bk"),
+        (F.col("doc_id") % 40).alias("cluster_id"),
+    )
+    new = d.filter(F.col("record_id") % 3 == 0).drop("cluster_id")
+    old = d.filter(F.col("record_id") % 3 != 0)
+    return incremental_assign(new, old, threshold_micro=600_000)
+
+
 def q_er_damerau_scores(spark, sf_dir):
     """True Damerau-Levenshtein pair scoring (r5,
     `functions/sim.py::damerau_levenshtein_batch` — the unrestricted-
@@ -2962,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
+        "er_incremental_assign": q_er_incremental_assign,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6163,6 +6187,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl
             FROM d a JOIN d b
               ON a.doc_id % 11 = b.doc_id % 11 AND a.doc_id < b.doc_id
+        """,
+        # er_incremental_assign: blocked left join + native-JW argmax
+        # with the identical neutral tie-break; NULL-safe on unblocked
+        # arrivals
+        "er_incremental_assign": """
+            WITH d AS (
+                SELECT doc_id AS record_id, substr(text, 1, 12) AS key,
+                       doc_id % 13 AS bk, doc_id % 40 AS cluster_id
+                FROM documents WHERE length(text) > 0
+            ),
+            new_r AS (SELECT record_id, key, bk FROM d
+                      WHERE record_id % 3 = 0),
+            old_r AS (SELECT record_id AS member_id, cluster_id, key, bk
+                      FROM d WHERE record_id % 3 != 0),
+            cand AS (
+                SELECT n.record_id, o.member_id, o.cluster_id,
+                       CAST(round(jaro_winkler_similarity(n.key, o.key)
+                                  * 1000000) AS BIGINT) AS jw_micro
+                FROM new_r n LEFT JOIN old_r o USING (bk)
+            ),
+            best AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY record_id
+                    ORDER BY jw_micro DESC NULLS LAST,
+                             cluster_id ASC NULLS LAST,
+                             member_id ASC NULLS LAST) AS rn
+                FROM cand
+            )
+            SELECT record_id,
+                   CASE WHEN jw_micro >= 600000 THEN cluster_id
+                        END AS cluster_id,
+                   CASE WHEN jw_micro >= 600000 THEN member_id
+                        END AS matched_id,
+                   jw_micro AS best_jw_micro,
+                   NOT coalesce(jw_micro >= 600000, FALSE) AS is_new
+            FROM best WHERE rn = 1
         """,
         # er_vmeasure: entropy algebra replayed in the identical op
         # order (H(X) = ln(N) - (1/N) sum n ln(n); conditionals from

@@ -333,3 +333,72 @@ def apply_tf_adjustment(
     return out.withColumn(
         score_col, (F.col(score_col) + adj).cast("long")
     ).drop("tf_adj_micro")
+
+
+def incremental_assign(
+    new_records: DataFrame,
+    existing: DataFrame,
+    threshold_micro: int = 850_000,
+    id_col: str = "record_id",
+    key_col: str = "key",
+    block_col: str = "bk",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Assign a batch of NEW records to existing entity clusters — the
+    attach half of the standard lambda split for incremental ER (the
+    cluster map is recomputed by the periodic batch job; arrivals
+    between recomputes join the current map). Mirrors FEL's
+    candidate-then-rank shape: blocked join against existing members,
+    Jaro-Winkler score per candidate, engine-neutral argmax
+    (score DESC, cluster ASC, member ASC), attach when the best score
+    clears ``threshold_micro``; otherwise the record seeds a new
+    cluster (NULL cluster_id + is_new = true — surrogate allocation is
+    the caller's transaction).
+
+    Scale shape: one blocked equi-join bounded by the blocking stage,
+    the Arrow-batched JW kernel, one per-new-record window argmax. New
+    records whose block matches nothing surface with NULL score (left
+    join) — never silently dropped.
+    """
+    from pyspark.sql import Window
+
+    from fel_spark.functions.sim import jaro_winkler_pudf
+
+    n = new_records.select(
+        F.col(id_col).alias("record_id"),
+        F.col(key_col).alias("_k_new"),
+        F.col(block_col).alias("_bk"),
+    )
+    e = existing.select(
+        F.col(id_col).alias("member_id"),
+        F.col(cluster_col).alias("_cl"),
+        F.col(key_col).alias("_k_old"),
+        F.col(block_col).alias("_bk"),
+    )
+    # the JW pudf null-FILLS its inputs; an unblocked arrival (left-join
+    # miss) must surface NULL, not jw(key, "") = 0
+    cand = n.join(e, "_bk", "left").withColumn(
+        "jw_micro",
+        F.when(
+            F.col("_k_old").isNotNull(),
+            F.round(
+                jaro_winkler_pudf(F.col("_k_new"), F.col("_k_old")) * 1_000_000
+            ).cast("long"),
+        ),
+    )
+    w = Window.partitionBy("record_id").orderBy(
+        F.col("jw_micro").desc_nulls_last(),
+        F.col("_cl").asc_nulls_last(),
+        F.col("member_id").asc_nulls_last(),
+    )
+    best = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    attached = F.col("jw_micro") >= threshold_micro
+    return best.select(
+        "record_id",
+        F.when(attached, F.col("_cl")).alias("cluster_id"),
+        F.when(attached, F.col("member_id")).alias("matched_id"),
+        F.col("jw_micro").alias("best_jw_micro"),
+        (~F.coalesce(attached, F.lit(False))).alias("is_new"),
+    )
