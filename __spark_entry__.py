@@ -2678,6 +2678,78 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def _fs_multilevel_inputs(spark, sf_dir):
+    """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
+    (far / close / exact-ish length bands), lang_level in {0,1}; gold =
+    mod-5 residue (co-blocked matches exist at every sf — see
+    q_er_threshold_curve)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    a = d.select(
+        *[F.col(c).alias(f"{c}_a") for c in d.columns],
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        *[F.col(c).alias(f"{c}_b") for c in d.columns],
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    p = a.join(b, "bk").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    diff = F.abs(F.col("n_chars_a") - F.col("n_chars_b"))
+    return p.select(
+        F.col("doc_id_a").alias("id_a"),
+        F.col("doc_id_b").alias("id_b"),
+        F.when(diff < 10, F.lit(2))
+        .when(diff < 40, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("len_level"),
+        F.col("lang_a")
+        .eqNullSafe(F.col("lang_b"))
+        .cast("long")
+        .alias("lang_level"),
+        (F.col("doc_id_a") % 5 == F.col("doc_id_b") % 5)
+        .cast("long")
+        .alias("is_match"),
+    )
+
+
+_FS_LEVELS = {"len_level": 3, "lang_level": 2}
+
+
+def q_er_fs_multilevel(spark, sf_dir):
+    """Multi-level Fellegi-Sunter estimation (r5, `operators/linkage.py::
+    fs_weights_multilevel` — Splink's comparison levels / Winkler's
+    extended FS): graded agreement (far/close/exact length bands +
+    binary lang) instead of binary gamma; per-(feature, level) m/u with
+    Dirichlet-Jeffreys smoothing (c + 0.5)/(n + 0.5 L) so unseen levels
+    stay finite and each level simplex sums to 1. The full declared
+    grid is emitted (unseen levels included). One melt + ONE
+    (feature, level)-keyed aggregate; oracle replays grid, counts,
+    smoothing, and log algebra."""
+    from fel_spark.operators.linkage import fs_weights_multilevel
+
+    return fs_weights_multilevel(
+        _fs_multilevel_inputs(spark, sf_dir), _FS_LEVELS
+    )
+
+
+def q_er_fs_multilevel_scores(spark, sf_dir):
+    """Multi-level FS pair scoring end-to-end (r5,
+    `linkage.fs_score_multilevel`): estimate the level weights, then
+    score every pair as the exact-integer sum of the (feature, level)
+    weights its observed levels select — broadcast weight join, one
+    pair-keyed shuffle. Oracle chains estimation into the scoring sum."""
+    from fel_spark.operators.linkage import (
+        fs_score_multilevel,
+        fs_weights_multilevel,
+    )
+
+    pairs = _fs_multilevel_inputs(spark, sf_dir)
+    w = fs_weights_multilevel(pairs, _FS_LEVELS)
+    return fs_score_multilevel(
+        pairs.drop("is_match"), w, list(_FS_LEVELS)
+    )
+
+
 def q_er_incremental_assign(spark, sf_dir):
     """Incremental cluster attachment (r5, `operators/linkage.py::
     incremental_assign` — the attach half of the lambda split for
@@ -2986,6 +3058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
+        "er_fs_multilevel": q_er_fs_multilevel,
+        "er_fs_multilevel_scores": q_er_fs_multilevel_scores,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6187,6 +6261,135 @@ def oracle_sql() -> dict[str, str]:
                    CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl
             FROM d a JOIN d b
               ON a.doc_id % 11 = b.doc_id % 11 AND a.doc_id < b.doc_id
+        """,
+        # er_fs_multilevel: graded-agreement FS — grid (incl. unseen
+        # levels), Dirichlet-Jeffreys smoothing, log2 weights
+        "er_fs_multilevel": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars, doc_id % 13 AS bk
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(CASE WHEN abs(a.n_chars - b.n_chars) < 10 THEN 2
+                                 WHEN abs(a.n_chars - b.n_chars) < 40 THEN 1
+                                 ELSE 0 END AS BIGINT) AS len_level,
+                       CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                           AS lang_level,
+                       CAST(a.doc_id % 5 = b.doc_id % 5 AS BIGINT) AS lbl
+                FROM d a JOIN d b USING (bk)
+                WHERE a.doc_id < b.doc_id
+            ),
+            melted AS (
+                SELECT 'len_level' AS feature, len_level AS level, lbl
+                FROM pairs
+                UNION ALL
+                SELECT 'lang_level', lang_level, lbl FROM pairs
+            ),
+            counts AS (
+                SELECT feature, level,
+                       CAST(sum(lbl) AS BIGINT) AS n_match,
+                       CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch
+                FROM melted GROUP BY 1, 2
+            ),
+            grid(feature, level, n_levels) AS (
+                VALUES ('len_level', CAST(0 AS BIGINT), 3.0),
+                       ('len_level', 1, 3.0), ('len_level', 2, 3.0),
+                       ('lang_level', 0, 2.0), ('lang_level', 1, 2.0)
+            ),
+            tot AS (
+                SELECT CAST(sum(lbl) AS BIGINT) AS tm,
+                       CAST(sum(1 - lbl) AS BIGINT) AS tu
+                FROM pairs
+            ),
+            w AS (
+                SELECT g.feature, g.level,
+                       coalesce(c.n_match, 0) AS n_match,
+                       coalesce(c.n_nonmatch, 0) AS n_nonmatch,
+                       (coalesce(c.n_match, 0) + 0.5)
+                           / (tm + 0.5 * g.n_levels) AS m,
+                       (coalesce(c.n_nonmatch, 0) + 0.5)
+                           / (tu + 0.5 * g.n_levels) AS u
+                FROM grid g
+                LEFT JOIN counts c
+                  ON c.feature = g.feature AND c.level = g.level
+                CROSS JOIN tot
+            )
+            SELECT feature, level, n_match, n_nonmatch,
+                   CAST(round(m * 1000000) AS BIGINT) AS m_micro,
+                   CAST(round(u * 1000000) AS BIGINT) AS u_micro,
+                   CAST(round(log2(m / u) * 1000000) AS BIGINT) AS w_micro
+            FROM w
+        """,
+        # er_fs_multilevel_scores: estimation chained into the
+        # exact-integer (feature, level) weight sum per pair
+        "er_fs_multilevel_scores": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars, doc_id % 13 AS bk
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(CASE WHEN abs(a.n_chars - b.n_chars) < 10 THEN 2
+                                 WHEN abs(a.n_chars - b.n_chars) < 40 THEN 1
+                                 ELSE 0 END AS BIGINT) AS len_level,
+                       CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                           AS lang_level,
+                       CAST(a.doc_id % 5 = b.doc_id % 5 AS BIGINT) AS lbl
+                FROM d a JOIN d b USING (bk)
+                WHERE a.doc_id < b.doc_id
+            ),
+            melted AS (
+                SELECT 'len_level' AS feature, len_level AS level, lbl
+                FROM pairs
+                UNION ALL
+                SELECT 'lang_level', lang_level, lbl FROM pairs
+            ),
+            counts AS (
+                SELECT feature, level,
+                       CAST(sum(lbl) AS BIGINT) AS n_match,
+                       CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch
+                FROM melted GROUP BY 1, 2
+            ),
+            grid(feature, level, n_levels) AS (
+                VALUES ('len_level', CAST(0 AS BIGINT), 3.0),
+                       ('len_level', 1, 3.0), ('len_level', 2, 3.0),
+                       ('lang_level', 0, 2.0), ('lang_level', 1, 2.0)
+            ),
+            tot AS (
+                SELECT CAST(sum(lbl) AS BIGINT) AS tm,
+                       CAST(sum(1 - lbl) AS BIGINT) AS tu
+                FROM pairs
+            ),
+            w AS (
+                SELECT g.feature, g.level,
+                       coalesce(c.n_match, 0) AS n_match,
+                       coalesce(c.n_nonmatch, 0) AS n_nonmatch,
+                       (coalesce(c.n_match, 0) + 0.5)
+                           / (tm + 0.5 * g.n_levels) AS m,
+                       (coalesce(c.n_nonmatch, 0) + 0.5)
+                           / (tu + 0.5 * g.n_levels) AS u
+                FROM grid g
+                LEFT JOIN counts c
+                  ON c.feature = g.feature AND c.level = g.level
+                CROSS JOIN tot
+            ),
+            wm AS (
+                SELECT feature, level,
+                       CAST(round(log2(m / u) * 1000000) AS BIGINT)
+                           AS w_micro
+                FROM w
+            ),
+            pair_melt AS (
+                SELECT id_a, id_b, 'len_level' AS feature,
+                       len_level AS level FROM pairs
+                UNION ALL
+                SELECT id_a, id_b, 'lang_level', lang_level FROM pairs
+            )
+            SELECT id_a, id_b,
+                   CAST(sum(w_micro) AS BIGINT) AS fs_score_micro
+            FROM pair_melt JOIN wm USING (feature, level)
+            GROUP BY 1, 2
         """,
         # er_incremental_assign: blocked left join + native-JW argmax
         # with the identical neutral tie-break; NULL-safe on unblocked

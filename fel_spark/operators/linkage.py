@@ -402,3 +402,108 @@ def incremental_assign(
         F.col("jw_micro").alias("best_jw_micro"),
         (~F.coalesce(attached, F.lit(False))).alias("is_new"),
     )
+
+
+def fs_weights_multilevel(
+    labeled_pairs: DataFrame,
+    feature_levels: dict[str, int],
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Multi-LEVEL Fellegi-Sunter estimation — graded agreement instead
+    of binary gamma (Splink's "comparison levels"; Winkler's extended FS
+    model). Each feature k carries an integer level column in
+    [0, L_k): e.g. exact / close / far for a length comparison. Per
+    (feature, level):
+
+        m_kl = P(level = l | match),  u_kl = P(level = l | non-match)
+        w_kl = log2(m_kl / u_kl)
+
+    with Dirichlet-Jeffreys smoothing (c + 0.5) / (n + 0.5 * L_k) so
+    unseen levels get finite weights and the L_k-level simplex still
+    sums to 1. One map-side melt + ONE (feature, level)-keyed hash
+    aggregate over the corpus-scale pairs; everything after is
+    dictionary-scale. Returns (feature, level, n_match, n_nonmatch,
+    m_micro, u_micro, w_micro) for every level in range — including
+    levels observed zero times (seeded from the declared level counts,
+    not the data).
+    """
+    lbl = F.col(label_col).cast("long")
+    kvs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("feature"),
+                F.col(k).cast("long").alias("level"),
+            )
+            for k in feature_levels
+        ]
+    )
+    melted = labeled_pairs.select(
+        lbl.alias("_lbl"), F.explode(kvs).alias("kv")
+    ).select("_lbl", "kv.feature", "kv.level")
+    counts = melted.groupBy("feature", "level").agg(
+        F.sum("_lbl").cast("long").alias("n_match"),
+        F.sum(1 - F.col("_lbl")).cast("long").alias("n_nonmatch"),
+    )
+    # seed the full (feature, level) grid so unseen levels emit smoothed
+    # rows (the SQL replay generates the same grid)
+    spark = labeled_pairs.sparkSession
+    grid = spark.createDataFrame(
+        [(k, lv) for k, n in feature_levels.items() for lv in range(n)],
+        "feature string, level long",
+    )
+    full = grid.join(counts, ["feature", "level"], "left").fillna(
+        0, subset=["n_match", "n_nonmatch"]
+    )
+    tot = labeled_pairs.agg(
+        F.sum(lbl).cast("long").alias("_tm"),
+        F.sum(1 - lbl).cast("long").alias("_tu"),
+    )
+    nlv = spark.createDataFrame(
+        [(k, float(n)) for k, n in feature_levels.items()],
+        "feature string, n_levels double",
+    )
+    j = full.join(F.broadcast(nlv), "feature").crossJoin(F.broadcast(tot))
+    m = (F.col("n_match") + 0.5) / (F.col("_tm") + 0.5 * F.col("n_levels"))
+    u = (F.col("n_nonmatch") + 0.5) / (
+        F.col("_tu") + 0.5 * F.col("n_levels")
+    )
+    return j.select(
+        "feature",
+        "level",
+        "n_match",
+        "n_nonmatch",
+        F.round(m * 1_000_000).cast("long").alias("m_micro"),
+        F.round(u * 1_000_000).cast("long").alias("u_micro"),
+        F.round(F.log2(m / u) * 1_000_000).cast("long").alias("w_micro"),
+    )
+
+
+def fs_score_multilevel(
+    pairs: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str],
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Score pairs under the multi-level model: per pair, sum the
+    (feature, level) weights its observed levels select — exact integer
+    addition of micro-unit weights, broadcast weight join, one
+    pair-keyed shuffle. Returns (id_a, id_b, fs_score_micro)."""
+    ia, ib = id_cols
+    kvs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("feature"),
+                F.col(k).cast("long").alias("level"),
+            )
+            for k in feature_cols
+        ]
+    )
+    melted = pairs.select(ia, ib, F.explode(kvs).alias("kv")).select(
+        ia, ib, "kv.feature", "kv.level"
+    )
+    w = F.broadcast(weights.select("feature", "level", "w_micro"))
+    return (
+        melted.join(w, ["feature", "level"])
+        .groupBy(ia, ib)
+        .agg(F.sum("w_micro").cast("long").alias("fs_score_micro"))
+    )
