@@ -2851,6 +2851,113 @@ def q_er_threshold_curve(spark, sf_dir):
     return threshold_curve(scored, "fs_score_micro", "is_match")
 
 
+def q_er_fs_em_multilevel(spark, sf_dir):
+    """UNSUPERVISED multi-level FS estimation (r5,
+    `linkage.fs_em_train_multilevel` — Splink's estimate_parameters
+    over comparison levels, no labels): 3 EM iterations on the
+    prod(L_k)-pattern histogram (one corpus-scale aggregate; EM itself
+    dictionary-scale driver-side, the same gate as the binary EM and
+    BPE training). Oracle is a GENERATED full unroll — init simplexes
+    burned as repr() IEEE literals, left-associated level-CASE
+    products, p = pm/(pm+pu) order — diverging only in pattern-sum
+    order (absorbed by micro rounding)."""
+    from fel_spark.operators.linkage import fs_em_train_multilevel
+
+    pairs = _fs_multilevel_inputs(spark, sf_dir).drop("is_match")
+    return fs_em_train_multilevel(pairs, _FS_LEVELS, iters=3)
+
+
+def _fs_em_multilevel_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE replay of q_er_fs_em_multilevel, generated from the
+    same iteration count and the same init-simplex formula (repr()
+    round-trips the exact IEEE doubles the Python loop starts from)."""
+    feats = list(_FS_LEVELS)
+    ls = [_FS_LEVELS[f] for f in feats]
+    nf = len(feats)
+
+    def case_lookup(gcol: str, exprs: list) -> str:
+        whens = " ".join(
+            f"WHEN {l} THEN {e}" for l, e in enumerate(exprs[:-1])
+        )
+        return f"(CASE {gcol} {whens} ELSE {exprs[-1]} END)"
+
+    lam_e = repr(0.5)
+    m_e = [
+        [repr(2.0 * (l + 1) / (n * (n + 1))) for l in range(n)] for n in ls
+    ]
+    u_e = [
+        [repr(2.0 * (n - l) / (n * (n + 1))) for l in range(n)] for n in ls
+    ]
+    ctes = []
+    for i in range(1, iters + 1):
+        pm = " * ".join(
+            [f"({lam_e})"]
+            + [case_lookup(f"g{j + 1}", m_e[j]) for j in range(nf)]
+        )
+        pu = " * ".join(
+            [f"(1 - {lam_e})"]
+            + [case_lookup(f"g{j + 1}", u_e[j]) for j in range(nf)]
+        )
+        sel = ["sum(p * c) / sum(c) AS lam"]
+        for j in range(nf):
+            for l in range(ls[j]):
+                ind = f"(CASE WHEN g{j + 1} = {l} THEN 1 ELSE 0 END)"
+                sel.append(
+                    f"sum(p * c * {ind}) / sum(p * c) AS m{j + 1}_{l}"
+                )
+                sel.append(
+                    f"sum((1 - p) * c * {ind}) / sum((1 - p) * c)"
+                    f" AS u{j + 1}_{l}"
+                )
+        src = "hist" if i == 1 else f"hist CROSS JOIN it{i - 1}"
+        gcols = ", ".join(f"g{j + 1}" for j in range(nf))
+        ctes.append(
+            f"""it{i} AS (
+            SELECT {", ".join(sel)}
+            FROM (SELECT {gcols}, c, pm / (pm + pu) AS p
+                  FROM (SELECT *, {pm} AS pm, {pu} AS pu
+                        FROM {src}) x) y
+        )"""
+        )
+        lam_e = "lam"
+        m_e = [[f"m{j + 1}_{l}" for l in range(ls[j])] for j in range(nf)]
+        u_e = [[f"u{j + 1}_{l}" for l in range(ls[j])] for j in range(nf)]
+    rows = []
+    for j, f in enumerate(feats):
+        for l in range(ls[j]):
+            rows.append(
+                f"""SELECT '{f}' AS feature, CAST({l} AS BIGINT) AS level,
+                   CAST(round(m{j + 1}_{l} * 1000000) AS BIGINT) AS m_micro,
+                   CAST(round(u{j + 1}_{l} * 1000000) AS BIGINT) AS u_micro,
+                   CAST(round(lam * 1000000) AS BIGINT) AS lambda_micro,
+                   n_pairs
+            FROM it{iters} CROSS JOIN tot"""
+            )
+    body = "\n            UNION ALL\n            ".join(rows)
+    cte_sql = ",\n        ".join(ctes)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang, n_chars, doc_id % 13 AS bk
+            FROM documents
+        ),
+        pairs AS (
+            SELECT CAST(CASE WHEN abs(a.n_chars - b.n_chars) < 10 THEN 2
+                             WHEN abs(a.n_chars - b.n_chars) < 40 THEN 1
+                             ELSE 0 END AS BIGINT) AS g1,
+                   CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT) AS g2
+            FROM d a JOIN d b USING (bk)
+            WHERE a.doc_id < b.doc_id
+        ),
+        hist AS (
+            SELECT g1, g2, CAST(count(*) AS BIGINT) AS c
+            FROM pairs GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM hist),
+        {cte_sql}
+        {body}
+    """
+
+
 def _phonetic_blocking_oracle() -> str:
     """SQL replay of q_er_phonetic_blocking: unnest alphabetic tokens,
     key by the generated DuckDB rendering of the SAME Soundex chain the
@@ -3060,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental_assign": q_er_incremental_assign,
         "er_fs_multilevel": q_er_fs_multilevel,
         "er_fs_multilevel_scores": q_er_fs_multilevel_scores,
+        "er_fs_em_multilevel": q_er_fs_em_multilevel,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6147,6 +6255,8 @@ def oracle_sql() -> dict[str, str]:
         # er_fs_em_posteriors: EM unroll -> rounded-micro scalar params
         # -> map-only CASE products -> posterior + 3-way FS decision
         "er_fs_em_posteriors": _fs_em_oracle(3, mode="posteriors"),
+        # er_fs_em_multilevel: generated full unroll (see generator)
+        "er_fs_em_multilevel": _fs_em_multilevel_oracle(3),
         # er_edit_scores: four comparators, three of them DuckDB-NATIVE
         # (levenshtein / hamming / jaccard) against Spark-native or
         # pure-column implementations — the strongest oracle class in

@@ -507,3 +507,81 @@ def fs_score_multilevel(
         .groupBy(ia, ib)
         .agg(F.sum("w_micro").cast("long").alias("fs_score_micro"))
     )
+
+
+def fs_em_train_multilevel(
+    pairs: DataFrame,
+    feature_levels: dict[str, int],
+    iters: int = 3,
+    lam0: float = 0.5,
+) -> DataFrame:
+    """UNSUPERVISED estimation for the multi-LEVEL FS model via EM — the
+    label-free path for graded comparison levels (what Splink's
+    estimate_parameters does over its comparison levels).
+
+    Same scale gate as :func:`fs_em_train`: pairs sharing a level
+    PATTERN share a posterior, so EM runs on the prod(L_k)-row pattern
+    histogram — ONE corpus-scale hash aggregate, then a driver-side
+    fixed-iteration loop on the dictionary-scale histogram.
+
+    Per iteration, for pattern g (count c):
+
+        pm = lam * prod_k m_k[g_k]      (left-associated, feature order)
+        pu = (1 - lam) * prod_k u_k[g_k]
+        p  = pm / (pm + pu)
+        m_k[l]' = sum(p c [g_k = l]) / sum(p c);  u symmetric with 1 - p
+
+    Init: m0_k[l] = 2(l+1)/(L(L+1)) (mass increasing with agreement
+    level), u0_k[l] = 2(L-l)/(L(L+1)) (decreasing) — both exact level
+    simplexes. The SQL replay burns the identical IEEE doubles via
+    repr() literals, mirrors every arithmetic form, and diverges only
+    in pattern-sum order (absorbed by micro rounding).
+
+    Returns (feature, level, m_micro, u_micro, lambda_micro, n_pairs).
+    """
+    import math
+
+    feats = list(feature_levels)
+    ls = [feature_levels[f] for f in feats]
+    hist_rows = sorted(
+        (tuple(int(r[f]) for f in feats), int(r["c"]))
+        for r in pairs.groupBy(*feats).agg(F.count("*").alias("c")).collect()
+    )
+    lam = lam0
+    m = [[2.0 * (l + 1) / (n * (n + 1)) for l in range(n)] for n in ls]
+    u = [[2.0 * (n - l) / (n * (n + 1)) for l in range(n)] for n in ls]
+    for _ in range(iters):
+        sp = sq = sc = 0.0
+        spg = [[0.0] * n for n in ls]
+        sqg = [[0.0] * n for n in ls]
+        for g, c in hist_rows:
+            pm = lam
+            pu = 1 - lam
+            for j in range(len(feats)):
+                pm *= m[j][g[j]]
+                pu *= u[j][g[j]]
+            p = pm / (pm + pu)
+            sp += p * c
+            sq += (1 - p) * c
+            sc += c
+            for j in range(len(feats)):
+                spg[j][g[j]] += p * c
+                sqg[j][g[j]] += (1 - p) * c
+        lam = sp / sc
+        m = [[spg[j][l] / sp for l in range(ls[j])] for j in range(len(feats))]
+        u = [[sqg[j][l] / sq for l in range(ls[j])] for j in range(len(feats))]
+
+    def micro(x: float) -> int:
+        return int(math.floor(x * 1000000 + 0.5))
+
+    n_pairs = sum(c for _, c in hist_rows)
+    out = [
+        (feats[j], l, micro(m[j][l]), micro(u[j][l]), micro(lam), n_pairs)
+        for j in range(len(feats))
+        for l in range(ls[j])
+    ]
+    return pairs.sparkSession.createDataFrame(
+        out,
+        "feature string, level long, m_micro long, u_micro long, "
+        "lambda_micro long, n_pairs long",
+    )
