@@ -2958,6 +2958,44 @@ def _fs_em_multilevel_oracle(iters: int = 3) -> str:
     """
 
 
+def q_er_cluster_audit(spark, sf_dir):
+    """Per-cluster graph-quality audit (r5, `operators/evalmetrics.py::
+    cluster_edge_audit`): the over-merge QA pass for transitive
+    clustering — within-cluster edge density (1.0 = clique: every
+    member pair directly matched; low = CC chained distant members) and
+    external edges (match evidence the clustering crossed). Edges:
+    mod-13 blocked pairs with close lengths; clusters: mod-40 residues
+    — so both low-density clusters and boundary-crossing edges occur.
+    Two id-keyed joins + cluster-keyed aggregates; oracle replays the
+    join/aggregate/ratio algebra."""
+    from fel_spark.operators.evalmetrics import cluster_edge_audit
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("src"),
+        F.col("n_chars").alias("_nc_a"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("_nc_b"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.abs(F.col("_nc_a") - F.col("_nc_b")) < 15)
+        )
+        .select("src", "dst")
+    )
+    assign = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 40).alias("cluster_id"),
+    )
+    return cluster_edge_audit(edges, assign)
+
+
 def _phonetic_blocking_oracle() -> str:
     """SQL replay of q_er_phonetic_blocking: unnest alphabetic tokens,
     key by the generated DuckDB rendering of the SAME Soundex chain the
@@ -3168,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_multilevel": q_er_fs_multilevel,
         "er_fs_multilevel_scores": q_er_fs_multilevel_scores,
         "er_fs_em_multilevel": q_er_fs_em_multilevel,
+        "er_cluster_audit": q_er_cluster_audit,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6500,6 +6539,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w_micro) AS BIGINT) AS fs_score_micro
             FROM pair_melt JOIN wm USING (feature, level)
             GROUP BY 1, 2
+        """,
+        # er_cluster_audit: endpoint cluster joins + within/external
+        # aggregates; density = exact int ratio, singleton-safe
+        "er_cluster_audit": """
+            WITH d AS (
+                SELECT doc_id, n_chars, doc_id % 13 AS bk FROM documents
+            ),
+            edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM d a JOIN d b USING (bk)
+                WHERE a.doc_id < b.doc_id
+                  AND abs(a.n_chars - b.n_chars) < 15
+            ),
+            assign AS (
+                SELECT doc_id AS id, doc_id % 40 AS cluster_id
+                FROM documents
+            ),
+            e2 AS (
+                SELECT s.cluster_id AS c_src, t.cluster_id AS c_dst
+                FROM edges e
+                JOIN assign s ON s.id = e.src
+                JOIN assign t ON t.id = e.dst
+            ),
+            within AS (
+                SELECT c_src AS cluster_id,
+                       CAST(count(*) AS BIGINT) AS n_edges
+                FROM e2 WHERE c_src = c_dst GROUP BY 1
+            ),
+            external AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_external
+                FROM (
+                    SELECT c_src AS cluster_id FROM e2 WHERE c_src != c_dst
+                    UNION ALL
+                    SELECT c_dst FROM e2 WHERE c_src != c_dst
+                ) GROUP BY 1
+            ),
+            sizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM assign GROUP BY 1
+            )
+            SELECT s.cluster_id, s.n_nodes,
+                   coalesce(w.n_edges, 0) AS n_edges,
+                   CAST(s.n_nodes * (s.n_nodes - 1) / 2 AS BIGINT)
+                       AS n_possible,
+                   CASE WHEN s.n_nodes * (s.n_nodes - 1) / 2 > 0 THEN
+                       CAST(round(coalesce(w.n_edges, 0)
+                            / (s.n_nodes * (s.n_nodes - 1) / 2)
+                            * 1000000) AS BIGINT) END AS density_micro,
+                   coalesce(x.n_external, 0) AS n_external,
+                   s.n_nodes * (s.n_nodes - 1) / 2
+                       = coalesce(w.n_edges, 0) AS is_clique
+            FROM sizes s
+            LEFT JOIN within w USING (cluster_id)
+            LEFT JOIN external x USING (cluster_id)
         """,
         # er_incremental_assign: blocked left join + native-JW argmax
         # with the identical neutral tie-break; NULL-safe on unblocked

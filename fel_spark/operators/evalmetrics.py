@@ -188,3 +188,67 @@ def threshold_curve(
             .alias("f1_micro"),
         )
     )
+
+
+def cluster_edge_audit(
+    edges: DataFrame,
+    assign: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster graph-quality audit — the QA pass a production ER
+    pipeline runs on its transitive clusters: connected components can
+    chain A~B~C into one entity with A and C sharing NO direct match
+    edge, and this report is how that over-merge risk is seen.
+
+    For each cluster: member count, within-cluster match edges, the
+    n(n-1)/2 possible edges, edge DENSITY (1.0 = the cluster is a
+    clique, every member pair was directly matched; low density = long
+    chains worth clerical review), and EXTERNAL edges (score edges
+    crossing the cluster boundary — nonzero means the clustering
+    dropped evidence, e.g. a threshold disagreement).
+
+    Scale shape: two id-keyed joins to attach cluster ids to edge
+    endpoints, then cluster-keyed hash aggregates — nothing pair-scale
+    beyond the already-materialized edge list. Singletons report 0/0
+    edges with NULL density and is_clique = true (vacuous).
+    """
+    a_src = assign.select(
+        F.col(id_col).alias("src"), F.col(cluster_col).alias("_c_src")
+    )
+    a_dst = assign.select(
+        F.col(id_col).alias("dst"), F.col(cluster_col).alias("_c_dst")
+    )
+    e2 = edges.join(a_src, "src").join(a_dst, "dst")
+    within = (
+        e2.filter(F.col("_c_src") == F.col("_c_dst"))
+        .groupBy(F.col("_c_src").alias(cluster_col))
+        .agg(F.count("*").alias("n_edges"))
+    )
+    crossing = e2.filter(F.col("_c_src") != F.col("_c_dst"))
+    external = (
+        crossing.select(F.col("_c_src").alias(cluster_col))
+        .unionAll(crossing.select(F.col("_c_dst").alias(cluster_col)))
+        .groupBy(cluster_col)
+        .agg(F.count("*").alias("n_external"))
+    )
+    sizes = assign.groupBy(cluster_col).agg(F.count("*").alias("n_nodes"))
+    n = F.col("n_nodes")
+    poss = (n * (n - 1) / 2).cast("long")
+    out = (
+        sizes.join(within, cluster_col, "left")
+        .join(external, cluster_col, "left")
+        .fillna(0, subset=["n_edges", "n_external"])
+    )
+    return out.select(
+        cluster_col,
+        "n_nodes",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        poss.alias("n_possible"),
+        F.when(
+            poss > 0,
+            F.round(F.col("n_edges") / poss * 1_000_000).cast("long"),
+        ).alias("density_micro"),
+        F.col("n_external").cast("long").alias("n_external"),
+        (poss == F.col("n_edges")).alias("is_clique"),
+    )
