@@ -2996,6 +2996,43 @@ def q_er_cluster_audit(spark, sf_dir):
     return cluster_edge_audit(edges, assign)
 
 
+def q_er_blocking_rules(spark, sf_dir):
+    """Blocking-rule coverage analysis (r5, `operators/blocking.py::
+    blocking_rule_coverage` — Splink's blocking-rule coverage chart):
+    three rules of decreasing selectivity (mod-80 residue: high-recall
+    subset of the mod-40 gold; mod-13: cheap hash blocking; close-length
+    band via the n_chars//25 bucket) evaluated for per-rule recall and
+    MARGINAL true pairs over the declared order. Distinct rule-pairs ->
+    gold joins -> first-covering-rule argmin -> rule aggregates ->
+    dictionary-scale cumulative window; the total true-pair count comes
+    from gold cluster sizes (n(n-1)/2 summed), never materialized."""
+    from fel_spark.operators.blocking import blocking_rule_coverage
+
+    d = _t(spark, sf_dir, "documents")
+
+    def rule(expr, name):
+        a = d.select(F.col("doc_id").alias("id_a"), expr.alias("_k"))
+        b = d.select(F.col("doc_id").alias("id_b"), expr.alias("_k"))
+        return (
+            a.join(b, "_k")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(name).alias("rule"))
+        )
+
+    pairs = (
+        rule(F.col("doc_id") % 80, "r1_mod80")
+        .unionAll(rule(F.col("doc_id") % 13, "r2_mod13"))
+        .unionAll(rule(F.floor(F.col("n_chars") / 25), "r3_lenband"))
+    )
+    gold = d.select(
+        F.col("doc_id").alias("record_id"),
+        (F.col("doc_id") % 40).alias("gold"),
+    )
+    return blocking_rule_coverage(
+        pairs, gold, ["r1_mod80", "r2_mod13", "r3_lenband"]
+    )
+
+
 def _phonetic_blocking_oracle() -> str:
     """SQL replay of q_er_phonetic_blocking: unnest alphabetic tokens,
     key by the generated DuckDB rendering of the SAME Soundex chain the
@@ -3207,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_multilevel_scores": q_er_fs_multilevel_scores,
         "er_fs_em_multilevel": q_er_fs_em_multilevel,
         "er_cluster_audit": q_er_cluster_audit,
+        "er_blocking_rules": q_er_blocking_rules,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6539,6 +6577,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w_micro) AS BIGINT) AS fs_score_micro
             FROM pair_melt JOIN wm USING (feature, level)
             GROUP BY 1, 2
+        """,
+        # er_blocking_rules: distinct rule-pairs -> gold joins ->
+        # first-covering-rule argmin -> rule aggregates -> cum window
+        "er_blocking_rules": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            rp AS (
+                SELECT DISTINCT * FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           'r1_mod80' AS rule, 0 AS prio
+                    FROM d a JOIN d b
+                      ON a.doc_id % 80 = b.doc_id % 80
+                     AND a.doc_id < b.doc_id
+                    UNION ALL
+                    SELECT a.doc_id, b.doc_id, 'r2_mod13', 1
+                    FROM d a JOIN d b
+                      ON a.doc_id % 13 = b.doc_id % 13
+                     AND a.doc_id < b.doc_id
+                    UNION ALL
+                    SELECT a.doc_id, b.doc_id, 'r3_lenband', 2
+                    FROM d a JOIN d b
+                      ON floor(a.n_chars / 25) = floor(b.n_chars / 25)
+                     AND a.doc_id < b.doc_id
+                )
+            ),
+            labeled AS (
+                SELECT rp.*,
+                       CAST(id_a % 40 = id_b % 40 AS BIGINT) AS t,
+                       CAST(row_number() OVER (
+                           PARTITION BY id_a, id_b ORDER BY prio) = 1
+                           AS BIGINT) AS is_first
+                FROM rp
+            ),
+            per_rule AS (
+                SELECT rule, prio,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(t) AS BIGINT) AS n_true_pairs,
+                       CAST(sum(t * is_first) AS BIGINT)
+                           AS marginal_true_pairs
+                FROM labeled GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS total_true
+                FROM (SELECT count(*) AS n FROM d GROUP BY doc_id % 40)
+            ),
+            cum AS (
+                SELECT *, CAST(sum(marginal_true_pairs) OVER (
+                    ORDER BY prio ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum_true
+                FROM per_rule
+            )
+            SELECT rule, n_pairs, n_true_pairs, marginal_true_pairs,
+                   CAST(round(CASE WHEN total_true = 0 THEN 0.0
+                                   ELSE n_true_pairs / total_true END
+                              * 1000000) AS BIGINT) AS recall_micro,
+                   CAST(round(CASE WHEN total_true = 0 THEN 0.0
+                                   ELSE cum_true / total_true END
+                              * 1000000) AS BIGINT) AS cum_recall_micro
+            FROM cum CROSS JOIN tot
         """,
         # er_cluster_audit: endpoint cluster joins + within/external
         # aggregates; density = exact int ratio, singleton-safe
