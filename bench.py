@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "doc_semantic_dedup",
     "knn_bruteforce",
     "minhash_near_dup",
+    # r5 late additions: the heaviest of the second ER wave (UDF-bearing
+    # comparator scoring; the meta-blocking pair graph) — timed so the
+    # driver sees their cost evolve; n_queries in the artifact flags the
+    # battery growth for cross-round sum comparisons
+    "er_fs_multilevel_scores",
+    "er_metablocking",
     "corpus_prep_e2e",
 ]
 
