@@ -3033,6 +3033,21 @@ def q_er_blocking_rules(spark, sf_dir):
     )
 
 
+def q_er_fs_explain(spark, sf_dir):
+    """Per-feature score waterfall (r5, `operators/linkage.py::
+    fs_explain` — Splink's waterfall chart data): one row per
+    (pair, feature) with gamma, the selected weight, and the running
+    cumulative in the declared feature order; the last cumulative
+    equals fs_score's total (pinned in pytest). Same melt + broadcast
+    weight join as scoring plus a k-row pair-keyed window. Oracle
+    chains the er_fs_scores weight replay into the same melt/window."""
+    from fel_spark.operators.linkage import fs_explain, fs_weights
+
+    pairs = _fs_labeled_pairs(spark, sf_dir)
+    w = fs_weights(pairs, _FS_FEATURES)
+    return fs_explain(pairs.drop("is_match"), w, _FS_FEATURES)
+
+
 def _phonetic_blocking_oracle() -> str:
     """SQL replay of q_er_phonetic_blocking: unnest alphabetic tokens,
     key by the generated DuckDB rendering of the SAME Soundex chain the
@@ -3245,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_em_multilevel": q_er_fs_em_multilevel,
         "er_cluster_audit": q_er_cluster_audit,
         "er_blocking_rules": q_er_blocking_rules,
+        "er_fs_explain": q_er_fs_explain,
         "er_vmeasure": q_er_vmeasure,
         "er_threshold_curve": q_er_threshold_curve,
         # rows-only scale paths (no SQL oracle by nature)
@@ -6789,6 +6805,71 @@ def oracle_sql() -> dict[str, str]:
         # planes), entity_embeddings (iterative GD)
     }
     # derived oracles that embed another entry's SQL as a CTE
+    oracles["er_fs_explain"] = """
+        WITH d AS (
+            SELECT doc_id, lang, source, n_chars, doc_id % 13 AS bk
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(a.lang IS NOT DISTINCT FROM b.lang AS BIGINT)
+                       AS same_lang,
+                   CAST(a.source IS NOT DISTINCT FROM b.source AS BIGINT)
+                       AS same_source,
+                   CAST(abs(a.n_chars - b.n_chars) < 20 AS BIGINT)
+                       AS close_len,
+                   CAST(a.doc_id % 40 = b.doc_id % 40 AS BIGINT)
+                       AS is_match
+            FROM d a JOIN d b USING (bk)
+            WHERE a.doc_id < b.doc_id
+        ),
+        melted AS (
+            SELECT id_a, id_b, is_match AS lbl, 'same_lang' AS feature,
+                   same_lang AS gamma, 0 AS ord FROM pairs
+            UNION ALL
+            SELECT id_a, id_b, is_match, 'same_source', same_source, 1
+            FROM pairs
+            UNION ALL
+            SELECT id_a, id_b, is_match, 'close_len', close_len, 2
+            FROM pairs
+        ),
+        g AS (
+            SELECT feature,
+                   CAST(sum(gamma * lbl) AS BIGINT) AS n_agree_match,
+                   CAST(sum(lbl) AS BIGINT) AS n_match,
+                   CAST(sum(gamma * (1 - lbl)) AS BIGINT)
+                       AS n_agree_nonmatch,
+                   CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch
+            FROM melted GROUP BY 1
+        ),
+        w AS (
+            SELECT feature,
+                   CAST(round(log2(((n_agree_match + 0.5)
+                                    / (n_match + 1.0))
+                              / ((n_agree_nonmatch + 0.5)
+                                 / (n_nonmatch + 1.0))) * 1000000)
+                        AS BIGINT) AS w_agree_micro,
+                   CAST(round(log2((1 - (n_agree_match + 0.5)
+                                        / (n_match + 1.0))
+                              / (1 - (n_agree_nonmatch + 0.5)
+                                     / (n_nonmatch + 1.0))) * 1000000)
+                        AS BIGINT) AS w_disagree_micro
+            FROM g
+        ),
+        rows_w AS (
+            SELECT id_a, id_b, m.feature, gamma, ord,
+                   CAST(CASE WHEN gamma = 1 THEN w_agree_micro
+                             ELSE w_disagree_micro END AS BIGINT)
+                       AS w_micro
+            FROM melted m JOIN w USING (feature)
+        )
+        SELECT id_a, id_b, feature, gamma, w_micro,
+               CAST(sum(w_micro) OVER (
+                   PARTITION BY id_a, id_b ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_score_micro
+        FROM rows_w
+    """
     oracles["er_threshold_curve"] = f"""
         WITH scored AS ({oracles["er_fs_scores"]}),
         per_score AS (

@@ -585,3 +585,98 @@ def fs_em_train_multilevel(
         "feature string, level long, m_micro long, u_micro long, "
         "lambda_micro long, n_pairs long",
     )
+
+
+FS_MODEL_VERSION = 1
+
+
+def save_fs_model(weights: DataFrame, path: str) -> None:
+    """Persist a trained FS model (any of the weight-table shapes:
+    `fs_weights`, `fs_weights_from_mu`, `fs_weights_multilevel`,
+    `fs_em_train*` output) as a versioned JSON artifact — the train-once
+    / score-later deployment split (Splink's save_model_to_json). The
+    table is dictionary-scale by construction (rows bounded by features
+    x levels), so a driver-side collect is the correct altitude; the
+    artifact stores the schema alongside the rows so load restores
+    exact types (micro-unit weights stay exact integers end to end).
+    """
+    import json
+
+    rows = [r.asDict() for r in weights.collect()]
+    artifact = {
+        "fs_model_version": FS_MODEL_VERSION,
+        "schema": weights.schema.json(),
+        "rows": rows,
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(artifact, f, sort_keys=True)
+
+
+def load_fs_model(spark, path: str) -> DataFrame:
+    """Load a `save_fs_model` artifact back into a DataFrame with the
+    exact original schema. Raises on unknown artifact versions rather
+    than misreading a future layout."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    with open(path, encoding="utf-8") as f:
+        artifact = json.load(f)
+    ver = artifact.get("fs_model_version")
+    if ver != FS_MODEL_VERSION:
+        raise ValueError(
+            f"unsupported fs_model_version {ver!r} "
+            f"(this build reads {FS_MODEL_VERSION})"
+        )
+    schema = StructType.fromJson(json.loads(artifact["schema"]))
+    return spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in artifact["rows"]],
+        schema,
+    )
+
+
+def fs_explain(
+    pairs: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str],
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Per-feature score breakdown for candidate pairs — the waterfall
+    view (Splink's waterfall chart data): one row per (pair, feature)
+    with the feature's gamma, the weight it selected, and the running
+    cumulative score in the DECLARED feature order (deterministic: the
+    order is part of the explanation's contract). The final cumulative
+    row equals `fs_score`'s total by construction — exact integer
+    addition throughout. Shape: the same melt + broadcast weight join
+    as scoring, plus one pair-keyed window over the k declared features
+    (k-row partitions — dictionary-width, not corpus-scale)."""
+    from pyspark.sql import Window
+
+    ia, ib = id_cols
+    spark = pairs.sparkSession
+    order = F.broadcast(
+        spark.createDataFrame(
+            [(f, i) for i, f in enumerate(feature_cols)],
+            "feature string, _ord int",
+        )
+    )
+    melted = _melt_features(pairs, feature_cols, [ia, ib]).join(
+        order, "feature"
+    )
+    w = F.broadcast(
+        weights.select("feature", "w_agree_micro", "w_disagree_micro")
+    )
+    contrib = F.when(
+        F.col("gamma") == 1, F.col("w_agree_micro")
+    ).otherwise(F.col("w_disagree_micro"))
+    win = Window.partitionBy(ia, ib).orderBy("_ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        melted.join(w, "feature")
+        .withColumn("w_micro", contrib.cast("long"))
+        .withColumn(
+            "cum_score_micro", F.sum("w_micro").over(win).cast("long")
+        )
+        .select(ia, ib, "feature", "gamma", "w_micro", "cum_score_micro")
+    )
