@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "er_fs_multilevel_scores",
     "er_metablocking",
     "corpus_prep_e2e",
+    "record_linkage_e2e",
 ]
 
 # Queries whose input does NOT scale with sf_dir (synthetic fixed-size
@@ -130,10 +131,40 @@ def _q_corpus_prep_e2e(spark, sf_dir):
     )
 
 
+def _q_record_linkage_e2e(spark, sf_dir):
+    """Unsupervised record-linkage plan e2e at bench scale (r5,
+    plans/recordlinkage.py): phonetic+SNM blocking -> comparator levels
+    -> label-free multilevel-FS EM -> scoring -> CC clusters -> golden
+    records, all as StageRunner snapshots. Records are name-like keys
+    derived from sf_dir's documents (first three text tokens), so the
+    stage SCALES with sf. Fresh run_dir per rep (resume would no-op)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fel_spark.plans.recordlinkage import run_record_linkage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    records = docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("name"),
+    ).filter(F.length("name") > 0)
+    run_dir = tempfile.mkdtemp(prefix="fel_bench_rl_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return run_record_linkage(spark, run_dir, records)
+
+
 # bench-only entries that are PLANS, not registry queries: they write
 # StageRunner snapshots as a side effect, so they live here rather than in
 # __spark_entry__.queries() (every registry entry is a pure DataFrame).
-EXTRA_QUERIES = {"corpus_prep_e2e": _q_corpus_prep_e2e}
+EXTRA_QUERIES = {
+    "corpus_prep_e2e": _q_corpus_prep_e2e,
+    "record_linkage_e2e": _q_record_linkage_e2e,
+}
 
 
 def _materialize(df) -> int:

@@ -680,3 +680,20 @@ def fs_explain(
         )
         .select(ia, ib, "feature", "gamma", "w_micro", "cum_score_micro")
     )
+
+
+def fs_multilevel_weights_from_mu(mu: DataFrame) -> DataFrame:
+    """Bridge `fs_em_train_multilevel` output to `fs_score_multilevel`:
+    w_kl = log2(m_kl / u_kl) from the ROUNDED micro m/u (so a replay
+    from the persisted model artifact reproduces scores bit-exactly).
+    EM can drive a level's probability below 0.5e-6 — rounding to ZERO
+    micro-units — so both sides are floored at one micro-unit (the
+    rounded-model analogue of smoothing; keeps every weight finite).
+    Dictionary-scale column math."""
+    m = F.greatest(F.col("m_micro"), F.lit(1)) / 1_000_000.0
+    u = F.greatest(F.col("u_micro"), F.lit(1)) / 1_000_000.0
+    return mu.select(
+        "feature",
+        "level",
+        F.round(F.log2(m / u) * 1_000_000).cast("long").alias("w_micro"),
+    )

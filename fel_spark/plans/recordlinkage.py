@@ -1,0 +1,203 @@
+"""End-to-end UNSUPERVISED record-linkage plan: the second-wave ER
+operators composed as one resumable pipeline.
+
+    blocking (phonetic + sorted-neighborhood, unioned with provenance)
+      -> comparator features (JW / edit-ratio / token-Jaccard levels)
+      -> label-free model (multi-level FS via EM on the level-pattern
+         histogram; persisted as a versioned JSON artifact)
+      -> pair scoring (exact-integer level-weight sums)
+      -> match decision (positive log-likelihood ratio)
+      -> transitive clusters (connected components; singletons kept)
+      -> golden records (majority-vote survivorship)
+
+Every stage is a parquet snapshot under ``run_dir`` via
+:class:`~fel_spark.plans.metrics.StageRunner` — kill the job anywhere
+and a re-run resumes after the last completed stage (the reference's
+stage-gated driver, `mine-datapack.sh`, promoted to manifested
+snapshots). Block-size and cluster-quality audits ride along as aux
+snapshots (`phonetic_audit`, `cluster_audit`).
+
+Scale shape: both blocking rules are bounded (phonetic blocks are
+audited and cappable upstream; SNM is O(n*w) by construction); the
+comparator stage is map-only past the candidate join (one Arrow JW
+stage, everything else codegen); EM's corpus-scale work is ONE hash
+aggregate; scoring is a broadcast join + pair-keyed sum; CC is the
+gated driver-fast-path/checkpointed-distributed implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fel_spark.plans.metrics import StageRunner
+
+FEATURE_LEVELS = {"jw_level": 3, "lev_level": 3, "tok_level": 3}
+
+
+def _candidate_pairs(records: DataFrame, id_col: str, name_col: str, snm_window: int) -> DataFrame:
+    """Union of two blocking rules with provenance: Soundex of the first
+    name token, and sorted-neighborhood over the normalized name key."""
+    from fel_spark.functions.phonetic import soundex_col
+    from fel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    norm = F.lower(F.trim(F.col(name_col)))
+    base = records.select(
+        F.col(id_col).alias("rid"), norm.alias("_name")
+    ).filter(F.length("_name") > 0)
+    phon = base.withColumn(
+        "bk", soundex_col(F.split(F.col("_name"), " ")[0])
+    ).filter(F.col("bk").isNotNull())
+    a = phon.select(F.col("rid").alias("id_a"), "bk")
+    b = phon.select(F.col("rid").alias("id_b"), "bk")
+    p_phon = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit("phonetic").alias("rule"))
+    )
+    p_snm = sorted_neighborhood_pairs(
+        base, "_name", id_col="rid", window=snm_window
+    ).select("id_a", "id_b", F.lit("snm").alias("rule"))
+    both = p_phon.unionAll(p_snm)
+    return both.groupBy("id_a", "id_b").agg(
+        F.array_sort(F.collect_set("rule")).alias("rules")
+    )
+
+
+def _features(pairs: DataFrame, records: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """Attach graded comparator levels (map-only past the id joins)."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+
+    norm = F.lower(F.trim(F.col(name_col)))
+    names = records.select(F.col(id_col).alias("_rid"), norm.alias("_nm"))
+    j = (
+        pairs.join(
+            names.select(
+                F.col("_rid").alias("id_a"), F.col("_nm").alias("_nm_a")
+            ),
+            "id_a",
+        ).join(
+            names.select(
+                F.col("_rid").alias("id_b"), F.col("_nm").alias("_nm_b")
+            ),
+            "id_b",
+        )
+    )
+    jw = jaro_winkler_pudf(F.col("_nm_a"), F.col("_nm_b"))
+    lev_ratio = F.levenshtein(F.col("_nm_a"), F.col("_nm_b")) / F.greatest(
+        F.length("_nm_a"), F.length("_nm_b")
+    )
+    ta = F.array_distinct(F.split(F.col("_nm_a"), " "))
+    tb = F.array_distinct(F.split(F.col("_nm_b"), " "))
+    tok_j = F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb))
+    return j.select(
+        "id_a",
+        "id_b",
+        "rules",
+        F.when(jw >= 0.92, 2).when(jw >= 0.80, 1).otherwise(0)
+        .cast("long")
+        .alias("jw_level"),
+        F.when(lev_ratio <= 0.1, 2).when(lev_ratio <= 0.3, 1).otherwise(0)
+        .cast("long")
+        .alias("lev_level"),
+        F.when(tok_j >= 0.8, 2).when(tok_j >= 0.4, 1).otherwise(0)
+        .cast("long")
+        .alias("tok_level"),
+    )
+
+
+def run_record_linkage(
+    spark: SparkSession,
+    run_dir: str,
+    records: DataFrame,
+    id_col: str = "record_id",
+    name_col: str = "name",
+    snm_window: int = 5,
+    em_iters: int = 5,
+) -> DataFrame:
+    """Run (or resume) the unsupervised record-linkage plan; returns the
+    cluster assignment (record_id, cluster_id) with every input record
+    present (singletons keep their own id). The trained model is saved
+    as ``run_dir/fs_model.json``; golden records land as the
+    ``golden`` stage; audits as aux snapshots."""
+    from fel_spark.operators.cluster import connected_components
+    from fel_spark.operators.evalmetrics import cluster_edge_audit
+    from fel_spark.operators.fusion import golden_records
+    from fel_spark.operators.linkage import (
+        fs_em_train_multilevel,
+        fs_multilevel_weights_from_mu,
+        fs_score_multilevel,
+        save_fs_model,
+    )
+
+    runner = StageRunner(spark, run_dir)
+
+    def _pairs_stage(r: StageRunner) -> DataFrame:
+        from fel_spark.operators.blocking import phonetic_block_stats
+
+        r.log_aux(
+            "phonetic_audit",
+            phonetic_block_stats(records, name_col, id_col),
+        )
+        return _candidate_pairs(records, id_col, name_col, snm_window)
+
+    pairs = runner.run_stage("pairs", _pairs_stage)
+
+    feats = runner.run_stage(
+        "features", lambda r: _features(pairs, records, id_col, name_col)
+    )
+
+    def _model_stage(r: StageRunner) -> DataFrame:
+        mu = fs_em_train_multilevel(
+            feats.select(*FEATURE_LEVELS), FEATURE_LEVELS, iters=em_iters
+        )
+        import os
+
+        save_fs_model(mu, os.path.join(run_dir, "fs_model.json"))
+        return mu
+
+    mu = runner.run_stage("model", _model_stage)
+
+    def _scored_stage(r: StageRunner) -> DataFrame:
+        w = fs_multilevel_weights_from_mu(mu)
+        return fs_score_multilevel(feats, w, list(FEATURE_LEVELS))
+
+    scored = runner.run_stage("scored", _scored_stage)
+
+    def _clusters_stage(r: StageRunner) -> DataFrame:
+        # positive log-likelihood ratio = more likely match than not
+        edges = scored.filter(F.col("fs_score_micro") > 0).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        verts = records.select(F.col(id_col).cast("long").alias("id"))
+        comp = connected_components(
+            edges.select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+            ),
+            vertices=verts,
+        )
+        assign = comp.select(
+            F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+        )
+        r.log_aux(
+            "cluster_audit",
+            cluster_edge_audit(
+                edges.select(
+                    F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst"),
+                ),
+                assign.select(
+                    F.col(id_col).cast("long").alias("id"), "cluster_id"
+                ),
+            ),
+        )
+        return assign
+
+    clusters = runner.run_stage("clusters", _clusters_stage)
+
+    def _golden_stage(r: StageRunner) -> DataFrame:
+        recs = records.join(clusters, id_col).select("cluster_id", name_col)
+        return golden_records(recs, "cluster_id", [name_col])
+
+    runner.run_stage("golden", _golden_stage)
+    return clusters
