@@ -123,3 +123,53 @@ def test_spark_submit_corpus_prep_end_to_end():
         assert (Path(run_dir) / "_aux" / "filter_audit").exists()
         # split-partitioned output: per-split directories exist
         assert any(p.name.startswith("split=") for p in Path(out_dir).iterdir())
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="no spark-submit on PATH")
+def test_spark_submit_record_linkage_end_to_end():
+    """The unsupervised record-linkage job launches the same way:
+    --py-files zip, fresh JVM, resumable run dir with the trained model
+    artifact, cluster-assignment output."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import package_pyfiles
+
+    zip_path = package_pyfiles.build()
+    with tempfile.TemporaryDirectory() as td:
+        run_dir, out_dir = f"{td}/run", f"{td}/out"
+        proc = subprocess.run(
+            [
+                _spark_submit(),
+                "--master",
+                "local[4]",
+                "--conf",
+                "spark.sql.shuffle.partitions=8",
+                "--conf",
+                "spark.ui.enabled=false",
+                "--py-files",
+                str(zip_path),
+                str(REPO / "scripts" / "submit_linkage.py"),
+                "--input",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--id-col",
+                "doc_id",
+                "--name-from-text",
+                "--run-dir",
+                run_dir,
+                "--output",
+                out_dir,
+                "--em-iters",
+                "3",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        assert res["records"] > 0 and res["clusters"] > 0
+        assert res["clusters"] <= res["records"]
+        assert (Path(run_dir) / "clusters" / "_STAGE_SUCCESS").exists()
+        assert (Path(run_dir) / "fs_model.json").exists()
+        assert (Path(run_dir) / "_aux" / "phonetic_audit").exists()
+        assert (Path(run_dir) / "_aux" / "cluster_audit").exists()
