@@ -25,10 +25,18 @@ from fel_spark.sources.testdata import TABLES  # noqa: E402
 
 def norm_cell(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT normalized to int/float: DuckDB HUGEINT/DECIMAL
+        # crosses Arrow as decimal128 -> Decimal, which the driver's hash
+        # renders differently from Spark's int. Rendering it distinctly here
+        # makes such an oracle FAIL locally exactly as it fails at the
+        # driver (the conv_integrity r3/r4 class; see VERDICT r4 #1).
+        return f"DEC:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -83,8 +91,15 @@ def main() -> int:
             continue
         try:
             rel = con.sql(sql)
-            ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
+            # Fetch through Arrow, NOT fetchall(): the driver compares via
+            # Arrow, where DuckDB HUGEINT surfaces as decimal128 -> Decimal
+            # while fetchall() silently coerces to plain int. Arrow fetch +
+            # the Decimal-distinct norm_cell reproduces the driver's
+            # behavior for that divergence class locally.
+            atbl = rel.arrow()
+            ocols = list(atbl.column_names)
+            ocol_lists = [atbl.column(c).to_pylist() for c in ocols]
+            orows = list(zip(*ocol_lists)) if ocols and atbl.num_rows else []
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:200]}")
             n_fail += 1
