@@ -2678,6 +2678,85 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def q_er_jaro(spark, sf_dir):
+    """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
+    1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
+    (same greedy match scan, Winkler prefix step disabled), oracled
+    against DuckDB's NATIVE ``jaro_similarity`` — two independent
+    implementations of the published algorithm. Pairs: the
+    er_edit_scores mod-13 blocked self-join over non-empty 10-char
+    prefixes (both engines define jaro('','') differently — empty input
+    is filtered by contract). Map-only past the blocked join."""
+    from fel_spark.functions.sim import jaro_pudf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return pairs.withColumn(
+        "jaro_micro",
+        F.round(jaro_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000).cast("long"),
+    )
+
+
+def q_er_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine pair comparator (r5, `operators/editsim.py::
+    tfidf_cosine_pairs` — Cohen, Ravikumar & Fienberg 2003; the canopy
+    metric of McCallum, Nigam & Ungar 2000): smooth-idf weight vectors
+    (the tfidf_topk convention), all norms/dots exact-integer sums in
+    1e-4 units so the cross-engine check never depends on float
+    summation order; the final cosine divides deterministic doubles and
+    is micro-rounded. Records: documents doc_id < 400 with non-empty
+    text; pairs: mod-19 blocked self-join. Oracle replays the identical
+    chain over the shared _TOKS tokenizer."""
+    from fel_spark.operators.editsim import tfidf_cosine_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 400) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") % 19).alias("bk"))
+    b = d.select(F.col("doc_id").alias("id_b"), (F.col("doc_id") % 19).alias("bk"))
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return tfidf_cosine_pairs(d, pairs, id_col="doc_id", text_col="text")
+
+
+def q_er_soft_tfidf(spark, sf_dir):
+    """SoftTFIDF hybrid comparator (r5, `operators/editsim.py::
+    soft_tfidf` — Cohen, Ravikumar & Fienberg 2003): TF-IDF cosine with
+    CLOSE(0.9) Jaro-Winkler token matching — the study's best-performing
+    name comparator. Unit weights milli-rounded from exact-int w4/norm2,
+    inner JW micro-rounded before the deterministic argmax (jw DESC,
+    token ASC), per-pair score an exact-integer sum in 1e-12 units.
+    Records: 30-char prefixes of documents doc_id < 150 (bounds the
+    |A|x|B| token expansion); pairs: mod-11 blocked self-join; oracle
+    replays the chain with DuckDB's native jaro_winkler_similarity."""
+    from fel_spark.operators.editsim import soft_tfidf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 150) & (F.length("text") > 0))
+        .select("doc_id", F.substring("text", 1, 30).alias("text"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") % 11).alias("bk"))
+    b = d.select(F.col("doc_id").alias("id_b"), (F.col("doc_id") % 11).alias("bk"))
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return soft_tfidf(d, pairs, id_col="doc_id", text_col="text", theta=0.9)
+
+
 def _fs_multilevel_inputs(spark, sf_dir):
     """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
@@ -3251,6 +3330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_tf_adjust": q_er_fs_tf_adjust,
         "er_edit_scores": q_er_edit_scores,
         "er_monge_elkan": q_er_monge_elkan,
+        "er_jaro": q_er_jaro,
+        "er_tfidf_cosine": q_er_tfidf_cosine,
+        "er_soft_tfidf": q_er_soft_tfidf,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
@@ -6414,6 +6496,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(CAST(sum(best_micro) AS DOUBLE)
                               / count(*)) AS BIGINT) AS me_micro
             FROM best GROUP BY 1, 2
+        """,
+        # er_jaro: DuckDB-NATIVE jaro_similarity vs the kernel with the
+        # Winkler step disabled — engine-native oracle class
+        "er_jaro": """
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.s AS s_a, b.s AS s_b,
+                   CAST(round(jaro_similarity(a.s, b.s) * 1000000)
+                        AS BIGINT) AS jaro_micro
+            FROM d a JOIN d b
+              ON a.doc_id % 13 = b.doc_id % 13
+             AND a.doc_id < b.doc_id
+        """,
+        # er_tfidf_cosine: full replay of the exact-integer weight chain
+        # (w4 = round(tf*idf*1e4) BEFORE any sum -> integer norms/dots;
+        # the one double expression is shaped identically in both engines)
+        "er_tfidf_cosine": f"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 400 AND length(text) > 0
+            ),
+            tf AS (
+                SELECT doc_id AS id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS word
+                      FROM d)
+                GROUP BY 1, 2
+            ),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            w AS (
+                SELECT t.id, t.word,
+                       CAST(round((t.tf * (ln((n.n_docs + 1.0)
+                                              / (f.df + 1.0)) + 1.0))
+                                  * 10000.0) AS BIGINT) AS w4
+                FROM tf t CROSS JOIN n JOIN dfreq f ON t.word = f.word
+            ),
+            norms AS (
+                SELECT id, CAST(sum(w4 * w4) AS BIGINT) AS norm2
+                FROM w GROUP BY 1
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 19 = b.doc_id % 19
+                 AND a.doc_id < b.doc_id
+            ),
+            dots AS (
+                SELECT p.id_a, p.id_b,
+                       CAST(count(*) AS BIGINT) AS n_shared,
+                       CAST(sum(wa.w4 * wb.w4) AS BIGINT) AS dot
+                FROM p
+                JOIN w wa ON wa.id = p.id_a
+                JOIN w wb ON wb.id = p.id_b AND wb.word = wa.word
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   coalesce(dots.n_shared, 0) AS n_shared,
+                   coalesce(dots.dot, 0) AS dot,
+                   CAST(round(
+                       CASE WHEN na.norm2 > 0 AND nb.norm2 > 0
+                            THEN CAST(coalesce(dots.dot, 0) AS DOUBLE)
+                                 / (sqrt(CAST(na.norm2 AS DOUBLE))
+                                    * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                            ELSE 0.0 END * 1000000) AS BIGINT) AS cos_micro
+            FROM p
+            LEFT JOIN dots ON dots.id_a = p.id_a AND dots.id_b = p.id_b
+            LEFT JOIN norms na ON na.id = p.id_a
+            LEFT JOIN norms nb ON nb.id = p.id_b
+        """,
+        # er_soft_tfidf: weight chain as er_tfidf_cosine, unit weights
+        # milli-rounded from exact ints (one deterministic double op),
+        # DuckDB-native JW micro-rounded BEFORE the (jw DESC, tok ASC)
+        # argmax; the pair score is an exact-integer sum in 1e-12 units
+        "er_soft_tfidf": f"""
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 30) AS text FROM documents
+                WHERE doc_id < 150 AND length(text) > 0
+            ),
+            tf AS (
+                SELECT doc_id AS id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS word
+                      FROM d)
+                GROUP BY 1, 2
+            ),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            w AS (
+                SELECT t.id, t.word,
+                       CAST(round((t.tf * (ln((n.n_docs + 1.0)
+                                              / (f.df + 1.0)) + 1.0))
+                                  * 10000.0) AS BIGINT) AS w4
+                FROM tf t CROSS JOIN n JOIN dfreq f ON t.word = f.word
+            ),
+            norms AS (
+                SELECT id, CAST(sum(w4 * w4) AS BIGINT) AS norm2
+                FROM w GROUP BY 1
+            ),
+            unit AS (
+                SELECT w.id, w.word,
+                       CAST(round(1000.0 * w.w4
+                                  / sqrt(CAST(nm.norm2 AS DOUBLE)))
+                            AS BIGINT) AS v_milli
+                FROM w JOIN norms nm ON nm.id = w.id
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 11 = b.doc_id % 11
+                 AND a.doc_id < b.doc_id
+            ),
+            close_t AS (
+                SELECT p.id_a, p.id_b,
+                       ua.word AS tok_a, ua.v_milli AS v_a,
+                       ub.word AS tok_b, ub.v_milli AS v_b,
+                       CAST(round(jaro_winkler_similarity(ua.word, ub.word)
+                                  * 1000000) AS BIGINT) AS jw_micro
+                FROM p
+                JOIN unit ua ON ua.id = p.id_a
+                JOIN unit ub ON ub.id = p.id_b
+                WHERE CAST(round(jaro_winkler_similarity(ua.word, ub.word)
+                                 * 1000000) AS BIGINT) >= 900000
+            ),
+            best AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY id_a, id_b, tok_a
+                           ORDER BY jw_micro DESC, tok_b ASC) AS rn
+                FROM close_t
+            ),
+            sums AS (
+                SELECT id_a, id_b,
+                       CAST(sum(v_a * v_b * jw_micro) AS BIGINT) AS st_pico
+                FROM best WHERE rn = 1 GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   coalesce(s.st_pico, 0) AS st_pico
+            FROM p LEFT JOIN sums s
+              ON s.id_a = p.id_a AND s.id_b = p.id_b
         """,
         # er_phonetic_blocking: the DuckDB replay of the identical
         # Soundex chain (generated by phonetic.soundex_sql; the Spark

@@ -208,7 +208,9 @@ def _code_matrix(strs: list[str], pad: int) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-def jaro_winkler_batch(strs_a: list[str], strs_b: list[str]) -> np.ndarray:
+def jaro_winkler_batch(
+    strs_a: list[str], strs_b: list[str], *, winkler: bool = True
+) -> np.ndarray:
     """Vectorized Jaro-Winkler over a batch of string pairs.
 
     The greedy match scan runs over STRING POSITIONS (outer: position i in
@@ -268,6 +270,8 @@ def jaro_winkler_batch(strs_a: list[str], strs_b: list[str]) -> np.ndarray:
             0.0,
         )
     j[(la == 0) & (lb == 0)] = 1.0  # "" == "" (scalar equal-string shortcut)
+    if not winkler:
+        return j  # plain Jaro (DuckDB jaro_similarity semantics)
     # Winkler boost: common prefix (cap 4) * 0.1 * (1 - j) when j > 0.7
     P = min(4, A.shape[0], B.shape[0])
     pref = np.cumprod(A[:P] == B[:P], axis=0).sum(axis=0)
@@ -279,6 +283,24 @@ def jaro_winkler_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched Jaro-Winkler; kernel is :func:`jaro_winkler_batch`."""
     return pd.Series(
         jaro_winkler_batch(a.fillna("").tolist(), b.fillna("").tolist()),
+        index=a.index,
+        dtype="float64",
+    )
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Plain Jaro similarity (no Winkler prefix boost) — DuckDB
+    ``jaro_similarity`` semantics."""
+    return _jaro(s1, s2)
+
+
+@F.pandas_udf(DoubleType())
+def jaro_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched plain Jaro; same kernel with the boost disabled."""
+    return pd.Series(
+        jaro_winkler_batch(
+            a.fillna("").tolist(), b.fillna("").tolist(), winkler=False
+        ),
         index=a.index,
         dtype="float64",
     )

@@ -34,8 +34,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from fel_spark.functions.sim import jaro_winkler_pudf
+from fel_spark.functions.text import normalize_tokens
 
 MICRO = 1_000_000
+# tf-idf weights are rounded to 1e-4 units before any aggregation so every
+# norm/dot is an exact-integer sum (order-invariant across engines). Bound:
+# w4 = tf*idf*1e4 must keep sum(w4^2) under 2^63 — fine for tf into the
+# thousands and vocabularies into the trillions (idf <= ~30).
+W_SCALE = 10_000
 
 
 def _chars(c: Column) -> Column:
@@ -142,4 +148,198 @@ def monge_elkan(
         )
         .cast("long")
         .alias("me_micro")
+    )
+
+
+def _tfidf_weights(
+    records: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per-(record, word) exact-integer tf-idf weights + per-record norms.
+
+    Weight convention matches :func:`fel_spark.operators.keywords.tfidf_topk`
+    (sklearn smooth idf: ``tf * (ln((N+1)/(df+1)) + 1)``), rounded to
+    ``W_SCALE`` units BEFORE any sum so norms and dots are exact integer
+    aggregates — the repo's engine-neutral float convention. Returns
+    ``(weights(id, word, w4), norms(id, norm2))``; records whose text
+    normalizes to zero tokens appear in neither (callers coalesce).
+
+    100 TB shape: one explode + two hash aggregations; the df join is
+    vocabulary-scale and deliberately NOT broadcast-hinted (the tfidf_topk
+    lesson — AQE picks broadcast when the runtime size allows).
+    """
+    tf = (
+        records.select(
+            F.col(id_col).alias("id"),
+            F.explode(normalize_tokens(text_col)).alias("word"),
+        )
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = records.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    weights = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w4",
+            F.round(
+                (
+                    F.col("tf")
+                    * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                )
+                * float(W_SCALE)
+            ).cast("long"),
+        )
+        .select("id", "word", "w4")
+    )
+    norms = weights.groupBy("id").agg(
+        F.sum(F.col("w4") * F.col("w4")).alias("norm2")
+    )
+    return weights, norms
+
+
+def tfidf_cosine_pairs(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "text",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """TF-IDF cosine similarity per candidate pair — the standard cheap
+    token-vector comparator of ER scoring stages (Cohen, Ravikumar &
+    Fienberg 2003 survey; the canopy-blocking metric of McCallum, Nigam &
+    Ungar 2000). The reference scores alias candidates with exactly this
+    family of corpus-weighted lexical kernels
+    (`CompressedSingleFileEntitySimilarityUtil.java:147-164`).
+
+    cosine(a, b) = dot(w_a, w_b) / (|w_a| * |w_b|) over smooth tf-idf
+    weight vectors. All sums are exact-integer (``W_SCALE`` units); only
+    the final cosine divides deterministic doubles derived from those
+    ints, then is micro-rounded. Emits every input pair: ``n_shared``/
+    ``dot`` are 0 for token-disjoint pairs, ``cos_micro`` 0 when either
+    side has no tokens.
+
+    Scale shape: weights/norms are corpus-sized hash aggregates; the dot
+    is two hash joins keyed (id, word) over the blocked pair set — no
+    self-join is introduced here (blocking already bounded |pairs|).
+    """
+    weights, norms = _tfidf_weights(records, id_col, text_col)
+    wa = weights.select(
+        F.col("id").alias(id_a), "word", F.col("w4").alias("w4_a")
+    )
+    wb = weights.select(
+        F.col("id").alias(id_b), "word", F.col("w4").alias("w4_b")
+    )
+    dots = (
+        pairs.join(wa, id_a)
+        .join(wb, [id_b, "word"])
+        .groupBy(id_a, id_b)
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("w4_a") * F.col("w4_b")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("id").alias(id_a), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("id").alias(id_b), F.col("norm2").alias("norm2_b"))
+    out = (
+        pairs.join(dots, [id_a, id_b], "left")
+        .join(na, id_a, "left")
+        .join(nb, id_b, "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)).cast("long"))
+        .withColumn("dot", F.coalesce("dot", F.lit(0)).cast("long"))
+    )
+    cos = F.when(
+        (F.col("norm2_a") > 0) & (F.col("norm2_b") > 0),
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("norm2_a").cast("double"))
+            * F.sqrt(F.col("norm2_b").cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_a,
+        id_b,
+        "n_shared",
+        "dot",
+        F.round(cos * MICRO).cast("long").alias("cos_micro"),
+    )
+
+
+def soft_tfidf(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "text",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    theta: float = 0.9,
+) -> DataFrame:
+    """SoftTFIDF (Cohen, Ravikumar & Fienberg 2003): TF-IDF cosine with
+    CLOSE(theta) token matching — the best-performing hybrid comparator in
+    the original study and the default name comparator in several modern
+    linkage systems.
+
+        ST(A, B) = sum_{a in A, max_b jw(a,b) >= theta}
+                       V(a, A) * V(best_b, B) * jw(a, best_b)
+
+    where V are L2-normalized tf-idf weights and best_b is the
+    highest-JW B-token (ties broken by token ASC — deterministic in both
+    engines). Unit weights are milli-rounded from exact-integer w4/norm2
+    (one deterministic double op per token), the inner JW micro-rounded
+    BEFORE the argmax/sum, so the per-pair score is an exact-integer sum
+    in 1e-12 units (``st_pico``). Emits every input pair (0 when no token
+    clears theta).
+
+    Scale shape: the |A| x |B| inner expansion is bounded by name-scale
+    token lists per pair (same posture as :func:`monge_elkan`); corpus
+    work is the one tf-idf weight pass.
+    """
+    weights, norms = _tfidf_weights(records, id_col, text_col)
+    unit = (
+        weights.join(norms, "id")
+        .withColumn(
+            "v_milli",
+            F.round(
+                F.lit(1000.0)
+                * F.col("w4").cast("double")
+                / F.sqrt(F.col("norm2").cast("double"))
+            ).cast("long"),
+        )
+        .select("id", "word", "v_milli")
+    )
+    ua = unit.select(
+        F.col("id").alias(id_a),
+        F.col("word").alias("tok_a"),
+        F.col("v_milli").alias("v_a"),
+    )
+    ub = unit.select(
+        F.col("id").alias(id_b),
+        F.col("word").alias("tok_b"),
+        F.col("v_milli").alias("v_b"),
+    )
+    cross = pairs.join(ua, id_a).join(ub, id_b)
+    scored = cross.withColumn(
+        "jw_micro",
+        F.round(jaro_winkler_pudf(F.col("tok_a"), F.col("tok_b")) * MICRO).cast(
+            "long"
+        ),
+    ).filter(F.col("jw_micro") >= int(round(theta * MICRO)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_a, id_b, "tok_a").orderBy(
+        F.col("jw_micro").desc(), F.col("tok_b").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    sums = best.groupBy(id_a, id_b).agg(
+        F.sum(
+            F.col("v_a") * F.col("v_b") * F.col("jw_micro")
+        ).alias("st_pico")
+    )
+    return (
+        pairs.join(sums, [id_a, id_b], "left")
+        .withColumn("st_pico", F.coalesce("st_pico", F.lit(0)).cast("long"))
+        .select(id_a, id_b, "st_pico")
     )

@@ -120,3 +120,159 @@ def test_edit_scores_plan_is_map_only_past_join(spark):
     )
     assert "Exchange" not in plan  # no join here: pure map
     assert plan.count("ArrowEvalPython") == 1
+
+
+# ---------------------------------------------------------------------------
+# plain Jaro (boost-free kernel path)
+
+
+def test_jaro_batch_matches_duckdb_native_fuzz():
+    """The kernel with the Winkler step disabled is bit-exact against
+    DuckDB's native jaro_similarity on random non-empty strings (empty
+    input is excluded by contract: the engines define jaro('','')
+    differently)."""
+    import random
+
+    from fel_spark.functions.sim import jaro, jaro_winkler_batch
+
+    rng = random.Random(99)
+
+    def rs(maxlen):
+        return "".join(
+            rng.choice("abcdefgh") for _ in range(rng.randint(1, maxlen))
+        )
+
+    a = [rs(12) for _ in range(800)]
+    b = [rs(12) for _ in range(800)]
+    got = jaro_winkler_batch(a, b, winkler=False)
+    con = duckdb.connect()
+    for x, y, g in zip(a, b, got):
+        (exp,) = con.sql(
+            "SELECT jaro_similarity(?, ?)", params=[x, y]
+        ).fetchone()
+        assert g == exp, (x, y)
+        assert jaro(x, y) == exp, (x, y)
+    # classic textbook value (Winkler 1990, table 1)
+    assert round(jaro("martha", "marhta"), 12) == round(17 / 18, 12)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine + SoftTFIDF: plain-Python replays of the exact-int chain
+
+
+def _py_norm_tokens(text):
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+
+
+def _py_tfidf_weights(texts):
+    """Replay of editsim._tfidf_weights: w4 = round(tf*idf*1e4) per
+    (record, word); norm2 = exact-int sum of squares."""
+    import math
+    from collections import Counter
+
+    tf = {i: Counter(_py_norm_tokens(t)) for i, t in texts.items()}
+    n_docs = len(texts)
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    w4 = {
+        i: {
+            w: int(
+                round(
+                    (c * (math.log((n_docs + 1.0) / (df[w] + 1.0)) + 1.0))
+                    * 10000.0
+                )
+            )
+            for w, c in cc.items()
+        }
+        for i, cc in tf.items()
+    }
+    norm2 = {i: sum(v * v for v in ws.values()) for i, ws in w4.items()}
+    return w4, norm2
+
+
+def test_tfidf_cosine_pairs_replay(spark):
+    import math
+
+    from fel_spark.operators.editsim import tfidf_cosine_pairs
+
+    texts = {
+        1: "alpha beta gamma",
+        2: "alpha beta delta delta",
+        3: "zeta eta theta",
+        4: "alpha beta gamma",
+    }
+    pair_ids = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    records = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "rec_id long, text string"
+    )
+    pairs = spark.createDataFrame(pair_ids, "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in tfidf_cosine_pairs(records, pairs).collect()
+    }
+    w4, norm2 = _py_tfidf_weights(texts)
+    for ia, ib in pair_ids:
+        shared = set(w4[ia]) & set(w4[ib])
+        dot = sum(w4[ia][w] * w4[ib][w] for w in shared)
+        cos = (
+            dot / (math.sqrt(norm2[ia]) * math.sqrt(norm2[ib]))
+            if norm2[ia] and norm2[ib]
+            else 0.0
+        )
+        r = out[(ia, ib)]
+        assert r["n_shared"] == len(shared)
+        assert r["dot"] == dot
+        assert r["cos_micro"] == round(cos * 1_000_000)
+    # identical records -> cosine exactly 1; disjoint -> all zeros
+    assert out[(1, 4)]["cos_micro"] == 1_000_000
+    assert (out[(1, 3)]["n_shared"], out[(1, 3)]["dot"]) == (0, 0)
+    assert out[(1, 3)]["cos_micro"] == 0
+
+
+def test_soft_tfidf_replay(spark):
+    import math
+
+    from fel_spark.operators.editsim import soft_tfidf
+
+    texts = {
+        1: "jon smith",
+        2: "john smith",
+        3: "peter jones",
+        4: "jon smyth",
+        5: "quincy adams",
+    }
+    pair_ids = [(1, 2), (1, 3), (1, 4), (2, 4), (1, 5)]
+    records = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "rec_id long, text string"
+    )
+    pairs = spark.createDataFrame(pair_ids, "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r["st_pico"]
+        for r in soft_tfidf(records, pairs, theta=0.9).collect()
+    }
+    w4, norm2 = _py_tfidf_weights(texts)
+    unit = {
+        i: {
+            w: int(round(1000.0 * v / math.sqrt(norm2[i])))
+            for w, v in ws.items()
+        }
+        for i, ws in w4.items()
+    }
+    for ia, ib in pair_ids:
+        st = 0
+        for ta, va in unit[ia].items():
+            cands = []
+            for tb, vb in unit[ib].items():
+                jm = round(jaro_winkler(ta, tb) * 1_000_000)
+                if jm >= 900_000:
+                    # argmax: jw DESC then token ASC
+                    cands.append((-jm, tb, vb, jm))
+            if cands:
+                _, _, vb, jm = min(cands)
+                st += va * vb * jm
+        assert out[(ia, ib)] == st, (ia, ib)
+    # a totally-unrelated pair contributes nothing but is still emitted
+    assert out[(1, 5)] == 0
