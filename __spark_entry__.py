@@ -2757,6 +2757,114 @@ def q_er_soft_tfidf(spark, sf_dir):
     return soft_tfidf(d, pairs, id_col="doc_id", text_col="text", theta=0.9)
 
 
+def _er_bipartite_pairs(spark, sf_dir, mod: int):
+    """Shared scored bipartite pair builder for the assignment queries:
+    even doc_ids (side A) vs odd doc_ids (side B), blocked on
+    ``doc_id % mod``, scored by micro-rounded Jaro-Winkler over 12-char
+    prefixes (the fuzz-proven kernel; DuckDB replays with its native
+    ``jaro_winkler_similarity`` — bit-exact, see test_editsim)."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.substring("text", 1, 12).alias("s"),
+            (F.col("doc_id") % mod).alias("bk"),
+        )
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"), "bk"
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"), "bk"
+    )
+    return (
+        a.join(b, "bk")
+        .withColumn(
+            "score",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .select("id_a", "id_b", "score")
+    )
+
+
+def q_er_mutual_best(spark, sf_dir):
+    """Symmetric best match (r5, `operators/matching.py::
+    mutual_best_matches` — the high-precision decision rule of
+    deterministic linkage, Christen 2012 ch.6.9): keep (a, b) iff each is
+    the other's best candidate under the total order (score DESC, id_a
+    ASC, id_b ASC). One window rank per side over the blocked bipartite
+    JW-scored pairs; scores micro-rounded BEFORE matching so the argmax
+    is engine-neutral. The reference's one-winner-per-mention argmax
+    (`io/Datapack.java:167-180`) lifted to pair graphs."""
+    from fel_spark.operators.matching import mutual_best_matches
+
+    return mutual_best_matches(_er_bipartite_pairs(spark, sf_dir, 7))
+
+
+def q_er_one_to_one(spark, sf_dir):
+    """Greedy one-to-one assignment (r5, `operators/matching.py::
+    one_to_one_greedy` — locally-dominant edge matching, Preis 1999):
+    3 rounds of take-every-edge-that-is-rank-1-at-both-endpoints, each
+    round dropping edges touching matched records. Run to convergence
+    this IS sequential greedy-by-score (fuzz-proven in
+    test_matching.py); the fixed 3-round prefix is what both engines
+    compute here. Oracle: generated 3-round CTE unroll of the identical
+    definition (the er_fs_em unroll pattern)."""
+    from fel_spark.operators.matching import one_to_one_greedy
+
+    return one_to_one_greedy(
+        _er_bipartite_pairs(spark, sf_dir, 11), max_rounds=3
+    )
+
+
+def q_er_star_clusters(spark, sf_dir):
+    """One-shot parallel star clustering (r5, `operators/matching.py::
+    star_clusters` — Aslam, Pelekhov & Rus 2004; the chain-resistant
+    alternative to transitive CC evaluated for dedup by Hassanzadeh et
+    al., VLDB 2009): centers = vertices undominated under (degree DESC,
+    id ASC) — an independent set — members attach to their best adjacent
+    center or stay singletons. Edges: mod-17 blocked self-join over
+    10-char prefixes, kept at jw_micro >= 800000 (identical edge set in
+    both engines — the kernel is bit-exact vs DuckDB's native). No
+    iteration: one symmetrize, one degree agg, one window."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+    from fel_spark.operators.matching import star_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jw_micro",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("jw_micro") >= 800_000)
+        .select("id_a", "id_b")
+    )
+    return star_clusters(edges)
+
+
 def _fs_multilevel_inputs(spark, sf_dir):
     """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
@@ -3333,6 +3441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_jaro": q_er_jaro,
         "er_tfidf_cosine": q_er_tfidf_cosine,
         "er_soft_tfidf": q_er_soft_tfidf,
+        "er_mutual_best": q_er_mutual_best,
+        "er_one_to_one": q_er_one_to_one,
+        "er_star_clusters": q_er_star_clusters,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
@@ -3697,6 +3808,56 @@ def _bpe_trained_apply_oracle(n_rounds: int = 16, max_words: int = 10_000) -> st
         FROM d{n_rounds}
     """
     return sql
+
+
+_ER_BIPARTITE_PAIRS_CTE = """
+    d AS (
+        SELECT doc_id, substr(text, 1, 12) AS s, doc_id % {mod} AS bk
+        FROM documents WHERE length(text) > 0
+    ),
+    e1 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                    AS BIGINT) AS score
+        FROM d a JOIN d b ON a.bk = b.bk
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    )"""
+
+
+def _one_to_one_oracle(rounds: int, mod: int) -> str:
+    """Generated CTE unroll of q_er_one_to_one: each round ranks the
+    surviving edges per endpoint under the shared total order (score
+    DESC, id_a ASC, id_b ASC), keeps rank-1-at-both-endpoints edges, and
+    drops every edge touching a matched record — the exact
+    matching.one_to_one_greedy round, repeated ``rounds`` times (the
+    er_fs_em generated-unroll pattern: same loop count, no transcription
+    drift)."""
+    parts = ["WITH " + _ER_BIPARTITE_PAIRS_CTE.format(mod=mod)]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    m{k} AS (
+        SELECT id_a, id_b, score, CAST({k} AS INTEGER) AS round
+        FROM (
+            SELECT e.*,
+                   row_number() OVER (PARTITION BY id_a
+                       ORDER BY score DESC, id_a ASC, id_b ASC) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                       ORDER BY score DESC, id_a ASC, id_b ASC) AS rb
+            FROM e{k} e
+        ) t WHERE ra = 1 AND rb = 1
+    )""")
+        if k < rounds:
+            parts.append(f""",
+    e{k + 1} AS (
+        SELECT e.* FROM e{k} e
+        WHERE e.id_a NOT IN (SELECT id_a FROM m{k})
+          AND e.id_b NOT IN (SELECT id_b FROM m{k})
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
 
 
 def _fs_em_oracle(iters: int = 3, mode: str = "params") -> str:
@@ -6686,6 +6847,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl
             FROM d a JOIN d b
               ON a.doc_id % 11 = b.doc_id % 11 AND a.doc_id < b.doc_id
+        """,
+        # er_mutual_best: rank-1-at-both-endpoints under the shared
+        # total order (score DESC, id_a, id_b); DuckDB-native JW scores
+        "er_mutual_best": f"""
+            WITH {_ER_BIPARTITE_PAIRS_CTE.format(mod=7)}
+            SELECT id_a, id_b, score FROM (
+                SELECT e.*,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY score DESC, id_a ASC, id_b ASC) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY score DESC, id_a ASC, id_b ASC) AS rb
+                FROM e1 e
+            ) t WHERE ra = 1 AND rb = 1
+        """,
+        # er_one_to_one: generated 3-round locally-dominant unroll
+        # (see _one_to_one_oracle)
+        "er_one_to_one": _one_to_one_oracle(3, 11),
+        # er_star_clusters: degree agg -> undominated centers
+        # (independent set) -> best-adjacent-center argmax; edge set
+        # pinned by the bit-exact micro-rounded JW threshold
+        "er_star_clusters": """
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            e AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 17 = b.doc_id % 17 AND a.doc_id < b.doc_id
+                WHERE CAST(round(jaro_winkler_similarity(a.s, b.s)
+                                 * 1000000) AS BIGINT) >= 800000
+            ),
+            sym AS (
+                SELECT id_a AS v, id_b AS w FROM e
+                UNION ALL
+                SELECT id_b AS v, id_a AS w FROM e
+            ),
+            deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY 1),
+            nbr AS (
+                SELECT s.v, s.w, dv.deg AS deg_v, dw.deg AS deg_w
+                FROM sym s
+                JOIN deg dv ON dv.v = s.v
+                JOIN deg dw ON dw.v = s.w
+            ),
+            cent AS (
+                SELECT v FROM nbr GROUP BY v
+                HAVING max(CASE WHEN deg_w > deg_v
+                                  OR (deg_w = deg_v AND w < v)
+                                THEN 1 ELSE 0 END) = 0
+            ),
+            best AS (
+                SELECT v, c FROM (
+                    SELECT n.v, n.w AS c, n.deg_w,
+                           row_number() OVER (PARTITION BY n.v
+                               ORDER BY n.deg_w DESC, n.w ASC) AS rn
+                    FROM nbr n JOIN cent ON cent.v = n.w
+                ) t WHERE rn = 1
+            ),
+            verts AS (SELECT DISTINCT v FROM sym)
+            SELECT verts.v AS id,
+                   CASE WHEN cent.v IS NOT NULL THEN verts.v
+                        ELSE coalesce(best.c, verts.v) END AS cluster_id,
+                   CAST(CASE WHEN cent.v IS NOT NULL
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_center
+            FROM verts
+            LEFT JOIN cent ON cent.v = verts.v
+            LEFT JOIN best ON best.v = verts.v
         """,
         # er_fs_multilevel: graded-agreement FS — grid (incl. unseen
         # levels), Dirichlet-Jeffreys smoothing, log2 weights

@@ -1,0 +1,183 @@
+"""Assignment matching + star clustering: sequential-greedy parity,
+plain-Python star replay, pinned examples, plan shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from fel_spark.operators.matching import (
+    mutual_best_matches,
+    one_to_one_greedy,
+    star_clusters,
+)
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long, score long")
+
+
+# ---------------------------------------------------------------------------
+# sequential greedy replay (the textbook algorithm)
+
+
+def _seq_greedy(edges):
+    """Greedy matching by (score DESC, id_a ASC, id_b ASC)."""
+    used_a, used_b, out = set(), set(), []
+    for a, b, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        if a not in used_a and b not in used_b:
+            used_a.add(a)
+            used_b.add(b)
+            out.append((a, b, s))
+    return set(out)
+
+
+def test_mutual_best_pinned(spark):
+    # 1 prefers 20 (score 9); 20 prefers 1 -> mutual.
+    # 2 prefers 20 too but loses; 2's best remaining (21, 5) is mutual
+    # only if 21 prefers 2 — it does.
+    rows = [
+        (1, 20, 9),
+        (2, 20, 8),
+        (2, 21, 5),
+        (3, 21, 4),
+    ]
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_best_matches(_pairs_df(spark, rows)).collect()
+    }
+    assert out == {(1, 20)}  # (2,21) is NOT mutual-best: 2's best is 20
+    # one-to-one greedy picks it up in round 2
+    full = {
+        (r["id_a"], r["id_b"], r["round"])
+        for r in one_to_one_greedy(
+            _pairs_df(spark, rows), max_rounds=4, checkpoint=False
+        ).collect()
+    }
+    assert full == {(1, 20, 1), (2, 21, 2)}
+
+
+def test_one_to_one_greedy_equals_sequential_greedy_fuzz(spark):
+    """Locally-dominant rounds to convergence == sequential greedy under
+    the shared total edge order (Preis 1999)."""
+    rng = random.Random(7)
+    for trial in range(3):
+        n_a, n_b = 25, 25
+        edges = set()
+        while len(edges) < 120:
+            a = rng.randint(0, n_a - 1)
+            b = 100 + rng.randint(0, n_b - 1)
+            edges.add((a, b))
+        rows = [(a, b, rng.randint(1, 40)) for a, b in sorted(edges)]
+        got = {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in one_to_one_greedy(
+                _pairs_df(spark, rows), max_rounds=60
+            ).collect()
+        }
+        assert got == _seq_greedy(rows), f"trial {trial}"
+
+
+def test_one_to_one_vertices_unique(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 10), 50 + rng.randint(0, 10), rng.randint(1, 5))
+        for _ in range(60)
+    ]
+    rows = list({(a, b): (a, b, s) for a, b, s in rows}.values())
+    out = one_to_one_greedy(_pairs_df(spark, rows), max_rounds=40).collect()
+    a_ids = [r["id_a"] for r in out]
+    b_ids = [r["id_b"] for r in out]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+
+
+# ---------------------------------------------------------------------------
+# star clustering
+
+
+def _py_star(edges):
+    """Plain replay of the one-shot parallel star definition."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ws) for v, ws in adj.items()}
+
+    def dominates(w, v):
+        return deg[w] > deg[v] or (deg[w] == deg[v] and w < v)
+
+    centers = {v for v in adj if not any(dominates(w, v) for w in adj[v])}
+    out = {}
+    for v in adj:
+        if v in centers:
+            out[v] = (v, 1)
+        else:
+            cand = [(w, deg[w]) for w in adj[v] if w in centers]
+            if cand:
+                best = min(cand, key=lambda t: (-t[1], t[0]))[0]
+                out[v] = (best, 0)
+            else:
+                out[v] = (v, 0)
+    return out
+
+
+def test_star_clusters_replay_fuzz(spark):
+    rng = random.Random(23)
+    for trial in range(3):
+        edges = set()
+        while len(edges) < 70:
+            a, b = rng.randint(0, 39), rng.randint(0, 39)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [(a, b) for a, b in sorted(edges)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        got = {
+            r["id"]: (r["cluster_id"], r["is_center"])
+            for r in star_clusters(df).collect()
+        }
+        assert got == _py_star(rows), f"trial {trial}"
+
+
+def test_star_centers_independent_and_no_chains(spark):
+    # path graph 0-1-2-3-4: CC would merge all five; star must not.
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        r["id"]: (r["cluster_id"], r["is_center"])
+        for r in star_clusters(df).collect()
+    }
+    centers = {v for v, (_, c) in got.items() if c == 1}
+    # centers form an independent set
+    for a, b in rows:
+        assert not (a in centers and b in centers), (a, b)
+    # no cluster spans the whole path
+    clusters = {c for c, _ in got.values()}
+    assert len(clusters) >= 2
+    # every member is adjacent to its center (or is its own cluster)
+    adj = {(a, b) for a, b in rows} | {(b, a) for a, b in rows}
+    for v, (c, is_c) in got.items():
+        assert is_c == 1 or c == v or (v, c) in adj
+
+
+def test_matching_plan_no_cartesian(spark):
+    rows = [(1, 10, 3), (2, 10, 2), (2, 11, 1)]
+    plan = (
+        mutual_best_matches(_pairs_df(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan
+    star_plan = (
+        star_clusters(
+            spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in star_plan
