@@ -2865,6 +2865,75 @@ def q_er_star_clusters(spark, sf_dir):
     return star_clusters(edges)
 
 
+def q_er_pivot_clusters(spark, sf_dir):
+    """Deterministic parallel-pivot correlation clustering (r5,
+    `operators/matching.py::pivot_clusters` — KwikCluster, Ailon et al.
+    JACM 2008, in Chierichetti-Dalvi-Kumar KDD'14 rounds with the random
+    permutation replaced by the engine-neutral md5(id) order): 3 rounds
+    of order-minimal pivots + best-pivot attachment, leftovers emitted
+    as round-0 singletons. The chain-resistant middle ground between
+    star clustering (one shot, strands residue) and transitive CC
+    (merges chains). Edges: mod-13 blocked JW >= 0.79 over 10-char
+    prefixes — bit-exact in both engines. Oracle: generated 3-round CTE
+    unroll of the identical round definition."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+    from fel_spark.operators.matching import pivot_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jw_micro",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("jw_micro") >= 790_000)
+        .select("id_a", "id_b")
+    )
+    return pivot_clusters(edges, max_rounds=3)
+
+
+def q_er_muc(spark, sf_dir):
+    """MUC link-based clustering score (r5,
+    `operators/evalmetrics.py::muc_score` — Vilain et al., MUC-6 1995):
+    the link-counting complement to the B-cubed/ARI/V-measure battery,
+    over the same one-aggregate (pred, gold) contingency table. Gold
+    clusters are doc_id % 30; the predicted clustering plants both MUC
+    error types — every doc_id % 11 == 0 record split into its OWN
+    singleton (recall loss, zero precision cost under MUC's link
+    counting) and gold clusters 0/1 merged (precision loss) — so the
+    two sides separate."""
+    from fel_spark.operators.evalmetrics import muc_score
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 30
+    pred = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(2000) + F.col("doc_id"))
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return muc_score(assign)
+
+
 def _fs_multilevel_inputs(spark, sf_dir):
     """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
@@ -3444,6 +3513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_mutual_best": q_er_mutual_best,
         "er_one_to_one": q_er_one_to_one,
         "er_star_clusters": q_er_star_clusters,
+        "er_pivot_clusters": q_er_pivot_clusters,
+        "er_muc": q_er_muc,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
@@ -3857,6 +3928,82 @@ def _one_to_one_oracle(rounds: int, mod: int) -> str:
         f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
     )
     parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+def _pivot_oracle(
+    rounds: int, mod: int, plen: int, thresh: int
+) -> str:
+    """Generated CTE unroll of q_er_pivot_clusters: round k's pivots are
+    the active vertices order-minimal (md5 of the id string) in their
+    active neighborhood — isolated actives included — assignees take
+    their order-minimal pivot neighbor, both leave the active set, and
+    surviving edges need both endpoints active; after ``rounds`` rounds
+    the still-active vertices are round-0 singletons. Exactly the
+    matching.pivot_clusters round, repeated ``rounds`` times (the
+    generated-unroll pattern: same loop, no transcription drift)."""
+    parts = [f"""WITH d AS (
+        SELECT doc_id, substr(text, 1, {plen}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+        WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                   AS BIGINT) >= {thresh}
+    ),
+    s1 AS MATERIALIZED (
+        SELECT id_a AS v, id_b AS w FROM e0
+        UNION ALL
+        SELECT id_b AS v, id_a AS w FROM e0
+    ),
+    av1 AS MATERIALIZED (SELECT DISTINCT v FROM s1)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    mn{k} AS (
+        SELECT v, min(md5(CAST(w AS VARCHAR))) AS min_ow
+        FROM s{k} GROUP BY v
+    ),
+    piv{k} AS (
+        SELECT av.v FROM av{k} av LEFT JOIN mn{k} m ON m.v = av.v
+        WHERE m.min_ow IS NULL
+           OR md5(CAST(av.v AS VARCHAR)) < m.min_ow
+    ),
+    asg{k} AS (
+        SELECT v, w AS c FROM (
+            SELECT s.v, s.w,
+                   row_number() OVER (PARTITION BY s.v
+                       ORDER BY md5(CAST(s.w AS VARCHAR)) ASC, s.w ASC)
+                       AS rn
+            FROM s{k} s JOIN piv{k} p ON p.v = s.w
+        ) t WHERE rn = 1
+    ),
+    cl{k} AS MATERIALIZED (
+        SELECT v, v AS cluster_id, CAST({k} AS INTEGER) AS round
+        FROM piv{k}
+        UNION ALL
+        SELECT v, c, CAST({k} AS INTEGER) FROM asg{k}
+    ),
+    av{k + 1} AS MATERIALIZED (
+        SELECT av.v FROM av{k} av
+        WHERE av.v NOT IN (SELECT v FROM cl{k})
+    ),
+    s{k + 1} AS MATERIALIZED (
+        SELECT s.v, s.w FROM s{k} s
+        WHERE s.v IN (SELECT v FROM av{k + 1})
+          AND s.w IN (SELECT v FROM av{k + 1})
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM cl{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT v AS id, cluster_id, round FROM (
+        {union}
+        UNION ALL
+        SELECT v, v AS cluster_id, CAST(0 AS INTEGER) AS round
+        FROM av{rounds + 1}
+    ) fin""")
     return "".join(parts)
 
 
@@ -6914,6 +7061,57 @@ def oracle_sql() -> dict[str, str]:
             FROM verts
             LEFT JOIN cent ON cent.v = verts.v
             LEFT JOIN best ON best.v = verts.v
+        """,
+        # er_pivot_clusters: generated 3-round parallel-pivot unroll
+        # (see _pivot_oracle)
+        "er_pivot_clusters": _pivot_oracle(3, 13, 10, 790_000),
+        # er_muc: link-based MUC over the (pred, gold) contingency
+        # table — p(g) is the column's occupied-cell count
+        "er_muc": """
+            WITH assign AS (
+                SELECT CASE WHEN doc_id % 11 = 0 THEN 2000 + doc_id
+                            WHEN doc_id % 30 < 2 THEN 0
+                            ELSE doc_id % 30 END AS pred,
+                       doc_id % 30 AS gold
+                FROM documents
+            ),
+            cells AS (
+                SELECT pred, gold, count(*) AS c FROM assign GROUP BY 1, 2
+            ),
+            bg AS (
+                SELECT gold, sum(c) AS gn, count(*) AS gp
+                FROM cells GROUP BY 1
+            ),
+            bp AS (
+                SELECT pred, sum(c) AS pn, count(*) AS pp
+                FROM cells GROUP BY 1
+            ),
+            rec AS (
+                SELECT CAST(sum(gn - gp) AS BIGINT) AS r_num,
+                       CAST(sum(gn - 1) AS BIGINT) AS r_den,
+                       CAST(sum(gn) AS BIGINT) AS n
+                FROM bg
+            ),
+            prc AS (
+                SELECT CAST(sum(pn - pp) AS BIGINT) AS p_num,
+                       CAST(sum(pn - 1) AS BIGINT) AS p_den
+                FROM bp
+            ),
+            fin AS (
+                SELECT n,
+                       CASE WHEN p_den = 0 THEN 0.0
+                            ELSE p_num / CAST(p_den AS DOUBLE) END AS p,
+                       CASE WHEN r_den = 0 THEN 0.0
+                            ELSE r_num / CAST(r_den AS DOUBLE) END AS r
+                FROM rec CROSS JOIN prc
+            )
+            SELECT n AS n_records,
+                   CAST(round(p * 1000000) AS BIGINT) AS muc_p_micro,
+                   CAST(round(r * 1000000) AS BIGINT) AS muc_r_micro,
+                   CAST(CASE WHEN p + r = 0.0 THEN 0
+                             ELSE round(2.0 * p * r / (p + r) * 1000000)
+                        END AS BIGINT) AS muc_f1_micro
+            FROM fin
         """,
         # er_fs_multilevel: graded-agreement FS — grid (incl. unseen
         # levels), Dirichlet-Jeffreys smoothing, log2 weights

@@ -136,6 +136,66 @@ def vmeasure(
     )
 
 
+def muc_score(
+    assign: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """MUC link-based clustering score (Vilain et al., MUC-6 1995 — the
+    original coreference-resolution metric, still the standard
+    link-counting complement to B-cubed): recall counts, per gold
+    cluster g, the minimum links needed to re-connect g given the
+    predicted partition — ``|g| - p(g)`` where p(g) = number of distinct
+    predicted clusters intersecting g — against the ``|g| - 1`` links of
+    a perfect clustering; precision is the mirror image with pred and
+    gold swapped.
+
+    Both reduce to the same (pred, gold) contingency table as
+    :func:`bcubed_ari`: p(g) is the column's occupied-cell count, |g|
+    the column sum — ONE corpus-scale hash aggregate, then
+    dictionary-scale algebra. Every record must carry both a pred and a
+    gold id (records unresolved by the system are conventionally passed
+    in as their own singleton pred clusters).
+
+    Output: one row — n_records, muc_p_micro, muc_r_micro,
+    muc_f1_micro. Degenerate denominators (all-singleton gold for
+    recall / all-singleton pred for precision) score 0; f1 =
+    2pr/(p+r) in that op order, 0 when p + r = 0.
+    """
+    cells = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("c"))
+    by_gold = cells.groupBy(gold_col).agg(
+        F.sum("c").alias("gn"), F.count("*").alias("gp")
+    )
+    by_pred = cells.groupBy(pred_col).agg(
+        F.sum("c").alias("pn"), F.count("*").alias("pp")
+    )
+    rec = by_gold.agg(
+        F.sum(F.col("gn") - F.col("gp")).cast("long").alias("r_num"),
+        F.sum(F.col("gn") - 1).cast("long").alias("r_den"),
+        F.sum("gn").cast("long").alias("n"),
+    )
+    prc = by_pred.agg(
+        F.sum(F.col("pn") - F.col("pp")).cast("long").alias("p_num"),
+        F.sum(F.col("pn") - 1).cast("long").alias("p_den"),
+    )
+    s = rec.crossJoin(F.broadcast(prc))
+    r = F.when(F.col("r_den") == 0, F.lit(0.0)).otherwise(
+        F.col("r_num") / F.col("r_den")
+    )
+    p = F.when(F.col("p_den") == 0, F.lit(0.0)).otherwise(
+        F.col("p_num") / F.col("p_den")
+    )
+    return s.select(
+        F.col("n").alias("n_records"),
+        F.round(p * 1000000).cast("long").alias("muc_p_micro"),
+        F.round(r * 1000000).cast("long").alias("muc_r_micro"),
+        F.when(p + r == 0.0, F.lit(0))
+        .otherwise(F.round(F.lit(2.0) * p * r / (p + r) * 1000000))
+        .cast("long")
+        .alias("muc_f1_micro"),
+    )
+
+
 def threshold_curve(
     scored: DataFrame,
     score_col: str = "score",

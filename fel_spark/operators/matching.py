@@ -35,6 +35,16 @@ implements their deterministic parallel counterparts:
   and every other vertex attaches to its best adjacent center, or to
   itself when no center is adjacent. One symmetrize + one aggregation +
   one window: no iteration at all.
+* ``pivot_clusters`` is deterministic parallel-pivot correlation
+  clustering (Ailon, Charikar & Newman's KwikCluster, JACM 2008, in the
+  parallel rounds form of Chierichetti, Dalvi & Kumar, KDD 2014): the
+  random permutation is replaced by the engine-neutral hash order
+  md5(id), each round's pivots are the vertices that are order-minimal
+  in their active neighborhood (an independent set), neighbors of
+  pivots join their order-minimal pivot, and everyone clustered leaves
+  the graph. Like stars, a cluster has radius 1 around its pivot —
+  chains cannot merge — but repeated rounds also resolve the residue
+  instead of leaving singletons.
 
 The reference resolves its candidate sets with exactly this
 one-winner-per-mention shape (`Datapack` best-alias argmax,
@@ -214,4 +224,120 @@ def star_clusters(
             .alias("cluster_id"),
             F.coalesce("is_center", F.lit(0)).cast("int").alias("is_center"),
         )
+    )
+
+
+def pivot_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic parallel-pivot correlation clustering of an
+    undirected similarity graph (KwikCluster, Ailon-Charikar-Newman JACM
+    2008; parallel rounds per Chierichetti-Dalvi-Kumar KDD 2014, with
+    the random permutation replaced by the engine-neutral order
+    ``md5(cast(id as string))`` — a fixed pseudo-random order both Spark
+    and any ANSI replay compute identically, so chains are broken the
+    way the randomized analysis expects rather than by adversarial id
+    order). Per round, over the still-active subgraph:
+
+    * **pivots** = vertices order-minimal in their closed active
+      neighborhood (isolated actives included) — an independent set;
+    * every active vertex adjacent to >=1 pivot joins its order-minimal
+      pivot (it cannot itself be a pivot: a pivot's neighbors all order
+      after it);
+    * pivots and assignees leave the graph; surviving edges are those
+      with both endpoints still active.
+
+    After ``max_rounds`` rounds, still-active vertices are emitted as
+    singletons with ``round`` 0 (the deterministic bounded-prefix
+    convention of :func:`one_to_one_greedy`; the KDD'14 analysis gives
+    O(log n) rounds w.h.p. under a random order, so a small bound
+    resolves practically everything). Output: one row per distinct
+    vertex — (``id``, ``cluster_id``, ``round``), where ``round`` is
+    the 1-based round the vertex was clustered in. Clusters have radius
+    1 around their pivot: like :func:`star_clusters`, chain-merges
+    cannot propagate, but later rounds re-cluster the residue instead
+    of stranding it in singletons.
+
+    Scale: per round one hash agg (min neighbor order), one
+    co-partitioned join onto pivots, one agg argmin — no windows over
+    the full edge set, no cartesian, no collect; the active edge set
+    only shrinks and is localCheckpoint'd per round.
+    """
+    ov = F.md5(F.col("v").cast("string"))
+    ow = F.md5(F.col("w").cast("string"))
+    sym = (
+        pairs.select(F.col(id_a).alias("v"), F.col(id_b).alias("w"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("w"))
+        )
+        .select("v", "w", ov.alias("ov"), ow.alias("ow"))
+    )
+    if checkpoint:
+        # the pair generator upstream (similarity UDFs, blocked joins) is
+        # the expensive part — materialize it ONCE so the per-round
+        # branches and the final union never re-derive it
+        sym = sym.localCheckpoint(eager=True)
+    active_verts = sym.select("v", "ov").distinct()
+    active_edges = sym
+    out: DataFrame | None = None
+    empty_graph = False
+    for rnd in range(1, max_rounds + 1):
+        if empty_graph:
+            break
+        min_nbr = active_edges.groupBy("v").agg(F.min("ow").alias("min_ow"))
+        av = active_verts.join(min_nbr, "v", "left")
+        pivots = av.filter(
+            F.col("min_ow").isNull() | (F.col("ov") < F.col("min_ow"))
+        ).select("v")
+        assigned = (
+            active_edges.join(
+                pivots.withColumnRenamed("v", "w"), "w"
+            )
+            .groupBy("v")
+            .agg(F.min(F.struct("ow", "w")).alias("_m"))
+            .select("v", F.col("_m.w").alias("cluster_id"))
+        )
+        clustered = pivots.select(
+            "v", F.col("v").alias("cluster_id")
+        ).unionByName(assigned).withColumn("round", F.lit(rnd))
+        if checkpoint:
+            # vertex-scale; pins this round's result so the final union
+            # and the shrink joins don't replay earlier rounds' lineage
+            clustered = clustered.localCheckpoint(eager=True)
+        out = clustered if out is None else out.unionByName(clustered)
+        if rnd == max_rounds:
+            break
+        done = clustered.select("v")
+        active_verts = active_verts.join(done, "v", "left_anti")
+        # keep only edges whose BOTH endpoints stayed active
+        keep = active_verts.select("v")
+        active_edges = active_edges.join(keep, "v", "left_semi").join(
+            keep.withColumnRenamed("v", "w"), "w", "left_semi"
+        )
+        if checkpoint:
+            active_edges = active_edges.localCheckpoint(eager=True)
+            if active_edges.isEmpty():
+                # remaining actives are all isolated: next round they
+                # are ALL pivots (singletons) — emit directly and stop,
+                # exactly what the remaining unrolled rounds compute
+                singles = active_verts.select(
+                    "v", F.col("v").alias("cluster_id")
+                ).withColumn("round", F.lit(rnd + 1))
+                out = out.unionByName(singles)
+                empty_graph = True
+    assert out is not None
+    leftovers = (
+        active_verts.join(out.select("v"), "v", "left_anti")
+        .select(
+            "v",
+            F.col("v").alias("cluster_id"),
+            F.lit(0).alias("round"),
+        )
+    )
+    return out.unionByName(leftovers).select(
+        F.col("v").alias("id"), "cluster_id", "round"
     )

@@ -103,3 +103,75 @@ def test_threshold_curve_leading_tp_zero(spark):
     rows = {r["thr"]: r for r in threshold_curve(df, "score").collect()}
     assert rows[9]["f1_micro"] == 0 and rows[9]["prec_micro"] == 0
     assert rows[5]["f1_micro"] == round(2 / 3 * 1e6)
+
+
+# ---------------------------------------------------------------------------
+# MUC
+
+
+def _py_muc(pairs):
+    """Plain MUC (Vilain et al. 1995) over (pred, gold) assignments."""
+    from collections import defaultdict
+
+    gold, pred = defaultdict(list), defaultdict(list)
+    for i, (p, g) in enumerate(pairs):
+        gold[g].append(i)
+        pred[p].append(i)
+
+    def side(clusters, other):
+        num = den = 0
+        for members in clusters.values():
+            parts = {other[m] for m in members}
+            num += len(members) - len(parts)
+            den += len(members) - 1
+        return num / den if den else 0.0
+
+    gold_of = {i: g for i, (p, g) in enumerate(pairs)}
+    pred_of = {i: p for i, (p, g) in enumerate(pairs)}
+    r = side(gold, pred_of)
+    p = side(pred, gold_of)
+    f1 = 0.0 if p + r == 0 else 2.0 * p * r / (p + r)
+    return p, r, f1
+
+
+def _muc_df(spark, pairs):
+    from fel_spark.operators.evalmetrics import muc_score
+
+    df = spark.createDataFrame(pairs, "pred long, gold long")
+    return muc_score(df).collect()[0]
+
+
+def test_muc_textbook_split(spark):
+    # Vilain et al.'s canonical case: one gold cluster {A,B,C,D}, system
+    # splits it into {A,B} and {C,D} -> recall (4-2)/(4-1) = 2/3,
+    # precision perfect ((2-1)+(2-1)) / ((2-1)+(2-1)) = 1.
+    row = _muc_df(spark, [(0, 9), (0, 9), (1, 9), (1, 9)])
+    assert row["muc_r_micro"] == 666667
+    assert row["muc_p_micro"] == 1000000
+    assert row["n_records"] == 4
+
+
+def test_muc_python_replay_fuzz(spark):
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        pairs = [
+            (rng.randint(0, 6), rng.randint(0, 5)) for _ in range(50)
+        ]
+        row = _muc_df(spark, pairs)
+        p, r, f1 = _py_muc(pairs)
+        assert row["muc_p_micro"] == round(p * 1000000), trial
+        assert row["muc_r_micro"] == round(r * 1000000), trial
+        assert row["muc_f1_micro"] == round(f1 * 1000000), trial
+
+
+def test_muc_degenerate_all_singletons(spark):
+    # all-singleton gold: recall denominator 0 -> 0; likewise precision
+    # with all-singleton pred; f1 0 when p + r = 0.
+    row = _muc_df(spark, [(0, 0), (1, 1), (2, 2)])
+    assert (row["muc_p_micro"], row["muc_r_micro"], row["muc_f1_micro"]) == (
+        0,
+        0,
+        0,
+    )

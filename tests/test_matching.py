@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from fel_spark.operators.matching import (
     mutual_best_matches,
     one_to_one_greedy,
+    pivot_clusters,
     star_clusters,
 )
 
@@ -161,6 +162,109 @@ def test_star_centers_independent_and_no_chains(spark):
     adj = {(a, b) for a, b in rows} | {(b, a) for a, b in rows}
     for v, (c, is_c) in got.items():
         assert is_c == 1 or c == v or (v, c) in adj
+
+
+# ---------------------------------------------------------------------------
+# parallel-pivot correlation clustering
+
+
+def _py_pivot(edges, max_rounds):
+    """Plain replay of the deterministic parallel-pivot rounds."""
+    import hashlib
+    from collections import defaultdict
+
+    def o(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    active = set(adj)
+    out = {}
+    for rnd in range(1, max_rounds + 1):
+        if not active:
+            break
+        pivots = {
+            v
+            for v in active
+            if all(o(v) < o(w) for w in adj[v] if w in active)
+        }
+        for v in pivots:
+            out[v] = (v, rnd)
+        assigned = {}
+        for v in active - pivots:
+            cand = [w for w in adj[v] if w in pivots]
+            if cand:
+                assigned[v] = min(cand, key=o)
+        for v, c in assigned.items():
+            out[v] = (c, rnd)
+        active -= pivots | set(assigned)
+    for v in active:
+        out[v] = (v, 0)
+    return out
+
+
+def test_pivot_clusters_replay_fuzz(spark):
+    rng = random.Random(31)
+    for trial, rounds in [(0, 1), (1, 2), (2, 4)]:
+        edges = set()
+        while len(edges) < 70:
+            a, b = rng.randint(0, 39), rng.randint(0, 39)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [(a, b) for a, b in sorted(edges)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        got = {
+            r["id"]: (r["cluster_id"], r["round"])
+            for r in pivot_clusters(df, max_rounds=rounds).collect()
+        }
+        assert got == _py_pivot(rows, rounds), f"trial {trial}"
+
+
+def test_pivot_clusters_radius_one_partition(spark):
+    # path 0-1-...-9: every cluster must have radius 1 around its pivot
+    # (no chain merges), every vertex exactly one row, pivots
+    # self-clustered.
+    rows = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    out = pivot_clusters(df, max_rounds=6).collect()
+    assert len(out) == 10 and len({r["id"] for r in out}) == 10
+    adj = {(a, b) for a, b in rows} | {(b, a) for a, b in rows}
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["id"])
+        assert r["id"] == r["cluster_id"] or (r["id"], r["cluster_id"]) in adj
+    # a generous round bound resolves the whole path: no round-0 leftovers
+    assert all(r["round"] >= 1 for r in out)
+    # pivots own their clusters
+    for c in by_cluster:
+        assert c in by_cluster[c] or [c] == by_cluster[c]
+
+
+def test_pivot_clusters_bounded_prefix_leftovers(spark):
+    # max_rounds=1 on a dense-ish graph leaves round-0 singletons that a
+    # deeper run resolves; the round-1 prefix must agree between runs.
+    rng = random.Random(47)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 24), rng.randint(0, 24)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    one = {
+        r["id"]: (r["cluster_id"], r["round"])
+        for r in pivot_clusters(df, max_rounds=1).collect()
+    }
+    deep = {
+        r["id"]: (r["cluster_id"], r["round"])
+        for r in pivot_clusters(df, max_rounds=8).collect()
+    }
+    for v, (c, rnd) in one.items():
+        if rnd == 1:
+            assert deep[v] == (c, 1)
+        else:
+            assert rnd == 0 and deep[v][1] != 1
 
 
 def test_matching_plan_no_cartesian(spark):
