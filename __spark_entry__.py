@@ -2909,6 +2909,53 @@ def q_er_pivot_clusters(spark, sf_dir):
     return pivot_clusters(edges, max_rounds=3)
 
 
+def q_er_canopy(spark, sf_dir):
+    """Deterministic parallel canopy clustering (r5,
+    `operators/matching.py::canopy_clusters` — McCallum, Nigam & Ungar
+    KDD 2000): overlapping cheap-metric pre-blocks, loose threshold for
+    MEMBERSHIP (a record may join several canopies), tight threshold for
+    center-candidacy removal; the sequential arbitrary pick becomes
+    md5(id)-order rounds (run to convergence the centers are exactly
+    the sequential sweep's — the lex-first MIS of the tight graph,
+    pytest-proven; 2 rounds here is the deterministic bounded prefix).
+    Scores: mod-19 blocked JW micro over 10-char prefixes, loose 0.70 /
+    tight 0.85. Oracle: generated 2-round CTE unroll."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+    from fel_spark.operators.matching import canopy_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 19).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 19).alias("bk"),
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    return canopy_clusters(
+        pairs, t_loose=700_000, t_tight=850_000, max_rounds=2
+    )
+
+
 def q_er_muc(spark, sf_dir):
     """MUC link-based clustering score (r5,
     `operators/evalmetrics.py::muc_score` — Vilain et al., MUC-6 1995):
@@ -3514,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_one_to_one": q_er_one_to_one,
         "er_star_clusters": q_er_star_clusters,
         "er_pivot_clusters": q_er_pivot_clusters,
+        "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
@@ -4003,6 +4051,89 @@ def _pivot_oracle(
         UNION ALL
         SELECT v, v AS cluster_id, CAST(0 AS INTEGER) AS round
         FROM av{rounds + 1}
+    ) fin""")
+    return "".join(parts)
+
+
+def _canopy_oracle(
+    rounds: int, mod: int, plen: int, t_loose: int, t_tight: int
+) -> str:
+    """Generated CTE unroll of q_er_canopy: round k's centers are the
+    candidates order-minimal (md5 of the id string) among their
+    candidate tight-neighbors, memberships come from the loose graph,
+    centers + their candidate tight-neighbors leave candidacy; after
+    ``rounds`` rounds the uncovered candidates are round-0 singletons.
+    Exactly the matching.canopy_clusters round, repeated ``rounds``
+    times. Multiply-referenced CTEs are MATERIALIZED (inlining re-runs
+    the JW join per reference)."""
+    parts = [f"""WITH d AS (
+        SELECT doc_id, substr(text, 1, {plen}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                    AS BIGINT) AS score
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+    ),
+    loose AS MATERIALIZED (
+        SELECT id_a AS v, id_b AS w FROM e0 WHERE score >= {t_loose}
+        UNION ALL
+        SELECT id_b AS v, id_a AS w FROM e0 WHERE score >= {t_loose}
+    ),
+    tight AS MATERIALIZED (
+        SELECT id_a AS v, id_b AS w FROM e0 WHERE score >= {t_tight}
+        UNION ALL
+        SELECT id_b AS v, id_a AS w FROM e0 WHERE score >= {t_tight}
+    ),
+    av1 AS MATERIALIZED (SELECT DISTINCT v FROM loose)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    ct{k} AS MATERIALIZED (
+        SELECT t.v, t.w FROM tight t
+        WHERE t.v IN (SELECT v FROM av{k})
+          AND t.w IN (SELECT v FROM av{k})
+    ),
+    mn{k} AS (
+        SELECT v, min(md5(CAST(w AS VARCHAR))) AS min_ow
+        FROM ct{k} GROUP BY v
+    ),
+    cen{k} AS MATERIALIZED (
+        SELECT av.v FROM av{k} av LEFT JOIN mn{k} m ON m.v = av.v
+        WHERE m.min_ow IS NULL
+           OR md5(CAST(av.v AS VARCHAR)) < m.min_ow
+    ),
+    mem{k} AS MATERIALIZED (
+        SELECT v, v AS canopy_id, CAST({k} AS INTEGER) AS round
+        FROM cen{k}
+        UNION ALL
+        SELECT l.v, l.w AS canopy_id, CAST({k} AS INTEGER)
+        FROM loose l JOIN cen{k} c ON c.v = l.w
+    )""")
+        if k < rounds:
+            parts.append(f""",
+    rm{k} AS (
+        SELECT v FROM cen{k}
+        UNION
+        SELECT t.v FROM ct{k} t JOIN cen{k} c ON c.v = t.w
+    ),
+    av{k + 1} AS MATERIALIZED (
+        SELECT av.v FROM av{k} av
+        WHERE av.v NOT IN (SELECT v FROM rm{k})
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM mem{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT v AS id, canopy_id, round FROM (
+        {union}
+        UNION ALL
+        SELECT v, v AS canopy_id, CAST(0 AS INTEGER) AS round
+        FROM av{rounds}
+        WHERE v NOT IN (
+            SELECT v FROM ({union}) cov
+        )
     ) fin""")
     return "".join(parts)
 
@@ -7065,6 +7196,8 @@ def oracle_sql() -> dict[str, str]:
         # er_pivot_clusters: generated 3-round parallel-pivot unroll
         # (see _pivot_oracle)
         "er_pivot_clusters": _pivot_oracle(3, 13, 10, 790_000),
+        # er_canopy: generated 2-round canopy unroll (see _canopy_oracle)
+        "er_canopy": _canopy_oracle(2, 19, 10, 700_000, 850_000),
         # er_muc: link-based MUC over the (pred, gold) contingency
         # table — p(g) is the column's occupied-cell count
         "er_muc": """

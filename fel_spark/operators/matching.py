@@ -227,6 +227,114 @@ def star_clusters(
     )
 
 
+def canopy_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    t_loose: int = 0,
+    t_tight: int = 0,
+    max_rounds: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic parallel canopy clustering (McCallum, Nigam & Ungar,
+    KDD 2000): OVERLAPPING coarse clusters from a cheap similarity, the
+    classic pre-blocking step for expensive pairwise ER. The sequential
+    algorithm picks an arbitrary remaining point as a canopy center,
+    sweeps in everything within the LOOSE threshold (membership — a
+    point may join many canopies), and removes from future-center
+    candidacy everything within the TIGHT threshold. Here the arbitrary
+    pick becomes rounds under the engine-neutral md5(id) order (the
+    :func:`pivot_clusters` construction): round k's centers are the
+    still-candidate points order-minimal among their still-candidate
+    TIGHT-neighbors (an independent set in the tight graph — a PREFIX of
+    the sequential md5-order sweep: every round-k center is a point that
+    sweep would also pick, though some of its later picks wait for a
+    later round), every point loose-adjacent to a round-k center joins
+    that canopy, and centers plus their tight neighbors leave candidacy.
+
+    ``pairs`` is a scored undirected pair set (same id namespace);
+    ``score_col`` is the cheap similarity in integer units,
+    ``t_loose`` / ``t_tight`` its two thresholds (>=, with
+    ``t_tight >= t_loose`` — tight pairs are a subset of loose pairs).
+    After ``max_rounds``, still-candidate points become their own
+    singleton canopies with ``round`` 0 (bounded-prefix convention).
+    Output: (``id``, ``canopy_id``, ``round``) — one row per MEMBERSHIP
+    (a point may carry several), centers members of their own canopy;
+    every input vertex appears at least once (a non-candidate point
+    never swept into any later canopy keeps its memberships from the
+    rounds that took it; a point never loose-adjacent to any center
+    exits candidacy only as its own center or a round-0 singleton).
+
+    Scale: per round one hash agg on the tight graph (min candidate
+    neighbor order), one semi-join for centers, one co-partitioned join
+    of the loose graph onto centers — no windows over the pair set, no
+    cartesian; both shrinking graphs are localCheckpoint'd.
+    """
+    ov = F.md5(F.col("v").cast("string"))
+    ow = F.md5(F.col("w").cast("string"))
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_a).alias("v"), F.col(id_b).alias("w"))
+            .unionByName(
+                df.select(F.col(id_b).alias("v"), F.col(id_a).alias("w"))
+            )
+            .select("v", "w", ov.alias("ov"), ow.alias("ow"))
+        )
+
+    loose = _sym(pairs.filter(F.col(score_col) >= F.lit(t_loose)))
+    tight = _sym(pairs.filter(F.col(score_col) >= F.lit(t_tight)))
+    if checkpoint:
+        loose = loose.localCheckpoint(eager=True)
+        tight = tight.localCheckpoint(eager=True)
+    verts = loose.select("v", "ov").distinct()
+    cand = verts
+    out: DataFrame | None = None
+    for rnd in range(1, max_rounds + 1):
+        # tight edges between still-candidate points
+        ct = tight.join(cand.select("v"), "v", "left_semi").join(
+            cand.select(F.col("v").alias("w")), "w", "left_semi"
+        )
+        min_nbr = ct.groupBy("v").agg(F.min("ow").alias("min_ow"))
+        centers = (
+            cand.join(min_nbr, "v", "left")
+            .filter(F.col("min_ow").isNull() | (F.col("ov") < F.col("min_ow")))
+            .select("v")
+        )
+        # canopy membership: centers themselves + every loose neighbor
+        members = centers.select(
+            "v", F.col("v").alias("canopy_id")
+        ).unionByName(
+            loose.join(
+                centers.withColumnRenamed("v", "w"), "w"
+            ).select("v", F.col("w").alias("canopy_id"))
+        )
+        members = members.withColumn("round", F.lit(rnd))
+        if checkpoint:
+            members = members.localCheckpoint(eager=True)
+        out = members if out is None else out.unionByName(members)
+        if rnd == max_rounds:
+            break
+        # candidacy removal: centers + candidate points tight-adjacent
+        # to a center
+        removed = centers.unionByName(
+            ct.join(centers.withColumnRenamed("v", "w"), "w").select("v")
+        ).distinct()
+        cand = cand.join(removed, "v", "left_anti")
+        if checkpoint:
+            cand = cand.localCheckpoint(eager=True)
+            if cand.isEmpty():
+                break
+    assert out is not None
+    leftovers = cand.join(
+        out.select("v").distinct(), "v", "left_anti"
+    ).select("v", F.col("v").alias("canopy_id"), F.lit(0).alias("round"))
+    return out.unionByName(leftovers).select(
+        F.col("v").alias("id"), "canopy_id", "round"
+    )
+
+
 def pivot_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

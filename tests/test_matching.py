@@ -8,6 +8,7 @@ import random
 from pyspark.sql import functions as F
 
 from fel_spark.operators.matching import (
+    canopy_clusters,
     mutual_best_matches,
     one_to_one_greedy,
     pivot_clusters,
@@ -265,6 +266,134 @@ def test_pivot_clusters_bounded_prefix_leftovers(spark):
             assert deep[v] == (c, 1)
         else:
             assert rnd == 0 and deep[v][1] != 1
+
+
+# ---------------------------------------------------------------------------
+# canopy clustering
+
+
+def _py_canopy_rounds(scored, t_loose, t_tight, max_rounds):
+    """Plain replay of the deterministic parallel canopy rounds."""
+    import hashlib
+    from collections import defaultdict
+
+    def o(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    loose, tight = defaultdict(set), defaultdict(set)
+    for a, b, s in scored:
+        if s >= t_loose:
+            loose[a].add(b)
+            loose[b].add(a)
+        if s >= t_tight:
+            tight[a].add(b)
+            tight[b].add(a)
+    cand = set(loose)
+    out = set()
+    for rnd in range(1, max_rounds + 1):
+        if not cand:
+            break
+        centers = {
+            v
+            for v in cand
+            if all(o(v) < o(w) for w in tight[v] if w in cand)
+        }
+        for c in centers:
+            out.add((c, c, rnd))
+            for v in loose[c]:
+                out.add((v, c, rnd))
+        removed = set(centers)
+        for c in centers:
+            removed |= {w for w in tight[c] if w in cand}
+        cand -= removed
+    covered = {v for v, _, _ in out}
+    for v in cand:
+        if v not in covered:
+            out.add((v, v, 0))
+    return out
+
+
+def _py_canopy_sequential(scored, t_loose, t_tight):
+    """The textbook sequential sweep (McCallum et al. 2000) in md5
+    order; returns the canopy membership set (ignoring rounds)."""
+    import hashlib
+    from collections import defaultdict
+
+    def o(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    loose, tight = defaultdict(set), defaultdict(set)
+    for a, b, s in scored:
+        if s >= t_loose:
+            loose[a].add(b)
+            loose[b].add(a)
+        if s >= t_tight:
+            tight[a].add(b)
+            tight[b].add(a)
+    cand = set(loose)
+    out = set()
+    for v in sorted(loose, key=o):
+        if v not in cand:
+            continue
+        out.add((v, v))
+        for w in loose[v]:
+            out.add((w, v))
+        cand.discard(v)
+        cand -= tight[v]
+    return out
+
+
+def _scored_graph(rng, n, m):
+    edges = {}
+    while len(edges) < m:
+        a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+        if a != b:
+            edges[(min(a, b), max(a, b))] = rng.randint(1, 100)
+    return [(a, b, s) for (a, b), s in sorted(edges.items())]
+
+
+def test_canopy_replay_fuzz(spark):
+    rng = random.Random(59)
+    for trial, rounds in [(0, 1), (1, 3)]:
+        rows = _scored_graph(rng, 30, 80)
+        df = _pairs_df(spark, rows)
+        got = {
+            (r["id"], r["canopy_id"], r["round"])
+            for r in canopy_clusters(
+                df, t_loose=40, t_tight=75, max_rounds=rounds
+            ).collect()
+        }
+        assert got == _py_canopy_rounds(rows, 40, 75, rounds), trial
+
+
+def test_canopy_converged_equals_sequential_sweep(spark):
+    """Run to convergence, the parallel rounds' centers are the
+    lexicographic-first MIS of the tight graph — exactly the sequential
+    md5-order sweep's centers, hence identical memberships."""
+    rng = random.Random(61)
+    for trial in range(2):
+        rows = _scored_graph(rng, 25, 70)
+        df = _pairs_df(spark, rows)
+        got = {
+            (r["id"], r["canopy_id"])
+            for r in canopy_clusters(
+                df, t_loose=30, t_tight=70, max_rounds=40
+            ).collect()
+            if r["round"] >= 1
+        }
+        assert got == _py_canopy_sequential(rows, 30, 70), trial
+
+
+def test_canopy_overlap_and_coverage(spark):
+    # two tight-separated centers share a loose-only middle point:
+    # the middle must belong to BOTH canopies.
+    rows = [(1, 2, 50), (2, 3, 50)]  # loose edges only at t_tight=90
+    df = _pairs_df(spark, rows)
+    out = canopy_clusters(df, t_loose=40, t_tight=90, max_rounds=4).collect()
+    memb = {(r["id"], r["canopy_id"]) for r in out}
+    # 1, 2, 3 all candidates; no tight edges -> all three are centers
+    assert (2, 1) in memb and (2, 3) in memb and (2, 2) in memb
+    assert {v for v, _ in memb} == {1, 2, 3}
 
 
 def test_matching_plan_no_cartesian(spark):
