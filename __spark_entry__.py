@@ -2956,6 +2956,31 @@ def q_er_canopy(spark, sf_dir):
     )
 
 
+def q_er_ceaf(spark, sf_dir):
+    """CEAF cluster-alignment scores (r5,
+    `operators/evalmetrics.py::ceaf_scores` — Luo EMNLP 2005): the
+    entity-based complement to MUC/B-cubed, with Luo's Kuhn-Munkres
+    alignment replaced by the deterministic greedy alignment
+    (`matching.one_to_one_greedy` on the dictionary-scale contingency
+    cells, phi4-micro order — documented 1/2-approximation). Gold =
+    doc_id % 25; pred plants splits (doc_id % 9 == 0 -> 4 spurious
+    clusters) and a merge (gold 0/1). Oracle: the MUC-style contingency
+    algebra around a generated 6-round greedy unroll."""
+    from fel_spark.operators.evalmetrics import ceaf_scores
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 25
+    pred = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(3000) + F.col("doc_id") % 4)
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return ceaf_scores(assign, max_rounds=6)
+
+
 def q_er_muc(spark, sf_dir):
     """MUC link-based clustering score (r5,
     `operators/evalmetrics.py::muc_score` — Vilain et al., MUC-6 1995):
@@ -3563,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pivot_clusters": q_er_pivot_clusters,
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
+        "er_ceaf": q_er_ceaf,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
@@ -4135,6 +4161,82 @@ def _canopy_oracle(
             SELECT v FROM ({union}) cov
         )
     ) fin""")
+    return "".join(parts)
+
+
+def _ceaf_oracle(rounds: int = 6) -> str:
+    """Generated replay of q_er_ceaf: the contingency cells scored with
+    micro-rounded phi4, the one_to_one_greedy round unroll (rank-1 at
+    both endpoints under (score DESC, id_a, id_b), endpoints retired),
+    then Luo's ratios in the exact operator op order."""
+    parts = ["""WITH assign AS (
+        SELECT CASE WHEN doc_id % 9 = 0 THEN 3000 + doc_id % 4
+                    WHEN doc_id % 25 < 2 THEN 0
+                    ELSE doc_id % 25 END AS pred,
+               doc_id % 25 AS gold
+        FROM documents
+    ),
+    cells AS MATERIALIZED (
+        SELECT pred, gold, count(*) AS c FROM assign GROUP BY 1, 2
+    ),
+    psz AS (SELECT pred, sum(c) AS pn FROM cells GROUP BY 1),
+    gsz AS (SELECT gold, sum(c) AS gn FROM cells GROUP BY 1),
+    e1 AS MATERIALIZED (
+        SELECT pred AS id_a, gold AS id_b, c,
+               CAST(round(2.0 * c / (pn + gn) * 1000000) AS BIGINT)
+                   AS score
+        FROM cells JOIN psz USING (pred) JOIN gsz USING (gold)
+    )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    m{k} AS MATERIALIZED (
+        SELECT id_a, id_b, c, score FROM (
+            SELECT e.*,
+                   row_number() OVER (PARTITION BY id_a
+                       ORDER BY score DESC, id_a ASC, id_b ASC) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                       ORDER BY score DESC, id_a ASC, id_b ASC) AS rb
+            FROM e{k} e
+        ) t WHERE ra = 1 AND rb = 1
+    )""")
+        if k < rounds:
+            parts.append(f""",
+    e{k + 1} AS MATERIALIZED (
+        SELECT e.* FROM e{k} e
+        WHERE e.id_a NOT IN (SELECT id_a FROM m{k})
+          AND e.id_b NOT IN (SELECT id_b FROM m{k})
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f""",
+    mt AS ({union}),
+    ms AS (
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS m_sum,
+               CAST(coalesce(sum(score), 0) AS BIGINT) AS e_sum
+        FROM mt
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               count(DISTINCT pred) AS n_pred,
+               count(DISTINCT gold) AS n_gold
+        FROM cells
+    ),
+    fin AS (
+        SELECT n,
+               round(m_sum / n * 1000000) AS m_micro,
+               e_sum / 1000000.0 / n_pred AS p,
+               e_sum / 1000000.0 / n_gold AS r
+        FROM tot CROSS JOIN ms
+    )
+    SELECT n AS n_records,
+           CAST(m_micro AS BIGINT) AS ceaf_m_micro,
+           CAST(round(p * 1000000) AS BIGINT) AS ceaf_e_p_micro,
+           CAST(round(r * 1000000) AS BIGINT) AS ceaf_e_r_micro,
+           CAST(CASE WHEN p + r = 0.0 THEN 0
+                     ELSE round(2.0 * p * r / (p + r) * 1000000)
+                END AS BIGINT) AS ceaf_e_f1_micro
+    FROM fin""")
     return "".join(parts)
 
 
@@ -7198,6 +7300,8 @@ def oracle_sql() -> dict[str, str]:
         "er_pivot_clusters": _pivot_oracle(3, 13, 10, 790_000),
         # er_canopy: generated 2-round canopy unroll (see _canopy_oracle)
         "er_canopy": _canopy_oracle(2, 19, 10, 700_000, 850_000),
+        # er_ceaf: greedy-aligned CEAF (see _ceaf_oracle)
+        "er_ceaf": _ceaf_oracle(6),
         # er_muc: link-based MUC over the (pred, gold) contingency
         # table — p(g) is the column's occupied-cell count
         "er_muc": """

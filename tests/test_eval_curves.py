@@ -175,3 +175,100 @@ def test_muc_degenerate_all_singletons(spark):
         0,
         0,
     )
+
+
+# ---------------------------------------------------------------------------
+# CEAF (greedy alignment)
+
+
+def _py_ceaf(pairs, max_rounds=6):
+    """Plain replay: greedy one-to-one cluster alignment by
+    (phi4_micro DESC, pred ASC, gold ASC), then Luo's ratios."""
+    from collections import Counter, defaultdict
+
+    cells = Counter(pairs)
+    pn, gn = defaultdict(int), defaultdict(int)
+    for (p, g), c in cells.items():
+        pn[p] += c
+        gn[g] += c
+    edges = [
+        (p, g, c, round(2.0 * c / (pn[p] + gn[g]) * 1_000_000))
+        for (p, g), c in cells.items()
+    ]
+    used_p, used_g, matched = set(), set(), []
+    # bounded locally-dominant rounds == greedy prefix
+    for _ in range(max_rounds):
+        alive = [
+            e for e in edges if e[0] not in used_p and e[1] not in used_g
+        ]
+        if not alive:
+            break
+        best_at = {}
+        for e in alive:
+            for key in (("a", e[0]), ("b", e[1])):
+                cur = best_at.get(key)
+                if cur is None or (-e[3], e[0], e[1]) < (-cur[3], cur[0], cur[1]):
+                    best_at[key] = e
+        take = [
+            e
+            for e in alive
+            if best_at[("a", e[0])] == e and best_at[("b", e[1])] == e
+        ]
+        for p, g, c, s in take:
+            used_p.add(p)
+            used_g.add(g)
+            matched.append((c, s))
+    n = sum(cells.values())
+    m_sum = sum(c for c, _ in matched)
+    e_sum = sum(s for _, s in matched)
+    p = e_sum / 1_000_000.0 / len(pn)
+    r = e_sum / 1_000_000.0 / len(gn)
+    f1 = 0.0 if p + r == 0 else 2.0 * p * r / (p + r)
+    return (
+        round(m_sum / n * 1_000_000),
+        round(p * 1_000_000),
+        round(r * 1_000_000),
+        round(f1 * 1_000_000),
+    )
+
+
+def _ceaf_df(spark, pairs):
+    from fel_spark.operators.evalmetrics import ceaf_scores
+
+    df = spark.createDataFrame(pairs, "pred long, gold long")
+    return ceaf_scores(df).collect()[0]
+
+
+def test_ceaf_perfect(spark):
+    row = _ceaf_df(spark, [(0, 10), (0, 10), (1, 11), (2, 12)])
+    assert row["ceaf_m_micro"] == 1000000
+    assert row["ceaf_e_f1_micro"] == 1000000
+
+
+def test_ceaf_split_cluster(spark):
+    # gold {A,B,C,D}; pred {A,B} {C,D}: best alignment matches one pred
+    # cluster (overlap 2): CEAF-m = 2/4; phi4 micro-rounds FIRST:
+    # round(2*2/(2+4)*1e6) = 666667, so p = 666667/1e6/2 -> 333334
+    # (HALF_UP at the final micro-rounding), r = 666667.
+    row = _ceaf_df(spark, [(0, 9), (0, 9), (1, 9), (1, 9)])
+    assert row["ceaf_m_micro"] == 500000
+    assert row["ceaf_e_p_micro"] == 333334
+    assert row["ceaf_e_r_micro"] == 666667
+
+
+def test_ceaf_python_replay_fuzz(spark):
+    import random
+
+    rng = random.Random(17)
+    for trial in range(4):
+        pairs = [
+            (rng.randint(0, 6), rng.randint(0, 5)) for _ in range(60)
+        ]
+        row = _ceaf_df(spark, pairs)
+        m, p, r, f1 = _py_ceaf(pairs)
+        assert (
+            row["ceaf_m_micro"],
+            row["ceaf_e_p_micro"],
+            row["ceaf_e_r_micro"],
+            row["ceaf_e_f1_micro"],
+        ) == (m, p, r, f1), trial
