@@ -2956,6 +2956,53 @@ def q_er_canopy(spark, sf_dir):
     )
 
 
+def q_er_corr_objective(spark, sf_dir):
+    """Correlation-clustering disagreement audit (r5,
+    `operators/evalmetrics.py::correlation_objective` — Bansal, Blum &
+    Chawla 2004): cut similar pairs + missing within-cluster pairs, the
+    exact objective `matching.pivot_clusters` (KwikCluster)
+    3-approximates, as one auditable row. Edges: the star-query's
+    mod-17 blocked JW >= 0.80 set; clustering under audit: the
+    deliberately-coarse doc_id % 43 assignment (non-trivial cut AND
+    missing counts). Within-cluster possible pairs come from cluster
+    sizes — nothing pair-scale beyond the edge list."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+    from fel_spark.operators.evalmetrics import correlation_objective
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jw_micro",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("jw_micro") >= 800_000)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assign = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 43).cast("long").alias("cluster_id"),
+    )
+    return correlation_objective(edges, assign)
+
+
 def q_er_ceaf(spark, sf_dir):
     """CEAF cluster-alignment scores (r5,
     `operators/evalmetrics.py::ceaf_scores` — Luo EMNLP 2005): the
@@ -3589,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
         "er_ceaf": q_er_ceaf,
+        "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
@@ -7302,6 +7350,55 @@ def oracle_sql() -> dict[str, str]:
         "er_canopy": _canopy_oracle(2, 19, 10, 700_000, 850_000),
         # er_ceaf: greedy-aligned CEAF (see _ceaf_oracle)
         "er_ceaf": _ceaf_oracle(6),
+        # er_corr_objective: cut edges + missing within-cluster pairs
+        # (sizes-based — C(n,2) never materialized)
+        "er_corr_objective": """
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            e AS MATERIALIZED (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM d a JOIN d b
+                  ON a.doc_id % 17 = b.doc_id % 17 AND a.doc_id < b.doc_id
+                WHERE CAST(round(jaro_winkler_similarity(a.s, b.s)
+                                 * 1000000) AS BIGINT) >= 800000
+            ),
+            assign AS (
+                SELECT doc_id AS id, CAST(doc_id % 43 AS BIGINT)
+                           AS cluster_id
+                FROM d
+            ),
+            ec AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       CAST(sum(CASE WHEN sa.cluster_id <> da.cluster_id
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_cut
+                FROM e
+                JOIN assign sa ON sa.id = e.src
+                JOIN assign da ON da.id = e.dst
+            ),
+            sz AS (
+                SELECT cluster_id, count(*) AS n FROM assign GROUP BY 1
+            ),
+            poss AS (
+                SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT)
+                           AS n_within_possible,
+                       CAST(sum(n) AS BIGINT) AS n_records
+                FROM sz
+            )
+            SELECT n_records,
+                   coalesce(n_edges, 0) AS n_edges,
+                   coalesce(n_cut, 0) AS n_cut,
+                   CAST(n_within_possible
+                        - (coalesce(n_edges, 0) - coalesce(n_cut, 0))
+                        AS BIGINT) AS n_missing_within,
+                   CAST(coalesce(n_cut, 0)
+                        + (n_within_possible
+                           - (coalesce(n_edges, 0) - coalesce(n_cut, 0)))
+                        AS BIGINT) AS disagreements
+            FROM poss CROSS JOIN ec
+        """,
         # er_muc: link-based MUC over the (pred, gold) contingency
         # table — p(g) is the column's occupied-cell count
         "er_muc": """

@@ -335,6 +335,70 @@ def threshold_curve(
     )
 
 
+def correlation_objective(
+    edges: DataFrame,
+    assign: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Correlation-clustering disagreement count (Bansal, Blum & Chawla
+    2004) — the objective :func:`fel_spark.operators.matching.
+    pivot_clusters` (KwikCluster) 3-approximates, as an auditable
+    number: disagreements = CUT similar pairs (edges crossing clusters)
+    + MISSING similar pairs (within-cluster record pairs that share no
+    edge). Lower is better; 0 means the clustering is exactly the
+    edge-defined clique cover. Comparing this across CC / star / pivot
+    output on the same edge set is how a pipeline picks its decision
+    layer.
+
+    ``edges`` is the undirected similar-pair set (each pair once);
+    ``assign`` one row per record. Within-cluster possible pairs come
+    from cluster SIZES (C(n,2) — never materialized); the only
+    pair-scale work is the already-materialized edge list, joined
+    id-keyed to cluster assignments. Output: one row — n_records,
+    n_edges, n_cut, n_missing_within, disagreements (all exact longs).
+    """
+    a_src = assign.select(
+        F.col(id_col).alias(src_col), F.col(cluster_col).alias("_c_src")
+    )
+    a_dst = assign.select(
+        F.col(id_col).alias(dst_col), F.col(cluster_col).alias("_c_dst")
+    )
+    e2 = edges.join(a_src, src_col).join(a_dst, dst_col)
+    edge_counts = e2.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(
+            (F.col("_c_src") != F.col("_c_dst")).cast("long")
+        ).alias("n_cut"),
+    )
+    sizes = assign.groupBy(cluster_col).agg(F.count("*").alias("n"))
+    poss = sizes.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
+            "n_within_possible"
+        ),
+        F.sum("n").cast("long").alias("n_records"),
+    )
+    s = poss.crossJoin(F.broadcast(edge_counts)).select(
+        "n_records",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
+        "n_within_possible",
+    )
+    missing = (
+        F.col("n_within_possible")
+        - (F.col("n_edges") - F.col("n_cut"))
+    ).cast("long")
+    return s.select(
+        "n_records",
+        "n_edges",
+        "n_cut",
+        missing.alias("n_missing_within"),
+        (F.col("n_cut") + missing).cast("long").alias("disagreements"),
+    )
+
+
 def cluster_edge_audit(
     edges: DataFrame,
     assign: DataFrame,

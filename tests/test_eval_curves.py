@@ -272,3 +272,64 @@ def test_ceaf_python_replay_fuzz(spark):
             row["ceaf_e_r_micro"],
             row["ceaf_e_f1_micro"],
         ) == (m, p, r, f1), trial
+
+
+# ---------------------------------------------------------------------------
+# correlation-clustering objective
+
+
+def _corr_df(spark, edges, assign):
+    from fel_spark.operators.evalmetrics import correlation_objective
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = spark.createDataFrame(assign, "id long, cluster_id long")
+    return correlation_objective(e, a).collect()[0]
+
+
+def test_correlation_objective_pinned(spark):
+    # clusters {0,1,2} and {3,4}; edges: 0-1, 1-2 (within), 2-3 (cut);
+    # missing within = C(3,2)+C(2,2... C(2,2)=1) = 3+1 - 2 = 2.
+    row = _corr_df(
+        spark,
+        [(0, 1), (1, 2), (2, 3)],
+        [(0, 10), (1, 10), (2, 10), (3, 11), (4, 11)],
+    )
+    assert row["n_edges"] == 3 and row["n_cut"] == 1
+    assert row["n_missing_within"] == 2
+    assert row["disagreements"] == 3
+
+
+def test_correlation_objective_perfect_clique_cover(spark):
+    row = _corr_df(
+        spark,
+        [(0, 1), (2, 3)],
+        [(0, 5), (1, 5), (2, 6), (3, 6)],
+    )
+    assert row["disagreements"] == 0
+
+
+def test_correlation_objective_python_replay_fuzz(spark):
+    import random
+    from itertools import combinations
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = 20
+        edges = set()
+        while len(edges) < 30:
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        assign = [(i, rng.randint(0, 4)) for i in range(n)]
+        cl = dict(assign)
+        cut = sum(1 for a, b in edges if cl[a] != cl[b])
+        within_poss = sum(
+            1
+            for a, b in combinations(range(n), 2)
+            if cl[a] == cl[b]
+        )
+        within_edges = len(edges) - cut
+        row = _corr_df(spark, sorted(edges), assign)
+        assert row["n_cut"] == cut, trial
+        assert row["n_missing_within"] == within_poss - within_edges, trial
+        assert row["disagreements"] == cut + within_poss - within_edges
