@@ -7,7 +7,9 @@ operators composed as one resumable pipeline.
          histogram; persisted as a versioned JSON artifact)
       -> pair scoring (exact-integer level-weight sums)
       -> match decision (positive log-likelihood ratio)
-      -> transitive clusters (connected components; singletons kept)
+      -> clusters (configurable decision layer: transitive connected
+         components, star clustering, or parallel-pivot correlation
+         clustering; singletons kept either way)
       -> golden records (majority-vote survivorship)
 
 Every stage is a parquet snapshot under ``run_dir`` via
@@ -15,7 +17,9 @@ Every stage is a parquet snapshot under ``run_dir`` via
 and a re-run resumes after the last completed stage (the reference's
 stage-gated driver, `mine-datapack.sh`, promoted to manifested
 snapshots). Block-size and cluster-quality audits ride along as aux
-snapshots (`phonetic_audit`, `cluster_audit`).
+snapshots (`phonetic_audit`, `cluster_audit`, `corr_objective` — the
+correlation-clustering disagreement count that makes the decision-layer
+choice auditable).
 
 Scale shape: both blocking rules are bounded (phonetic blocks are
 audited and cappable upstream; SNM is O(n*w) by construction); the
@@ -113,15 +117,33 @@ def run_record_linkage(
     name_col: str = "name",
     snm_window: int = 5,
     em_iters: int = 5,
+    clusterer: str = "cc",
 ) -> DataFrame:
     """Run (or resume) the unsupervised record-linkage plan; returns the
     cluster assignment (record_id, cluster_id) with every input record
     present (singletons keep their own id). The trained model is saved
     as ``run_dir/fs_model.json``; golden records land as the
-    ``golden`` stage; audits as aux snapshots."""
+    ``golden`` stage; audits as aux snapshots.
+
+    ``clusterer`` picks the pair-DECISION layer over the positive-LLR
+    match edges: ``"cc"`` (transitive connected components — maximal
+    recall, chains can over-merge), ``"star"`` (one-shot star
+    clustering — radius-1 clusters, chains cannot merge), or
+    ``"pivot"`` (parallel-pivot correlation clustering — radius-1 AND
+    residue re-clusters over rounds). All three return the identical
+    shape; the ``corr_objective`` aux snapshot records each run's
+    correlation-clustering disagreement count so the choice is
+    auditable."""
     from fel_spark.operators.cluster import connected_components
-    from fel_spark.operators.evalmetrics import cluster_edge_audit
+    from fel_spark.operators.evalmetrics import (
+        cluster_edge_audit,
+        correlation_objective,
+    )
     from fel_spark.operators.fusion import golden_records
+    from fel_spark.operators.matching import pivot_clusters, star_clusters
+
+    if clusterer not in ("cc", "star", "pivot"):
+        raise ValueError(f"unknown clusterer: {clusterer!r}")
     from fel_spark.operators.linkage import (
         fs_em_train_multilevel,
         fs_multilevel_weights_from_mu,
@@ -166,32 +188,35 @@ def run_record_linkage(
     def _clusters_stage(r: StageRunner) -> DataFrame:
         # positive log-likelihood ratio = more likely match than not
         edges = scored.filter(F.col("fs_score_micro") > 0).select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            F.col("id_a").cast("long").alias("src"),
+            F.col("id_b").cast("long").alias("dst"),
         )
         verts = records.select(F.col(id_col).cast("long").alias("id"))
-        comp = connected_components(
-            edges.select(
-                F.col("src").cast("long").alias("src"),
-                F.col("dst").cast("long").alias("dst"),
-            ),
-            vertices=verts,
-        )
-        assign = comp.select(
-            F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+        if clusterer == "cc":
+            assign_l = connected_components(edges, vertices=verts).select(
+                "id", F.col("component").alias("cluster_id")
+            )
+        else:
+            part = (
+                star_clusters(edges, "src", "dst").select("id", "cluster_id")
+                if clusterer == "star"
+                else pivot_clusters(
+                    edges, "src", "dst", max_rounds=6
+                ).select("id", "cluster_id")
+            )
+            # edge-less records never appear in the pair graph: singletons
+            assign_l = verts.join(part, "id", "left").select(
+                "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+            )
+        r.log_aux(
+            "cluster_audit", cluster_edge_audit(edges, assign_l)
         )
         r.log_aux(
-            "cluster_audit",
-            cluster_edge_audit(
-                edges.select(
-                    F.col("src").cast("long").alias("src"),
-                    F.col("dst").cast("long").alias("dst"),
-                ),
-                assign.select(
-                    F.col(id_col).cast("long").alias("id"), "cluster_id"
-                ),
-            ),
+            "corr_objective", correlation_objective(edges, assign_l)
         )
-        return assign
+        return assign_l.select(
+            F.col("id").alias(id_col), "cluster_id"
+        )
 
     clusters = runner.run_stage("clusters", _clusters_stage)
 

@@ -100,3 +100,44 @@ def test_plan_golden_records_pick_canonical_names(spark, planted, tmp_path):
     # every golden name is one of the observed surface forms
     observed = {r["name"] for r in planted.collect()}
     assert all(r["name"] in observed for r in rows)
+
+
+def test_plan_clusterer_variants(spark, planted, tmp_path):
+    """star and pivot decision layers: every record assigned, pairwise
+    precision at least as good as CC's bar (radius-1 clusters cannot
+    chain), and the corr_objective aux snapshot lands."""
+    for clusterer in ("star", "pivot"):
+        run_dir = str(tmp_path / f"run_{clusterer}")
+        out = run_record_linkage(
+            spark, run_dir, planted, clusterer=clusterer
+        ).collect()
+        assert len(out) == planted.count(), clusterer
+        clusters = {}
+        for r in out:
+            clusters.setdefault(r["cluster_id"], []).append(r["record_id"])
+        tp = fp = 0
+        for members in clusters.values():
+            for i, a in enumerate(members):
+                for b in members[i + 1:]:
+                    if a // 10 == b // 10:
+                        tp += 1
+                    else:
+                        fp += 1
+        prec = tp / max(tp + fp, 1)
+        assert prec >= 0.95, (clusterer, prec)
+        # radius-1 layers trade recall for chain resistance; on this
+        # clean planted corpus they must still recover most pairs
+        rec = tp / (len(BASE_NAMES) * 3)
+        assert rec >= 0.6, (clusterer, rec)
+        import os
+
+        assert os.path.exists(
+            os.path.join(run_dir, "_aux", "corr_objective")
+        ), clusterer
+
+
+def test_plan_rejects_unknown_clusterer(spark, planted, tmp_path):
+    with pytest.raises(ValueError):
+        run_record_linkage(
+            spark, str(tmp_path / "bad"), planted, clusterer="agglo"
+        )
