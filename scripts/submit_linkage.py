@@ -23,7 +23,8 @@ Local smoke:
       --run-dir /tmp/rl_run --output /tmp/rl_out
 
 ``--run-dir`` holds stage snapshots, per-partition lineage metrics, the
-audits (_aux/phonetic_audit, _aux/cluster_audit) and the trained model
+audits (_aux/phonetic_audit, _aux/cluster_audit, _aux/corr_objective)
+and the trained model
 (fs_model.json); a killed run resumes after its last completed stage.
 ``--output`` receives the cluster assignment (record_id, cluster_id).
 """
@@ -50,6 +51,14 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="cluster-assignment output dir")
     ap.add_argument("--snm-window", type=int, default=5)
     ap.add_argument("--em-iters", type=int, default=5)
+    ap.add_argument(
+        "--clusterer",
+        choices=["cc", "star", "pivot"],
+        default="cc",
+        help="pair-decision layer: transitive CC (default), one-shot "
+        "star clustering, or parallel-pivot correlation clustering "
+        "(both radius-1, chain-resistant; see _aux/corr_objective)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -83,6 +92,7 @@ def main() -> int:
         name_col=name_col,
         snm_window=args.snm_window,
         em_iters=args.em_iters,
+        clusterer=args.clusterer,
     )
     (
         clusters.write.mode("overwrite")
@@ -98,6 +108,7 @@ def main() -> int:
                 "job": "fel_spark_linkage",
                 "records": n,
                 "clusters": n_clusters,
+                "clusterer": args.clusterer,
                 "wall_sec": round(time.time() - t0, 2),
                 "output": args.output,
                 "run_dir": args.run_dir,

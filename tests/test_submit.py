@@ -159,6 +159,8 @@ def test_spark_submit_record_linkage_end_to_end():
                 out_dir,
                 "--em-iters",
                 "3",
+                "--clusterer",
+                "pivot",
             ],
             capture_output=True,
             text=True,
@@ -169,7 +171,9 @@ def test_spark_submit_record_linkage_end_to_end():
         res = json.loads(line)
         assert res["records"] > 0 and res["clusters"] > 0
         assert res["clusters"] <= res["records"]
+        assert res["clusterer"] == "pivot"
         assert (Path(run_dir) / "clusters" / "_STAGE_SUCCESS").exists()
         assert (Path(run_dir) / "fs_model.json").exists()
         assert (Path(run_dir) / "_aux" / "phonetic_audit").exists()
         assert (Path(run_dir) / "_aux" / "cluster_audit").exists()
+        assert (Path(run_dir) / "_aux" / "corr_objective").exists()
