@@ -2678,6 +2678,100 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def q_er_blocksplit_pairs(spark, sf_dir):
+    """Lossless skew-balanced pair enumeration (r5,
+    `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
+    "Load Balancing for MapReduce-based Entity Resolution", ICDE 2012:
+    the BlockSplit strategy). A Zipf-hot block (every 3rd doc) is split
+    into deterministic shards; its quadratic comparison work becomes
+    m(m+1)/2 bounded tasks (diagonal = within-shard, cross = between
+    shards), every intra-block pair enumerated in EXACTLY one task. The
+    oracle is the NAIVE distinct per-block self-join: the emitted pair
+    SET is provably independent of the sharding hash, so value-parity
+    against naive enumeration proves the split is lossless — exactly
+    the property the salting path (`blocking.cap_blocks`) trades away,
+    and the reason this operator exists for the exhaustive
+    Fellegi-Sunter scoring path."""
+    from fel_spark.operators.loadbalance import blocksplit_pairs
+
+    blocked = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("mention_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("doc_id") % 41).cast("string")))
+        .alias("block_key"),
+    )
+    pairs = blocksplit_pairs(blocked, max_block=25)
+    return pairs.select(
+        F.col("mention_id_a").alias("id_a"),
+        F.col("mention_id_b").alias("id_b"),
+    )
+
+
+def q_er_pprl_bloom(spark, sf_dir):
+    """Privacy-preserving linkage encodings (r5,
+    `operators/pprl.py` — Schnell, Bachteler & Reiche 2009): character
+    bigrams hashed by k=3 seeded functions into an m=64-bit Bloom
+    filter (represented as its sorted set-bit positions), candidate
+    pairs compared with Dice over set bits — the plaintext never
+    crosses the pair stage. Hashes are the repo's DuckDB-reproducible
+    md5 convention, so the oracle replays the ENTIRE chain: bigram
+    extraction, k seeded hash positions, distinct-union, blocked
+    self-join, and the 4dp Dice — in ANSI SQL."""
+    from fel_spark.operators.pprl import pprl_bloom_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 16).alias("s"),
+        (F.col("doc_id") % 23).alias("bk"),
+    )
+    return pprl_bloom_pairs(d, "s", "doc_id", "bk", m=64, k=3, seed=9100)
+
+
+def q_er_numeric_date(spark, sf_dir):
+    """Numeric + temporal comparator levels (r5,
+    `operators/editsim.py::numeric_date_scores` — Christen 2012
+    ch.5.6-5.7): maximum-distance and percentage-difference numeric
+    similarity plus a linear time-window comparator over whole-second
+    timestamp gaps (micros floor-divided — exact integers both
+    engines), each graded into {2,1,0} agreement levels, the input
+    shape the multilevel Fellegi-Sunter path consumes. Pairs: mod-997
+    blocked self-join over events; map-only past the join. All
+    similarities 4dp fixed point; the oracle replays every expression
+    in the same IEEE evaluation order."""
+    from fel_spark.operators.editsim import numeric_date_scores
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "value", "ts", (F.col("event_id") % 997).alias("bk")
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("v_a"),
+        F.col("ts").alias("ts_a"),
+        "bk",
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("v_b"),
+        F.col("ts").alias("ts_b"),
+        "bk",
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    out = numeric_date_scores(
+        pairs, "v_a", "v_b", "ts_a", "ts_b", num_dmax=100.0, max_seconds=86_400
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "abs_diff",
+        "num_sim_4dp",
+        "rel_sim_4dp",
+        "sec_diff",
+        "ts_sim_4dp",
+        "num_level",
+        "ts_level",
+    )
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3638,6 +3732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ceaf": q_er_ceaf,
         "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
+        "er_blocksplit_pairs": q_er_blocksplit_pairs,
+        "er_pprl_bloom": q_er_pprl_bloom,
+        "er_numeric_date": q_er_numeric_date,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -7230,6 +7327,97 @@ def oracle_sql() -> dict[str, str]:
         # Soundex chain (generated by phonetic.soundex_sql; the Spark
         # side is additionally pinned to F.soundex in pytest)
         "er_phonetic_blocking": _phonetic_blocking_oracle(),
+        # BlockSplit losslessness: the oracle is the NAIVE per-block
+        # self-join — the split enumeration must reproduce it exactly,
+        # independent of the sharding hash.
+        "er_blocksplit_pairs": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'hot'
+                            ELSE 'k' || CAST(doc_id % 41 AS VARCHAR)
+                       END AS bk
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM b a JOIN b b2 USING (bk)
+            WHERE a.doc_id < b2.doc_id
+        """,
+        # PPRL Bloom full replay: bigrams -> 3 seeded md5 positions mod 64
+        # -> distinct set bits -> blocked pairs -> Dice 4dp, all in SQL.
+        "er_pprl_bloom": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 23 AS bk, substr(text, 1, 16) AS s
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, bk, flatten(list_transform(
+                    list_filter(string_split(s, ' '), w -> len(w) > 0),
+                    w -> list_transform(range(1, len(w)), i -> substr(w, i, 2)))) AS bgs
+                FROM d
+            ),
+            enc AS (
+                SELECT doc_id, bk, list_distinct(flatten(list_transform(bgs, g -> [
+                    CAST(('0x' || substr(md5('9100:' || g), 1, 15)) AS BIGINT) % 64,
+                    CAST(('0x' || substr(md5('9101:' || g), 1, 15)) AS BIGINT) % 64,
+                    CAST(('0x' || substr(md5('9102:' || g), 1, 15)) AS BIGINT) % 64
+                ]))) AS bloom
+                FROM bg
+            ),
+            pr AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       a.bloom AS ba, b.bloom AS bb,
+                       len(list_intersect(a.bloom, b.bloom)) AS n_common
+                FROM enc a JOIN enc b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b,
+                   CAST(len(ba) AS INTEGER) AS n_bits_a,
+                   CAST(len(bb) AS INTEGER) AS n_bits_b,
+                   CAST(n_common AS INTEGER) AS n_common,
+                   CASE WHEN len(ba) + len(bb) > 0
+                        THEN CAST(floor(((2.0 * n_common) / (len(ba) + len(bb))) * 10000) AS BIGINT)
+                        ELSE 0 END AS dice_4dp
+            FROM pr
+        """,
+        # numeric/date comparators: every expression replayed in the same
+        # IEEE evaluation order; second gaps are micros floor-divided so
+        # both engines aggregate exact integers.
+        "er_numeric_date": """
+            WITH ev AS (
+                SELECT event_id, value AS v, ts, event_id % 997 AS bk
+                FROM events
+            ),
+            pr AS (
+                SELECT a.event_id AS id_a, b.event_id AS id_b,
+                       a.v AS v_a, b.v AS v_b, a.ts AS ts_a, b.ts AS ts_b
+                FROM ev a JOIN ev b ON a.bk = b.bk AND a.event_id < b.event_id
+            ),
+            s AS (
+                SELECT id_a, id_b,
+                       abs(v_a - v_b) AS abs_diff,
+                       greatest(0.0, 1.0 - abs(v_a - v_b) / 100.0) AS num_sim,
+                       CASE WHEN v_a = v_b THEN 1.0
+                            WHEN greatest(abs(v_a), abs(v_b)) > 0
+                            THEN 1.0 - abs(v_a - v_b) / greatest(abs(v_a), abs(v_b))
+                            ELSE 0.0 END AS rel_sim,
+                       CAST(floor(abs(epoch_us(ts_a) - epoch_us(ts_b)) / 1000000) AS BIGINT) AS sec_diff
+                FROM pr
+            ),
+            f AS (
+                SELECT id_a, id_b, abs_diff,
+                       CAST(floor(num_sim * 10000) AS BIGINT) AS num_sim_4dp,
+                       CAST(floor(rel_sim * 10000) AS BIGINT) AS rel_sim_4dp,
+                       sec_diff,
+                       CAST(floor(greatest(0.0, 1.0 - CAST(sec_diff AS DOUBLE) / 86400.0) * 10000) AS BIGINT) AS ts_sim_4dp
+                FROM s
+            )
+            SELECT id_a, id_b, abs_diff, num_sim_4dp, rel_sim_4dp, sec_diff,
+                   ts_sim_4dp,
+                   CAST(CASE WHEN num_sim_4dp >= 9000 THEN 2
+                             WHEN num_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS num_level,
+                   CAST(CASE WHEN ts_sim_4dp >= 9000 THEN 2
+                             WHEN ts_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS ts_level
+            FROM f
+        """,
         # er_metablocking: block purge skipped (no purge_above), WEP
         # threshold = exact-integer mean of micro-unit JS weights
         "er_metablocking": """

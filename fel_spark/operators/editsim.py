@@ -343,3 +343,75 @@ def soft_tfidf(
         .withColumn("st_pico", F.coalesce("st_pico", F.lit(0)).cast("long"))
         .select(id_a, id_b, "st_pico")
     )
+
+
+def numeric_date_scores(
+    pairs: DataFrame,
+    num_a: str,
+    num_b: str,
+    ts_a: str,
+    ts_b: str,
+    num_dmax: float = 100.0,
+    max_seconds: int = 86_400,
+    close: float = 0.9,
+    far: float = 0.5,
+) -> DataFrame:
+    """Numeric + temporal comparators (Christen 2012 ch.5.6-5.7) — the
+    non-string half of the classical comparison vector, with graded
+    agreement levels ready for the multilevel Fellegi-Sunter path.
+
+    Appends to ``pairs``:
+
+    - ``abs_diff``: |a - b| as double;
+    - ``num_sim_4dp``: max(0, 1 - |a-b| / num_dmax), the maximum-distance
+      comparator, 4dp fixed point;
+    - ``rel_sim_4dp``: 1 - |a-b| / max(|a|,|b|), the percentage-difference
+      comparator (equal values -> 1, incl. 0==0), 4dp fixed point;
+    - ``sec_diff``: |epoch_us(a) - epoch_us(b)| / 1e6 whole seconds (BIGINT,
+      micros floor-divided — exact integers both engines);
+    - ``ts_sim_4dp``: max(0, 1 - sec_diff / max_seconds), linear time-window
+      comparator, 4dp;
+    - ``num_level`` / ``ts_level``: graded agreement {2,1,0} at the
+      ``close``/``far`` thresholds (>= close -> 2, >= far -> 1, else 0) —
+      the input shape `linkage.fs_weights_multilevel` consumes.
+
+    Fixed-point + integer-second choices keep every emitted value exactly
+    reproducible in ANSI SQL (the 4dp floor convention shared by all
+    comparator queries). Map-only over the candidate-pair set.
+    """
+    a, b = F.col(num_a).cast("double"), F.col(num_b).cast("double")
+    abs_diff = F.abs(a - b)
+    num_sim = F.greatest(F.lit(0.0), F.lit(1.0) - abs_diff / F.lit(float(num_dmax)))
+    mx = F.greatest(F.abs(a), F.abs(b))
+    rel_sim = F.when(a == b, F.lit(1.0)).otherwise(
+        F.when(mx > 0, F.lit(1.0) - abs_diff / mx).otherwise(F.lit(0.0))
+    )
+    us_a = F.unix_micros(F.col(ts_a).cast("timestamp"))
+    us_b = F.unix_micros(F.col(ts_b).cast("timestamp"))
+    sec_diff = F.floor(F.abs(us_a - us_b) / F.lit(1_000_000)).cast("long")
+    ts_sim = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - sec_diff.cast("double") / F.lit(float(max_seconds)),
+    )
+
+    def _4dp(c: Column) -> Column:
+        return F.floor(c * 10000).cast("long")
+
+    def _level(sim4: Column) -> Column:
+        return (
+            F.when(sim4 >= int(round(close * 10000)), F.lit(2))
+            .when(sim4 >= int(round(far * 10000)), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    out = (
+        pairs.withColumn("abs_diff", abs_diff)
+        .withColumn("num_sim_4dp", _4dp(num_sim))
+        .withColumn("rel_sim_4dp", _4dp(rel_sim))
+        .withColumn("sec_diff", sec_diff)
+        .withColumn("ts_sim_4dp", _4dp(ts_sim))
+    )
+    return out.withColumn("num_level", _level(F.col("num_sim_4dp"))).withColumn(
+        "ts_level", _level(F.col("ts_sim_4dp"))
+    )
