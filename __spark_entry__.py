@@ -2772,6 +2772,61 @@ def q_er_numeric_date(spark, sf_dir):
     )
 
 
+def q_er_collective(spark, sf_dir):
+    """Collective ER: relational neighbor-match evidence (r5,
+    `operators/collective.py` — Bhattacharya & Getoor TKDD 2007). Two
+    rounds of score(t) = min(cap, base + boost * evidence(matched(t-1)))
+    over mod-17 blocked doc pairs; base = length-proximity comparator
+    (4dp), relation graph = docs of the SAME source within doc_id
+    distance 40 (the synthetic source stripes docs mod 20, so each doc
+    gets its nearest 4 same-feed neighbors — the co-occurrence analogue). Every round is a pure
+    function of the previous matched set — evidence counts are exact
+    integers, scores fixed-point — so the oracle replays the full
+    2-round fixpoint prefix as a generated CTE unroll (the repo's
+    canopy/pivot convention). The cross-document generalization of the
+    reference's coherence instinct (`Coherence.java`): context votes on
+    identity."""
+    from fel_spark.operators.collective import collective_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("nc_a"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("nc_b"),
+        (F.col("doc_id") % 17).alias("bk"),
+    )
+    base = F.floor(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.abs(F.col("nc_a").cast("double") - F.col("nc_b")) / F.lit(80.0),
+        )
+        * 10000
+    ).cast("long")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", base.alias("base_4dp"))
+    )
+    x = d.select(F.col("doc_id").alias("xid"), F.col("source").alias("src"))
+    y = d.select(F.col("doc_id").alias("yid"), F.col("source").alias("src"))
+    edges = (
+        x.join(y, "src")
+        .filter(
+            (F.col("xid") != F.col("yid"))
+            & (F.abs(F.col("xid") - F.col("yid")) <= 40)
+        )
+        .select(F.col("xid").alias("id"), F.col("yid").alias("nbr"))
+    )
+    return collective_scores(
+        pairs, edges, rounds=2, boost=500, threshold=9000, cap=10_000
+    )
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3735,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
+        "er_collective": q_er_collective,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -4147,6 +4203,69 @@ def _one_to_one_oracle(rounds: int, mod: int) -> str:
         f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
     )
     parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+def _collective_oracle(
+    rounds: int = 2,
+    mod: int = 17,
+    dmax: float = 80.0,
+    boost: int = 500,
+    threshold: int = 9000,
+    cap: int = 10_000,
+) -> str:
+    """Generated CTE unroll of q_er_collective: round t's evidence is
+    counted against round t-1's matched set (round 0 = base >=
+    threshold), score recomputed from base each round — the same loop
+    `collective.collective_scores` runs, repeated ``rounds`` times (the
+    generated-unroll pattern: same definition, no transcription
+    drift)."""
+    head = f"""WITH d AS (
+        SELECT doc_id, n_chars, source FROM documents
+    ),
+    p AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(floor(greatest(0.0,
+                    1.0 - abs(CAST(a.n_chars AS DOUBLE) - b.n_chars) / {dmax})
+                    * 10000) AS BIGINT) AS base_4dp
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+    ),
+    e AS MATERIALIZED (
+        SELECT a.doc_id AS id, b.doc_id AS nbr
+        FROM d a JOIN d b
+          ON a.source = b.source AND a.doc_id != b.doc_id
+         AND abs(a.doc_id - b.doc_id) <= 40
+    ),
+    m0 AS (SELECT id_a, id_b FROM p WHERE base_4dp >= {threshold})"""
+    parts = [head]
+    prev_scores, prev_matched = "p", "m0"
+    score_cols = "base_4dp"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    ev{t} AS (
+        SELECT least(ea.nbr, eb.nbr) AS id_a,
+               greatest(ea.nbr, eb.nbr) AS id_b,
+               CAST(count(*) AS BIGINT) AS ev
+        FROM {prev_matched} m
+        JOIN e ea ON ea.id = m.id_a
+        JOIN e eb ON eb.id = m.id_b
+        WHERE ea.nbr != eb.nbr
+        GROUP BY 1, 2
+    ),
+    s{t} AS (
+        SELECT q.id_a, q.id_b, {score_cols},
+               CAST(coalesce(ev{t}.ev, 0) AS BIGINT) AS ev_r{t},
+               CAST(least({cap}, q.base_4dp + {boost} * coalesce(ev{t}.ev, 0)) AS BIGINT) AS score_r{t}_4dp
+        FROM {prev_scores} q LEFT JOIN ev{t} USING (id_a, id_b)
+    ),
+    m{t} AS (SELECT id_a, id_b FROM s{t} WHERE score_r{t}_4dp >= {threshold})""")
+        prev_scores, prev_matched = f"s{t}", f"m{t}"
+        score_cols += f", ev_r{t}, score_r{t}_4dp"
+    parts.append(f"""
+    SELECT id_a, id_b, {score_cols},
+           (score_r{rounds}_4dp >= {threshold}) AS matched
+    FROM s{rounds}""")
     return "".join(parts)
 
 
@@ -7418,6 +7537,9 @@ def oracle_sql() -> dict[str, str]:
                              WHEN ts_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS ts_level
             FROM f
         """,
+        # collective ER: generated 2-round evidence-propagation unroll
+        # (see _collective_oracle)
+        "er_collective": _collective_oracle(2),
         # er_metablocking: block purge skipped (no purge_above), WEP
         # threshold = exact-integer mean of micro-unit JS weights
         "er_metablocking": """
