@@ -2827,6 +2827,53 @@ def q_er_collective(spark, sf_dir):
     )
 
 
+def q_er_group_linkage(spark, sf_dir):
+    """Group linkage over conversations (r5,
+    `operators/grouplink.py` — On, Koudas, Lee & Srivastava ICDE 2007):
+    each user's event stream is a GROUP of members; ring-paired
+    candidate conversations (u, u+50) are scored by the BMS measure —
+    greedy one-to-one member alignment (the er_one_to_one locally-
+    dominant rounds, run per group pair via composite vertices) over a
+    tight value-proximity member sim (4dp), normalized
+    Jaccard-style by |A| + |B| - n_matched. The transcript-native
+    linkage shape: conversations resolve through their turns. Oracle:
+    generated 3-round greedy unroll + the same roll-up."""
+    from fel_spark.operators.grouplink import group_linkage
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    sizes = ev.groupBy(F.col("user_id").alias("group")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    gp = sizes.select(F.col("group").alias("ga")).join(
+        sizes.select((F.col("group") - 50).alias("ga"), F.col("group").alias("gb")),
+        "ga",
+    )
+    a = ev.select(
+        F.col("user_id").alias("ga"),
+        F.col("event_id").alias("ma"),
+        F.col("value").alias("va"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("gb"),
+        F.col("event_id").alias("mb"),
+        F.col("value").alias("vb"),
+    )
+    sim = F.floor(
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.abs(F.col("va") - F.col("vb")) / F.lit(5.0)
+        )
+        * 10000
+    ).cast("long")
+    mp = (
+        gp.join(a, "ga")
+        .join(b, "gb")
+        .select("ga", "gb", "ma", "mb", sim.alias("sim_4dp"))
+    )
+    return group_linkage(
+        mp, sizes, min_sim=9000, max_rounds=3
+    )
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3791,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
         "er_collective": q_er_collective,
+        "er_group_linkage": q_er_group_linkage,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -4203,6 +4251,81 @@ def _one_to_one_oracle(rounds: int, mod: int) -> str:
         f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
     )
     parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+def _group_linkage_oracle(
+    rounds: int = 3,
+    ring: int = 50,
+    dmax: float = 5.0,
+    min_sim: int = 9000,
+) -> str:
+    """Generated CTE unroll of q_er_group_linkage: the er_one_to_one
+    locally-dominant greedy rounds run over composite
+    ``ga|gb|member`` vertices (per-group-pair independence), then the
+    BMS roll-up floor(sum_sim / (n_a + n_b - n_matched)) — the exact
+    grouplink.group_linkage definition, ``rounds`` times."""
+    head = f"""WITH ev AS (
+        SELECT user_id, event_id, value FROM events
+    ),
+    sz AS MATERIALIZED (
+        SELECT user_id AS g, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1
+    ),
+    gp AS (
+        SELECT a.g AS ga, b.g AS gb FROM sz a JOIN sz b ON b.g = a.g + {ring}
+    ),
+    e1 AS MATERIALIZED (
+        SELECT ga, gb,
+               CAST(ga AS VARCHAR) || '|' || CAST(gb AS VARCHAR) || '|'
+                   || CAST(a.event_id AS VARCHAR) AS id_a,
+               CAST(ga AS VARCHAR) || '|' || CAST(gb AS VARCHAR) || '|'
+                   || CAST(b.event_id AS VARCHAR) AS id_b,
+               CAST(floor(greatest(0.0,
+                    1.0 - abs(a.value - b.value) / {dmax}) * 10000) AS BIGINT) AS s
+        FROM gp JOIN ev a ON a.user_id = ga JOIN ev b ON b.user_id = gb
+        WHERE floor(greatest(0.0,
+                    1.0 - abs(a.value - b.value) / {dmax}) * 10000) >= {min_sim}
+    )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    m{k} AS (
+        SELECT ga, gb, id_a, id_b, s FROM (
+            SELECT e.*,
+                   row_number() OVER (PARTITION BY id_a
+                       ORDER BY s DESC, id_a ASC, id_b ASC) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                       ORDER BY s DESC, id_a ASC, id_b ASC) AS rb
+            FROM e{k} e
+        ) t WHERE ra = 1 AND rb = 1
+    )""")
+        if k < rounds:
+            parts.append(f""",
+    e{k + 1} AS (
+        SELECT e.* FROM e{k} e
+        WHERE e.id_a NOT IN (SELECT id_a FROM m{k})
+          AND e.id_b NOT IN (SELECT id_b FROM m{k})
+    )""")
+    union = "\n              UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f""",
+    matched AS ({union}),
+    agg AS (
+        SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(s) AS BIGINT) AS sum_sim_4dp
+        FROM matched GROUP BY 1, 2
+    )
+    SELECT gp.ga, gp.gb, na.n AS n_a, nb.n AS n_b,
+           coalesce(agg.n_matched, 0) AS n_matched,
+           coalesce(agg.sum_sim_4dp, 0) AS sum_sim_4dp,
+           CAST(floor(coalesce(agg.sum_sim_4dp, 0) /
+                (na.n + nb.n - coalesce(agg.n_matched, 0))) AS BIGINT) AS bms_4dp
+    FROM gp
+    JOIN sz na ON na.g = gp.ga
+    JOIN sz nb ON nb.g = gp.gb
+    LEFT JOIN agg ON agg.ga = gp.ga AND agg.gb = gp.gb""")
     return "".join(parts)
 
 
@@ -7537,6 +7660,9 @@ def oracle_sql() -> dict[str, str]:
                              WHEN ts_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS ts_level
             FROM f
         """,
+        # group linkage: generated 3-round greedy unroll over composite
+        # per-group-pair vertices + BMS roll-up (see _group_linkage_oracle)
+        "er_group_linkage": _group_linkage_oracle(3),
         # collective ER: generated 2-round evidence-propagation unroll
         # (see _collective_oracle)
         "er_collective": _collective_oracle(2),
