@@ -2874,6 +2874,45 @@ def q_er_group_linkage(spark, sf_dir):
     )
 
 
+def q_er_learn_scheme(spark, sf_dir):
+    """Blocking-scheme learning (r5,
+    `operators/blockscheme.py` — Michelson & Knoblock AAAI 2006,
+    deterministic sequential-covering variant): from a library of four
+    candidate predicates (lang, source, n_chars decile, 2-char text
+    prefix) and planted training matches (doc_id, doc_id+101 — an
+    offset that source can never co-block, so the learner must COMPOSE
+    rules), greedily select the rule covering the most still-uncovered
+    matches (ties: cheaper pair budget, then name), up to 3 rules or
+    until no gain. Coverage and block costs are hash aggregates; the
+    greedy picks are |rules|-row driver decisions (the tokenizer-merge
+    convention). Oracle: generated per-step argmax unroll (ORDER BY ...
+    LIMIT 1 CTEs) replaying the identical selection order."""
+    from fel_spark.operators.blockscheme import (
+        learn_blocking_scheme,
+        rule_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = rule_keys(
+        d,
+        "doc_id",
+        {
+            "lang": F.col("lang"),
+            "src": F.col("source"),
+            "len10": F.floor(F.col("n_chars") / 10).cast("long"),
+            "pfx2": F.substring("text", 1, 2),
+        },
+    )
+    labeled = d.select(F.col("doc_id").alias("id_a")).join(
+        d.select(
+            (F.col("doc_id") - 101).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        ),
+        "id_a",
+    )
+    return learn_blocking_scheme(keyed, labeled, max_rules=3)
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3839,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_numeric_date": q_er_numeric_date,
         "er_collective": q_er_collective,
         "er_group_linkage": q_er_group_linkage,
+        "er_learn_scheme": q_er_learn_scheme,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -4251,6 +4291,97 @@ def _one_to_one_oracle(rounds: int, mod: int) -> str:
         f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
     )
     parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+def _learn_scheme_oracle(steps: int = 3, offset: int = 101) -> str:
+    """Generated per-step argmax unroll of q_er_learn_scheme: step t
+    ranks the rules by matches still uncovered after steps 1..t-1
+    (ORDER BY g DESC, cost ASC, rule ASC LIMIT 1) — the exact
+    blockscheme.learn_blocking_scheme greedy, ``steps`` times. A step
+    whose argmax CTE is empty contributes no row, matching the
+    learner's early stop."""
+    head = f"""WITH d AS (
+        SELECT doc_id, lang, source, n_chars, text FROM documents
+    ),
+    keyed AS MATERIALIZED (
+        SELECT doc_id AS id, 'lang' AS rule, lang AS key FROM d
+            WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT doc_id, 'src', source FROM d WHERE source IS NOT NULL
+        UNION ALL
+        SELECT doc_id, 'len10',
+               CAST(CAST(floor(n_chars / 10) AS BIGINT) AS VARCHAR)
+        FROM d WHERE n_chars IS NOT NULL
+        UNION ALL
+        SELECT doc_id, 'pfx2', substr(text, 1, 2) FROM d
+            WHERE substr(text, 1, 2) IS NOT NULL
+    ),
+    lp AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + {offset}
+    ),
+    nl AS (SELECT count(*) AS n FROM lp),
+    cost AS (
+        SELECT rule, CAST(sum(CAST(c * (c - 1) / 2 AS BIGINT)) AS BIGINT)
+               AS cost_pairs
+        FROM (SELECT rule, key, count(*) AS c FROM keyed GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    cov AS MATERIALIZED (
+        SELECT ka.rule, lp.id_a, lp.id_b
+        FROM lp
+        JOIN keyed ka ON ka.id = lp.id_a
+        JOIN keyed kb ON kb.id = lp.id_b
+         AND kb.rule = ka.rule AND kb.key = ka.key
+    )"""
+    parts = [head]
+    for t in range(1, steps + 1):
+        if t == 1:
+            rem = "cov c"
+            excl = ""
+        else:
+            prior = " UNION ALL ".join(
+                f"SELECT rule FROM p{j}" for j in range(1, t)
+            )
+            rem = f"""cov c
+            WHERE NOT EXISTS (SELECT 1 FROM c{t - 1} x
+                              WHERE x.id_a = c.id_a AND x.id_b = c.id_b)
+              AND c.rule NOT IN ({prior})"""
+            excl = ""
+        parts.append(f""",
+    g{t} AS (
+        SELECT rule, CAST(count(*) AS BIGINT) AS g
+        FROM {rem}
+        GROUP BY rule
+    ),
+    p{t} AS (
+        SELECT g{t}.rule, g, cost_pairs
+        FROM g{t} JOIN cost USING (rule)
+        WHERE g >= 1
+        ORDER BY g DESC, cost_pairs ASC, rule ASC
+        LIMIT 1
+    ){excl}""")
+        if t < steps:
+            prev = f"SELECT id_a, id_b FROM c{t - 1} UNION " if t > 1 else ""
+            parts.append(f""",
+    c{t} AS (
+        {prev}SELECT id_a, id_b FROM cov
+        WHERE rule IN (SELECT rule FROM p{t})
+    )""")
+    selects = []
+    for t in range(1, steps + 1):
+        cum = " + ".join(f"p{j}.g" for j in range(1, t + 1))
+        froms = ", ".join(f"p{j}" for j in range(1, t + 1))
+        selects.append(f"""
+    SELECT CAST({t} AS INTEGER) AS step, p{t}.rule AS rule,
+           p{t}.g AS new_matches,
+           CAST({cum} AS BIGINT) AS cum_matches,
+           p{t}.cost_pairs AS cost_pairs,
+           CAST(floor(({cum}) * 10000 / (SELECT n FROM nl)) AS BIGINT)
+               AS recall_4dp
+    FROM {froms}""")
+    parts.append("\n    UNION ALL".join(selects))
     return "".join(parts)
 
 
@@ -7660,6 +7791,9 @@ def oracle_sql() -> dict[str, str]:
                              WHEN ts_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS ts_level
             FROM f
         """,
+        # scheme learning: generated per-step argmax unroll
+        # (see _learn_scheme_oracle)
+        "er_learn_scheme": _learn_scheme_oracle(3),
         # group linkage: generated 3-round greedy unroll over composite
         # per-group-pair vertices + BMS roll-up (see _group_linkage_oracle)
         "er_group_linkage": _group_linkage_oracle(3),
