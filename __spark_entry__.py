@@ -2913,6 +2913,49 @@ def q_er_learn_scheme(spark, sf_dir):
     return learn_blocking_scheme(keyed, labeled, max_rules=3)
 
 
+def q_er_progressive(spark, sf_dir):
+    """Progressive SNM quality curve (r5,
+    `operators/progressive.py` — Whang et al. TKDE 2013 pay-as-you-go
+    ER; Papenbrock et al. TKDE 2015 PSNM): the window-6 sorted-
+    neighborhood pair stream over the lang|lpad(n_chars) key, scheduled
+    by rank distance (wave 1 first), scored per wave against labeled
+    ground truth (same lang, n_chars within 1) — cumulative budget,
+    matches, early-quality and recall per wave: the curve that tells a
+    100 TB run where to stop paying. Ranks come from the sharded-rank
+    SNM (no global single-partition window); the curve aggregate is
+    window-1 rows. Oracle: plain row_number rank + band join + the same
+    wave roll-up and cumulative sums."""
+    from fel_spark.operators.progressive import progressive_snm_curve
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.concat(
+            F.col("lang"),
+            F.lit("|"),
+            F.lpad(F.col("n_chars").cast("string"), 6, "0"),
+        ).alias("snm_key"),
+        "lang",
+        "n_chars",
+    )
+    a = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_a"), "lang", F.col("n_chars").alias("nc_a")
+    )
+    b = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_b"), "lang", F.col("n_chars").alias("nc_b")
+    )
+    labeled = (
+        a.join(b, "lang")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 1)
+        )
+        .select("id_a", "id_b")
+    )
+    return progressive_snm_curve(
+        d, "snm_key", labeled, id_col="record_id", window=6, prefix_len=2
+    )
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3879,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_collective": q_er_collective,
         "er_group_linkage": q_er_group_linkage,
         "er_learn_scheme": q_er_learn_scheme,
+        "er_progressive": q_er_progressive,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -7790,6 +7834,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN ts_sim_4dp >= 9000 THEN 2
                              WHEN ts_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS ts_level
             FROM f
+        """,
+        # progressive SNM curve: plain-rank band join + wave roll-up
+        "er_progressive": """
+            WITH d AS (
+                SELECT doc_id AS rid,
+                       lang || '|' || lpad(CAST(n_chars AS VARCHAR), 6, '0') AS k
+                FROM documents
+            ),
+            r AS (
+                SELECT rid, CAST(row_number() OVER (ORDER BY k, rid)
+                                 AS BIGINT) AS rank
+                FROM d
+            ),
+            p AS (
+                SELECT a.rid AS ia, b.rid AS ib,
+                       CAST(b.rank - a.rank AS BIGINT) AS wave
+                FROM r a JOIN r b
+                  ON b.rank > a.rank AND b.rank - a.rank <= 5
+            ),
+            lab AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb
+                FROM documents a JOIN documents b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 AND abs(a.n_chars - b.n_chars) <= 1
+            ),
+            nl AS (SELECT count(*) AS n FROM lab),
+            pw AS (
+                SELECT wave, CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(CASE WHEN lab.pa IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_matches
+                FROM p LEFT JOIN lab
+                  ON lab.pa = least(p.ia, p.ib) AND lab.pb = greatest(p.ia, p.ib)
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT wave, n_pairs, n_matches,
+                       CAST(sum(n_pairs) OVER (ORDER BY wave) AS BIGINT) AS cum_pairs,
+                       CAST(sum(n_matches) OVER (ORDER BY wave) AS BIGINT) AS cum_matches
+                FROM pw
+            )
+            SELECT wave, n_pairs, n_matches, cum_pairs, cum_matches,
+                   CAST(floor(cum_matches * 10000 / cum_pairs) AS BIGINT)
+                       AS early_quality_4dp,
+                   CAST(floor(cum_matches * 10000 / (SELECT n FROM nl)) AS BIGINT)
+                       AS recall_4dp
+            FROM c
         """,
         # scheme learning: generated per-step argmax unroll
         # (see _learn_scheme_oracle)
