@@ -305,3 +305,58 @@ def test_snm_pairs_plan_broadcast_offsets_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocksplit_plan_broadcast_sizes_no_cartesian(spark):
+    """BlockSplit: the hot-size annotation joins via BROADCAST (the hot
+    table is distinct hot keys, dictionary-scale by construction), the
+    task self-join is an equi-join on _task (no cartesian), and the
+    whole chain stays JVM-side."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["er_blocksplit_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pprl_encode_plan_map_only_no_udf(spark):
+    """PPRL Bloom encoding is pure column algebra: no Exchange (map-only
+    over the input) and no Python eval — the k hashed positions, the
+    distinct-union and the sort all stay in codegen."""
+    from fel_spark.operators.pprl import bloom_encode
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bloom_encode(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_numeric_date_scores_plan_map_only(spark):
+    """Numeric/temporal comparators add zero shuffles past the blocked
+    join: applied to a pre-joined pair set, the plan has no Exchange and
+    no Python eval."""
+    from fel_spark.operators.editsim import numeric_date_scores
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pairs = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("v_a"),
+        F.col("ts").alias("ts_a"),
+        (F.col("event_id") + 1).alias("id_b"),
+        F.col("value").alias("v_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    plan = _plan(numeric_date_scores(pairs, "v_a", "v_b", "ts_a", "ts_b"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collective_evidence_plan_no_cartesian_no_python(spark):
+    """Collective-ER evidence rounds are equi-joins + hash aggregates —
+    never a cartesian, never Python eval."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["er_collective"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
