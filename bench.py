@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     # battery growth for cross-round sum comparisons
     "er_fs_multilevel_scores",
     "er_metablocking",
+    # r5 third wave: lossless skew-balanced pair enumeration (the
+    # BlockSplit replication/balance trade at bench scale), group
+    # linkage (multi-round greedy alignment), collective evidence
+    # propagation (two relational join+agg rounds)
+    "er_blocksplit_pairs",
+    "er_group_linkage",
+    "er_collective",
     "corpus_prep_e2e",
     "record_linkage_e2e",
 ]
