@@ -2956,6 +2956,27 @@ def q_er_progressive(spark, sf_dir):
     )
 
 
+def q_er_qgram_join(spark, sf_dir):
+    """Approximate string join via q-gram filtering (r5,
+    `operators/qgramjoin.py` — Gravano et al. VLDB 2001): ALL pairs of
+    12-char document-text prefixes within edit distance 1, found
+    through the positional-bigram inverted index + the three lossless
+    filters (length, position, count) + exact levenshtein verify — the
+    gram index IS the blocking, no quadratic scan. The oracle is the
+    NAIVE quadratic levenshtein self-join (DuckDB's native, byte==
+    codepoint on this ASCII corpus): value parity PROVES the filters
+    lost nothing — the same losslessness-by-oracle pattern as
+    er_blocksplit_pairs, here for the index-join plan itself."""
+    from fel_spark.operators.qgramjoin import qgram_edit_join
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 12)
+        .select("doc_id", F.substring("text", 1, 12).alias("s"))
+    )
+    return qgram_edit_join(d, "s", "doc_id", d=1, q=2)
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3923,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_group_linkage": q_er_group_linkage,
         "er_learn_scheme": q_er_learn_scheme,
         "er_progressive": q_er_progressive,
+        "er_qgram_join": q_er_qgram_join,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -7834,6 +7856,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN ts_sim_4dp >= 9000 THEN 2
                              WHEN ts_sim_4dp >= 5000 THEN 1 ELSE 0 END AS INTEGER) AS ts_level
             FROM f
+        """,
+        # q-gram edit join: the oracle is the NAIVE quadratic
+        # levenshtein self-join — parity proves the filters lossless
+        "er_qgram_join": """
+            WITH s AS (
+                SELECT doc_id, substr(text, 1, 12) AS p
+                FROM documents WHERE length(text) >= 12
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.p, b.p) AS INTEGER) AS ed
+            FROM s a JOIN s b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.p) - length(b.p)) <= 1
+            WHERE levenshtein(a.p, b.p) <= 1
         """,
         # progressive SNM curve: plain-rank band join + wave roll-up
         "er_progressive": """

@@ -360,3 +360,14 @@ def test_collective_evidence_plan_no_cartesian_no_python(spark):
     plan = _plan(E.queries()["er_collective"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_qgram_join_plan_equi_join_no_cartesian(spark):
+    """q-gram edit join: the inverted-index join is an equi-join on the
+    gram (never a cartesian) and the whole chain — explode, filters,
+    count aggregate, levenshtein verify — stays JVM-side."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["er_qgram_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
