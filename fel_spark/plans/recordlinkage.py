@@ -38,9 +38,23 @@ from fel_spark.plans.metrics import StageRunner
 FEATURE_LEVELS = {"jw_level": 3, "lev_level": 3, "tok_level": 3}
 
 
-def _candidate_pairs(records: DataFrame, id_col: str, name_col: str, snm_window: int) -> DataFrame:
+def _candidate_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    snm_window: int,
+    pairgen: str = "plain",
+    max_block: int = 200,
+) -> DataFrame:
     """Union of two blocking rules with provenance: Soundex of the first
-    name token, and sorted-neighborhood over the normalized name key."""
+    name token, and sorted-neighborhood over the normalized name key.
+
+    ``pairgen`` picks the phonetic rule's self-join strategy: ``"plain"``
+    (one equi-join — a Zipf-hot Soundex code becomes one quadratic join
+    partition, left to AQE skew splitting) or ``"blocksplit"``
+    (`loadbalance.blocksplit_pairs` — the hot code's work is sliced into
+    bounded tasks, max_block rows each, with ZERO lost pairs; the pair
+    set is provably identical, only the physical balance changes)."""
     from fel_spark.functions.phonetic import soundex_col
     from fel_spark.operators.blocking import sorted_neighborhood_pairs
 
@@ -51,13 +65,26 @@ def _candidate_pairs(records: DataFrame, id_col: str, name_col: str, snm_window:
     phon = base.withColumn(
         "bk", soundex_col(F.split(F.col("_name"), " ")[0])
     ).filter(F.col("bk").isNotNull())
-    a = phon.select(F.col("rid").alias("id_a"), "bk")
-    b = phon.select(F.col("rid").alias("id_b"), "bk")
-    p_phon = (
-        a.join(b, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit("phonetic").alias("rule"))
-    )
+    if pairgen == "blocksplit":
+        from fel_spark.operators.loadbalance import blocksplit_pairs
+
+        p_phon = blocksplit_pairs(
+            phon.select("rid", F.col("bk").alias("block_key")),
+            id_col="rid",
+            max_block=max_block,
+        ).select(
+            F.col("rid_a").alias("id_a"),
+            F.col("rid_b").alias("id_b"),
+            F.lit("phonetic").alias("rule"),
+        )
+    else:
+        a = phon.select(F.col("rid").alias("id_a"), "bk")
+        b = phon.select(F.col("rid").alias("id_b"), "bk")
+        p_phon = (
+            a.join(b, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit("phonetic").alias("rule"))
+        )
     p_snm = sorted_neighborhood_pairs(
         base, "_name", id_col="rid", window=snm_window
     ).select("id_a", "id_b", F.lit("snm").alias("rule"))
@@ -118,6 +145,8 @@ def run_record_linkage(
     snm_window: int = 5,
     em_iters: int = 5,
     clusterer: str = "cc",
+    pairgen: str = "plain",
+    max_block: int = 200,
 ) -> DataFrame:
     """Run (or resume) the unsupervised record-linkage plan; returns the
     cluster assignment (record_id, cluster_id) with every input record
@@ -144,6 +173,8 @@ def run_record_linkage(
 
     if clusterer not in ("cc", "star", "pivot"):
         raise ValueError(f"unknown clusterer: {clusterer!r}")
+    if pairgen not in ("plain", "blocksplit"):
+        raise ValueError(f"unknown pairgen: {pairgen!r}")
     from fel_spark.operators.linkage import (
         fs_em_train_multilevel,
         fs_multilevel_weights_from_mu,
@@ -160,7 +191,9 @@ def run_record_linkage(
             "phonetic_audit",
             phonetic_block_stats(records, name_col, id_col),
         )
-        return _candidate_pairs(records, id_col, name_col, snm_window)
+        return _candidate_pairs(
+            records, id_col, name_col, snm_window, pairgen, max_block
+        )
 
     pairs = runner.run_stage("pairs", _pairs_stage)
 

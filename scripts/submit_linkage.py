@@ -50,6 +50,14 @@ def main() -> int:
     ap.add_argument("--run-dir", required=True, help="checkpoint/lineage dir")
     ap.add_argument("--output", required=True, help="cluster-assignment output dir")
     ap.add_argument("--snm-window", type=int, default=5)
+    ap.add_argument(
+        "--pairgen",
+        choices=("plain", "blocksplit"),
+        default="plain",
+        help="phonetic-rule self-join strategy: plain equi-join (AQE "
+        "handles skew) or lossless BlockSplit task balancing",
+    )
+    ap.add_argument("--max-block", type=int, default=200)
     ap.add_argument("--em-iters", type=int, default=5)
     ap.add_argument(
         "--clusterer",
@@ -93,6 +101,8 @@ def main() -> int:
         snm_window=args.snm_window,
         em_iters=args.em_iters,
         clusterer=args.clusterer,
+        pairgen=args.pairgen,
+        max_block=args.max_block,
     )
     (
         clusters.write.mode("overwrite")

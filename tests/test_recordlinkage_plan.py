@@ -141,3 +141,29 @@ def test_plan_rejects_unknown_clusterer(spark, planted, tmp_path):
         run_record_linkage(
             spark, str(tmp_path / "bad"), planted, clusterer="agglo"
         )
+
+
+def test_candidate_pairs_blocksplit_equals_plain(spark, planted):
+    """The pairgen strategies must produce the IDENTICAL candidate set —
+    BlockSplit changes only the physical balance, never the pairs."""
+    from fel_spark.plans.recordlinkage import _candidate_pairs
+
+    records = planted
+    plain = {
+        (r["id_a"], r["id_b"], tuple(r["rules"]))
+        for r in _candidate_pairs(
+            records, "record_id", "name", snm_window=4, pairgen="plain"
+        ).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"], tuple(r["rules"]))
+        for r in _candidate_pairs(
+            records,
+            "record_id",
+            "name",
+            snm_window=4,
+            pairgen="blocksplit",
+            max_block=5,
+        ).collect()
+    }
+    assert plain == split
