@@ -6,4 +6,11 @@ search (brute-force, LSH, IVF + k-means), per-entity LR embedding training
 + LR scorers, type language models, text analytics (quality, repetition,
 PII, lang-id), dataset splits + stratified sampling, corpus filtering,
 sequence packing, sessionization, conversation-integrity gating,
-conversation coherence."""
+conversation coherence — plus the record-linkage canon: string/numeric/
+temporal comparators (editsim), Fellegi-Sunter supervised + EM families
+(linkage), pair-decision matching (mutual-best / greedy / star / pivot /
+canopy), evaluation metrics (B-cubed, ARI, V-measure, MUC, CEAF,
+threshold + progressive curves), lossless skew balancing (loadbalance),
+privacy-preserving encodings (pprl), collective relational evidence
+(collective), group linkage (grouplink), blocking-scheme learning
+(blockscheme), and q-gram approximate string joins (qgramjoin)."""
