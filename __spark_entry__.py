@@ -2977,6 +2977,29 @@ def q_er_qgram_join(spark, sf_dir):
     return qgram_edit_join(d, "s", "doc_id", d=1, q=2)
 
 
+def q_er_suffix_blocking(spark, sf_dir):
+    """Suffix-array blocking (r5, `operators/blocking.py::
+    suffix_block_pairs` — Aizawa & Oyama 2005; Christen 2012 ch.4.5):
+    every suffix (length >= 4) of the lowercased 20-char document-text
+    prefix becomes a block key, catching leading-corruption near-misses
+    that defeat prefix blocking and SNM sort keys; blocks above the
+    size cap (stopword-like tails) and singletons are dropped before
+    the self-join, and each surviving pair carries its shared-suffix
+    count as meta-blocking evidence. The oracle replays the whole chain
+    — suffix unnest, size-filtered blocks, pair aggregation — in ANSI
+    SQL over the same table."""
+    from fel_spark.operators.blocking import suffix_block_pairs
+
+    return suffix_block_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        min_suffix_len=4,
+        max_key_len=20,
+        max_block=50,
+    )
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3945,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_learn_scheme": q_er_learn_scheme,
         "er_progressive": q_er_progressive,
         "er_qgram_join": q_er_qgram_join,
+        "er_suffix_blocking": q_er_suffix_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -7870,6 +7894,36 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
              AND abs(length(a.p) - length(b.p)) <= 1
             WHERE levenshtein(a.p, b.p) <= 1
+        """,
+        # suffix-array blocking: suffix unnest -> size-filtered blocks
+        # -> pair aggregation, the full chain in ANSI SQL
+        "er_suffix_blocking": """
+            WITH keyed AS (
+                SELECT doc_id AS rid,
+                       substr(lower(coalesce(text, '')), 1, 20) AS k
+                FROM documents
+            ),
+            sufs AS (
+                SELECT rid,
+                       substr(k, CAST(unnest(generate_series(
+                           1, length(k) - 4 + 1)) AS INTEGER)) AS suffix
+                FROM keyed
+                WHERE length(k) >= 4
+            ),
+            kept AS (
+                SELECT suffix FROM sufs
+                GROUP BY suffix
+                HAVING count(*) >= 2 AND count(*) <= 50
+            ),
+            m AS (
+                SELECT s.rid, s.suffix
+                FROM sufs s JOIN kept USING (suffix)
+            )
+            SELECT a.rid AS id_a, b.rid AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM m a JOIN m b
+              ON a.suffix = b.suffix AND a.rid < b.rid
+            GROUP BY 1, 2
         """,
         # progressive SNM curve: plain-rank band join + wave roll-up
         "er_progressive": """

@@ -114,3 +114,73 @@ def test_snm_pairs_null_keys_sort_first_and_window2(spark):
     )
     # window 2 -> only adjacent pairs; null ('' after coalesce) is rank 1
     assert got == [(1, 2), (2, 3)]
+
+
+def _suffix_replay(rows, min_len=4, max_key=20, max_block=50):
+    """Plain-Python replay of suffix_block_pairs semantics."""
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for rid, key in rows:
+        k = (key or "").lower()[:max_key]
+        if len(k) < min_len:
+            continue
+        for i in range(len(k) - min_len + 1):
+            blocks[k[i:]].append(rid)
+    pairs = defaultdict(int)
+    for members in blocks.values():
+        if not (2 <= len(members) <= max_block):
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs[(ms[i], ms[j])] += 1
+    return dict(pairs)
+
+
+def test_suffix_blocking_catches_leading_corruption(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "John Smith"),
+            (2, "Xohn Smith"),  # head typo: prefix blocking misses it
+            (3, "completely other"),
+        ],
+        ["record_id", "name"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in blocking.suffix_block_pairs(
+            df, "name", min_suffix_len=4
+        ).collect()
+    }
+    assert (1, 2) in got
+    # "ohn smith"(9) .. "mith"(4): 6 shared suffixes
+    assert got[(1, 2)] == 6
+    assert all(3 not in p for p in got)
+
+
+def test_suffix_blocking_matches_python_replay(spark):
+    rows = [
+        (i, f"{'xy'[i % 2]}{i % 5}_tail_{'ab'[i % 2]}{i % 3}")
+        for i in range(40)
+    ] + [(99, None), (98, "ab")]  # null + too-short keys drop out
+    df = spark.createDataFrame(rows, ["record_id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in blocking.suffix_block_pairs(
+            df, "name", min_suffix_len=4, max_block=50
+        ).collect()
+    }
+    assert got == _suffix_replay(rows)
+
+
+def test_suffix_blocking_max_block_drops_common_tail(spark):
+    # 15 records all ending "_common_tail" -> every shared suffix block
+    # is above max_block=10; the distinct-head suffixes are singletons
+    rows = [(i, f"{chr(97 + i)}_common_tail") for i in range(15)]
+    df = spark.createDataFrame(rows, ["record_id", "name"])
+    out = blocking.suffix_block_pairs(
+        df, "name", min_suffix_len=4, max_block=10
+    )
+    assert out.count() == 0
+    assert _suffix_replay(rows, max_block=10) == {}
