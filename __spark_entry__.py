@@ -3000,6 +3000,31 @@ def q_er_suffix_blocking(spark, sf_dir):
     )
 
 
+def q_er_dynamic_blocking(spark, sf_dir):
+    """Dynamic hierarchical blocking (r5, `operators/blocking.py::
+    dynamic_block_assign` — McNeill, Kardes & Borthwick 2012): documents
+    block on lang; oversized lang blocks (the Zipf head) automatically
+    refine by source, then by a n_chars bucket — each record lands in
+    its SHALLOWEST fitting prefix block, so rare keys keep maximal
+    recall while hot keys shed their quadratic pair cost. All level
+    counts come from ONE rollup shuffle and assignment is one join +
+    one min-level aggregate (no per-level passes). The oracle replays
+    the prefix-count lattice and the shallowest-fit CASE in ANSI SQL.
+    At sf0.01 both level-1 and level-2 assignments occur (en/zh/es
+    split, de/fr stay coarse)."""
+    from fel_spark.operators.blocking import dynamic_block_assign
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") % 7).cast("string").alias("nb"),
+    )
+    return dynamic_block_assign(
+        d, ["lang", "source", "nb"], id_col="doc_id", max_block=70
+    )
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3969,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_progressive": q_er_progressive,
         "er_qgram_join": q_er_qgram_join,
         "er_suffix_blocking": q_er_suffix_blocking,
+        "er_dynamic_blocking": q_er_dynamic_blocking,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -7924,6 +7950,35 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b
               ON a.suffix = b.suffix AND a.rid < b.rid
             GROUP BY 1, 2
+        """,
+        # dynamic blocking: prefix-count lattice + shallowest-fit CASE
+        "er_dynamic_blocking": """
+            WITH d AS (
+                SELECT doc_id, lang AS k1, source AS k2,
+                       CAST(n_chars % 7 AS VARCHAR) AS k3
+                FROM documents
+            ),
+            c1 AS (SELECT k1, count(*) AS c FROM d GROUP BY 1),
+            c2 AS (SELECT k1, k2, count(*) AS c FROM d GROUP BY 1, 2),
+            c3 AS (SELECT k1, k2, k3, count(*) AS c FROM d GROUP BY 1, 2, 3),
+            j AS (
+                SELECT d.doc_id, d.k1, d.k2, d.k3,
+                       c1.c AS n1, c2.c AS n2, c3.c AS n3
+                FROM d
+                JOIN c1 USING (k1)
+                JOIN c2 USING (k1, k2)
+                JOIN c3 USING (k1, k2, k3)
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN n1 <= 70 THEN 1
+                             WHEN n2 <= 70 THEN 2
+                             ELSE 3 END AS INTEGER) AS level,
+                   CASE WHEN n1 <= 70 THEN k1
+                        WHEN n2 <= 70 THEN k1 || chr(31) || k2
+                        ELSE k1 || chr(31) || k2 || chr(31) || k3
+                   END AS block_key
+            FROM j
+            WHERE n1 <= 70 OR n2 <= 70 OR n3 <= 70
         """,
         # progressive SNM curve: plain-rank band join + wave roll-up
         "er_progressive": """

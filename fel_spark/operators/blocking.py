@@ -627,3 +627,95 @@ def suffix_block_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def dynamic_block_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "record_id",
+    max_block: int = 100,
+) -> DataFrame:
+    """Dynamic hierarchical blocking (McNeill, Kardes & Borthwick 2012,
+    "Dynamic Record Blocking: Efficient Linking of Massive Databases in
+    MapReduce"): block first on ``key_cols[0]``; any block larger than
+    ``max_block`` is split by appending the next key, recursively. Each
+    record lands in the SHALLOWEST prefix block of size <= ``max_block``
+    — hot coarse keys (the quadratic traps) automatically refine, rare
+    keys stay coarse (maximum recall). Records whose block is still
+    oversized at the deepest level are dropped (the lossy residue the
+    salting path handles; audit it via the ``level`` column histogram —
+    dropped records simply don't appear).
+
+    Scale shape:
+
+    - ALL level counts come from ONE shuffle: a ``rollup`` over the
+      sentinel-coalesced keys (grouping_id distinguishes rollup nulls
+      from data nulls), instead of len(key_cols) separate aggregations.
+    - Assignment is ONE join: records explode to len(key_cols) prefix
+      memberships (a bounded constant), join the vocabulary-scale
+      count table on the prefix string (deliberately not
+      broadcast-hinted — AQE decides), then one min-level aggregate.
+    - No iteration over the data; the "recursion" is entirely in the
+      prefix lattice.
+
+    Returns (<id_col>, level, block_key): level = 1-based prefix depth,
+    block_key = '\\x1f'-joined key values at that depth.
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    sep = "\x1f"
+    nkeys = len(key_cols)
+    sent = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(f"_k{i}")
+        for i, c in enumerate(key_cols)
+    ]
+    d = df.select(F.col(id_col).alias("_rid"), *sent)
+    kcols = [f"_k{i}" for i in range(nkeys)]
+    # one rollup pass: grouping_id bit i set => _k{i} was aggregated
+    # away; a depth-l prefix row has exactly the trailing bits set
+    gid_for = lambda lvl: (1 << (nkeys - lvl)) - 1
+    counts = (
+        d.rollup(*kcols)
+        .agg(F.count("*").alias("_c"), F.grouping_id().alias("_gid"))
+        .filter(F.col("_gid").isin([gid_for(l) for l in range(1, nkeys + 1)]))
+    )
+    lvl_expr = F.lit(nkeys)
+    for l in range(nkeys, 0, -1):
+        lvl_expr = F.when(F.col("_gid") == gid_for(l), F.lit(l)).otherwise(
+            lvl_expr
+        )
+    counts = counts.select(
+        F.concat_ws(
+            sep, *[F.coalesce(F.col(c), F.lit("")) for c in kcols]
+        ).alias("_pfx"),
+        lvl_expr.alias("level"),
+        "_c",
+    ).withColumn(
+        "_pfx", F.concat(F.col("level").cast("string"), F.lit(sep), F.col("_pfx"))
+    )
+    memb = d.select(
+        "_rid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("level"),
+                        F.concat(
+                            F.lit(f"{l}{sep}"),
+                            F.concat_ws(sep, *kcols[:l]),
+                            # pad to full width like the rollup row
+                            F.lit(sep * (nkeys - l)),
+                        ).alias("_pfx"),
+                        F.concat_ws(sep, *kcols[:l]).alias("block_key"),
+                    )
+                    for l in range(1, nkeys + 1)
+                ]
+            )
+        ).alias("m"),
+    ).select("_rid", "m.level", "m._pfx", "m.block_key")
+    fits = memb.join(counts.filter(F.col("_c") <= max_block), ["_pfx", "level"])
+    best = fits.groupBy("_rid").agg(F.min("level").alias("level"))
+    return (
+        fits.join(best, ["_rid", "level"])
+        .select(F.col("_rid").alias(id_col), "level", "block_key")
+    )

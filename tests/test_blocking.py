@@ -184,3 +184,58 @@ def test_suffix_blocking_max_block_drops_common_tail(spark):
     )
     assert out.count() == 0
     assert _suffix_replay(rows, max_block=10) == {}
+
+
+def _dynamic_replay(rows, keys, max_block):
+    """Plain-Python replay of dynamic_block_assign semantics."""
+    from collections import Counter
+
+    sent = lambda v: "\x00null" if v is None else str(v)
+    cnts = [
+        Counter(tuple(sent(r[k]) for k in keys[: l + 1]) for r in rows)
+        for l in range(len(keys))
+    ]
+    out = {}
+    for r in rows:
+        for l in range(len(keys)):
+            pfx = tuple(sent(r[k]) for k in keys[: l + 1])
+            if cnts[l][pfx] <= max_block:
+                out[r["record_id"]] = (l + 1, "\x1f".join(pfx))
+                break
+    return out
+
+
+def test_dynamic_blocking_three_levels_and_drop(spark):
+    # 'hot' needs 2 levels; ('hot','a') still hot -> level 3;
+    # ('hot','a','x') stays oversized -> dropped; 'cold' fits at level 1
+    rows = (
+        [{"record_id": i, "a": "hot", "b": "a", "c": "x"} for i in range(10)]
+        + [{"record_id": 10 + i, "a": "hot", "b": "a", "c": f"y{i}"} for i in range(3)]
+        + [{"record_id": 20 + i, "a": "hot", "b": f"b{i}", "c": "z"} for i in range(4)]
+        + [{"record_id": 30 + i, "a": "cold", "b": "q", "c": None} for i in range(2)]
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        r["record_id"]: (r["level"], r["block_key"])
+        for r in blocking.dynamic_block_assign(
+            df, ["a", "b", "c"], max_block=4
+        ).collect()
+    }
+    exp = _dynamic_replay(rows, ["a", "b", "c"], 4)
+    assert got == exp
+    # the 10-record ('hot','a','x') leaf is oversized at every level
+    assert all(i not in got for i in range(10))
+    # null key value lands in a block via the sentinel, not dropped
+    assert got[30] == (1, "cold")
+    assert got[21] == (2, "hot\x1fb1")
+    assert got[11][0] == 3
+
+
+def test_dynamic_blocking_matches_replay_single_key(spark):
+    rows = [{"record_id": i, "a": f"g{i % 7}"} for i in range(50)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["record_id"]: (r["level"], r["block_key"])
+        for r in blocking.dynamic_block_assign(df, ["a"], max_block=8).collect()
+    }
+    assert got == _dynamic_replay(rows, ["a"], 8)
