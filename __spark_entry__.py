@@ -3025,6 +3025,33 @@ def q_er_dynamic_blocking(spark, sf_dir):
     )
 
 
+def q_er_swoosh_merge(spark, sf_dir):
+    """Swoosh merge-based ER (r5, `operators/swoosh.py` — Benjelloun et
+    al. VLDB J 2009): 3 rounds of match(|shared distinct word trigrams|
+    >= 5) + union-merge + hash-min association over documents. The
+    paradigm differentiator vs match-based ER is that MERGING ENABLES
+    NEW MATCHES (the merged record's feature union may match a record
+    neither member matched; regression-tested in test_swoosh.py), which
+    is why the fixpoint needs rounds, not one transitive closure. Every
+    round is a pure function of the previous assignment (integer
+    overlap counts, min-id reps), so the oracle replays the full
+    3-round prefix as a generated CTE unroll (the repo's canopy/pivot/
+    collective convention). Scale: the postings self-join IS the
+    blocking (no cartesian), hot features cappable via max_token_df
+    with a dropped-volume audit. Reference analogue: Datapack's
+    union-of-alias-evidence count merge promoted to record level."""
+    from fel_spark.operators.swoosh import (
+        entity_profiles,
+        swoosh_features,
+        swoosh_merge,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = swoosh_features(d, ngram_n=3).persist()
+    assign = swoosh_merge(feats, min_overlap=5, rounds=3)
+    return entity_profiles(assign, feats)
+
+
 def q_er_jaro(spark, sf_dir):
     """Plain Jaro similarity (r5, `functions/sim.py::jaro_pudf` — Jaro
     1989): the boost-free base of the fuzz-proven Jaro-Winkler kernel
@@ -3718,6 +3745,118 @@ def q_er_cluster_audit(spark, sf_dir):
     return cluster_edge_audit(edges, assign)
 
 
+def q_er_cluster_repair(spark, sf_dir):
+    """Cluster repair (r5, `operators/cluster.py::repair_clusters`):
+    the FIX to the over-merge the audit measures — members of mod-40
+    clusters whose within-cluster support (incident same-cluster
+    close-length edges / (size-1), exact micro ratio) falls below
+    300000 are ejected to singletons; survivors relabel to min
+    surviving id (the repo's canonical-label convention, exercised:
+    ejecting a cluster's min member moves the label). Two id-keyed
+    joins + cluster-keyed aggregates, no self-join beyond the blocked
+    edge build; oracle replays the degree/support/eject/relabel
+    algebra."""
+    from fel_spark.operators.cluster import repair_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("src"),
+        F.col("n_chars").alias("_nc_a"),
+        (F.col("doc_id") % 40).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("_nc_b"),
+        (F.col("doc_id") % 40).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.abs(F.col("_nc_a") - F.col("_nc_b")) < 120)
+        )
+        .select("src", "dst")
+    )
+    assign = d.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 40).alias("cluster")
+    )
+    return repair_clusters(assign, edges, 300_000)
+
+
+def q_er_uncertain_pairs(spark, sf_dir):
+    """Uncertainty sampling for active labeling (r5,
+    `operators/linkage.py::uncertain_pairs` — Sarawagi & Bhamidipaty
+    KDD 2002): per-block top-5 pairs nearest the FS-style decision
+    boundary. Pairs: mod-13 blocked, scored by the length-proximity
+    comparator (micro fixed-point); margin = |score - 500000|, ranked
+    on the engine-neutral (margin, id_a, id_b) key — per-stratum
+    windows, never a global sort. The oracle replays the margin and
+    the row_number window verbatim."""
+    from fel_spark.operators.linkage import uncertain_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("_nc_a"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("_nc_b"),
+        (F.col("doc_id") % 13).alias("bk"),
+    )
+    scored = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("bk").cast("long").alias("bk"),
+            F.floor(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.abs(F.col("_nc_a").cast("double") - F.col("_nc_b"))
+                    / F.lit(400.0),
+                )
+                * 1_000_000
+            ).cast("long")
+            .alias("score_micro"),
+        )
+    )
+    return uncertain_pairs(
+        scored, threshold=500_000, k=5, strata_col="bk"
+    )
+
+
+def q_er_temporal_scores(spark, sf_dir):
+    """Temporal record linkage (r5, `operators/temporal.py` — Li, Dong,
+    Maurino & Srivastava VLDB 2011): time-DECAYED agreement /
+    disagreement evidence over same-user event observations. Agreement
+    on event_type earns +decay(gap, 7d), disagreement -decay(gap, 1d)
+    — disagreement decays faster, the paper's asymmetry (entities
+    change values; old conflicts shouldn't block a link). Decay is the
+    repo's exact-integer linear ramp (no exp/libm in the comparison
+    path), timestamps compared at whole-second epoch, so the oracle
+    replays the join + ramp bit-for-bit. Map-only past the blocked
+    self-join, no UDF (plan-pinned in test_temporal.py)."""
+    from fel_spark.operators.temporal import temporal_pair_scores
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("rid"),
+            F.col("user_id").alias("bk"),
+            F.col("event_type").alias("val"),
+            F.unix_timestamp("ts").alias("ts_sec"),
+        )
+    )
+    return temporal_pair_scores(
+        ev, agree_window=604_800, disagree_window=86_400
+    )
+
+
 def q_er_blocking_rules(spark, sf_dir):
     """Blocking-rule coverage analysis (r5, `operators/blocking.py::
     blocking_rule_coverage` — Splink's blocking-rule coverage chart):
@@ -3995,6 +4134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_qgram_join": q_er_qgram_join,
         "er_suffix_blocking": q_er_suffix_blocking,
         "er_dynamic_blocking": q_er_dynamic_blocking,
+        "er_swoosh_merge": q_er_swoosh_merge,
+        "er_cluster_repair": q_er_cluster_repair,
+        "er_uncertain_pairs": q_er_uncertain_pairs,
+        "er_temporal_scores": q_er_temporal_scores,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -4636,6 +4779,70 @@ def _collective_oracle(
     SELECT id_a, id_b, {score_cols},
            (score_r{rounds}_4dp >= {threshold}) AS matched
     FROM s{rounds}""")
+    return "".join(parts)
+
+
+def _swoosh_oracle(rounds: int = 3, k: int = 5) -> str:
+    """Generated CTE unroll of q_er_swoosh_merge: round t recomputes
+    entity feature sets (union-merge as DISTINCT over the round t-1
+    assignment), matches reps sharing >= k distinct trigrams, and
+    applies one simultaneous hash-min step — the exact loop
+    `swoosh.swoosh_merge` runs, repeated ``rounds`` times (same
+    definition, no transcription drift)."""
+    head = f"""WITH toks AS (
+        SELECT doc_id AS rid,
+               list_filter(string_split(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0) AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT DISTINCT rid,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tok
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    a0 AS (SELECT rid, rid AS rep FROM (SELECT DISTINCT rid FROM bg))"""
+    parts = [head]
+    prev = "a0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    e{t} AS MATERIALIZED (
+        SELECT DISTINCT a.rep, b.tok FROM {prev} a JOIN bg b USING (rid)
+    ),
+    p{t} AS (
+        SELECT x.rep AS ra, y.rep AS rb
+        FROM e{t} x JOIN e{t} y ON x.tok = y.tok AND x.rep < y.rep
+        GROUP BY 1, 2
+        HAVING count(*) >= {k}
+    ),
+    nm{t} AS (
+        SELECT rep, min(nb) AS mn FROM (
+            SELECT ra AS rep, rb AS nb FROM p{t}
+            UNION ALL SELECT rb AS rep, ra AS nb FROM p{t}
+        ) GROUP BY rep
+    ),
+    mp{t} AS (
+        SELECT rep, least(rep, coalesce(mn, rep)) AS nrep
+        FROM (SELECT DISTINCT rep FROM {prev}) LEFT JOIN nm{t} USING (rep)
+    ),
+    a{t} AS (
+        SELECT rid, nrep AS rep FROM {prev} JOIN mp{t} USING (rep)
+    )""")
+        prev = f"a{t}"
+    parts.append(f""",
+    members AS (
+        SELECT rep AS entity, CAST(count(*) AS BIGINT) AS n_members
+        FROM {prev} GROUP BY rep
+    ),
+    et AS (
+        SELECT DISTINCT a.rep AS entity, b.tok
+        FROM {prev} a JOIN bg b USING (rid)
+    ),
+    nt AS (
+        SELECT entity, CAST(count(*) AS BIGINT) AS n_toks
+        FROM et GROUP BY entity
+    )
+    SELECT entity, n_members, n_toks FROM members JOIN nt USING (entity)""")
     return "".join(parts)
 
 
@@ -8035,6 +8242,100 @@ def oracle_sql() -> dict[str, str]:
         # collective ER: generated 2-round evidence-propagation unroll
         # (see _collective_oracle)
         "er_collective": _collective_oracle(2),
+        # swoosh: generated 3-round match+union-merge+hash-min unroll
+        # (see _swoosh_oracle)
+        "er_swoosh_merge": _swoosh_oracle(3, 5),
+        # cluster repair: degree/support/eject/relabel replay
+        "er_cluster_repair": """
+            WITH d AS (
+                SELECT doc_id, n_chars, doc_id % 40 AS c FROM documents
+            ),
+            edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM d a JOIN d b USING (c)
+                WHERE a.doc_id < b.doc_id
+                  AND abs(a.n_chars - b.n_chars) < 120
+            ),
+            deg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+                    SELECT src AS id FROM edges
+                    UNION ALL SELECT dst FROM edges
+                ) GROUP BY 1
+            ),
+            sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+            sup AS (
+                SELECT d.doc_id AS id, d.c AS cluster,
+                       CASE WHEN n <= 1 THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST(floor(coalesce(dg, 0) * 1000000.0
+                                             / (n - 1)) AS BIGINT)
+                       END AS support_micro,
+                       n
+                FROM d JOIN sz USING (c)
+                LEFT JOIN deg ON deg.id = d.doc_id
+            ),
+            flagged AS (
+                SELECT id, cluster, support_micro,
+                       (n > 1 AND support_micro < 300000) AS ejected
+                FROM sup
+            ),
+            relabel AS (
+                SELECT cluster, min(id) AS newlab
+                FROM flagged WHERE NOT ejected GROUP BY cluster
+            )
+            SELECT f.id, f.cluster, f.support_micro, f.ejected,
+                   CASE WHEN f.ejected THEN f.id
+                        ELSE coalesce(r.newlab, f.id) END AS repaired_cluster
+            FROM flagged f LEFT JOIN relabel r USING (cluster)
+        """,
+        # temporal linkage: blocked join + exact-integer decay ramp replay
+        "er_temporal_scores": """
+            WITH obs AS (
+                SELECT event_id AS rid, user_id AS bk, event_type AS val,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+                FROM events WHERE event_id % 5 = 0
+            )
+            SELECT a.rid AS id_a, b.rid AS id_b,
+                   a.val IS NOT DISTINCT FROM b.val AS agree,
+                   CAST(abs(a.ts_sec - b.ts_sec) AS BIGINT) AS gap_sec,
+                   CAST(CASE WHEN a.val IS NOT DISTINCT FROM b.val THEN
+                        greatest(0, 1000000 - abs(a.ts_sec - b.ts_sec)
+                                     * 1000000 // 604800)
+                   ELSE
+                        -greatest(0, 1000000 - abs(a.ts_sec - b.ts_sec)
+                                      * 1000000 // 86400)
+                   END AS BIGINT) AS score_micro
+            FROM obs a JOIN obs b ON a.bk = b.bk AND a.rid < b.rid
+        """,
+        # uncertainty sampling: margin + per-stratum row_number replay
+        "er_uncertain_pairs": """
+            WITH d AS (
+                SELECT doc_id, n_chars, doc_id % 13 AS bk FROM documents
+            ),
+            scored AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(a.bk AS BIGINT) AS bk,
+                       CAST(floor(greatest(0.0,
+                            1.0 - abs(CAST(a.n_chars AS DOUBLE) - b.n_chars)
+                                  / 400.0) * 1000000) AS BIGINT)
+                           AS score_micro
+                FROM d a JOIN d b USING (bk)
+                WHERE a.doc_id < b.doc_id
+            ),
+            m AS (
+                SELECT *, CAST(abs(score_micro - 500000) AS BIGINT)
+                           AS margin_micro
+                FROM scored
+            ),
+            r AS (
+                SELECT *, CAST(row_number() OVER (
+                        PARTITION BY bk
+                        ORDER BY margin_micro, id_a, id_b
+                    ) AS INTEGER) AS sel_rank
+                FROM m
+            )
+            SELECT id_a, id_b, bk, score_micro, margin_micro, sel_rank
+            FROM r WHERE sel_rank <= 5
+        """,
         # er_metablocking: block purge skipped (no purge_above), WEP
         # threshold = exact-integer mean of micro-unit JS weights
         "er_metablocking": """

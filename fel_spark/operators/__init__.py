@@ -13,4 +13,7 @@ canopy), evaluation metrics (B-cubed, ARI, V-measure, MUC, CEAF,
 threshold + progressive curves), lossless skew balancing (loadbalance),
 privacy-preserving encodings (pprl), collective relational evidence
 (collective), group linkage (grouplink), blocking-scheme learning
-(blockscheme), and q-gram approximate string joins (qgramjoin)."""
+(blockscheme), q-gram approximate string joins (qgramjoin), Swoosh
+merge-based ER (swoosh), temporal decayed-evidence linkage (temporal),
+cluster repair (cluster.repair_clusters), and active-learning
+uncertainty sampling (linkage.uncertain_pairs)."""

@@ -240,3 +240,87 @@ def cluster_mentions(
         id_col,
         "left",
     ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+
+
+def repair_clusters(
+    assign: DataFrame,
+    edges: DataFrame,
+    min_support_micro: int,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """One repair pass over transitive clusters: eject weakly-supported
+    members, relabel the survivors.
+
+    Transitive closure over-merges by construction — one spurious edge
+    chains two real entities, and every member it dragged in keeps the
+    label even though almost nothing links it to the rest. The QA pass
+    (`evalmetrics.cluster_edge_audit`) MEASURES that; this operator FIXES
+    the per-member form of it. For every member of a multi-member
+    cluster, support = (within-cluster match edges incident to it) /
+    (cluster_size - 1), as an exact micro ratio. Members below
+    ``min_support_micro`` are ejected to singletons (cluster = own id);
+    survivors are relabeled min(surviving id) per original cluster, the
+    repo's label convention, so a repaired clustering is again
+    canonical. One-shot semantics: ejection can disconnect survivors —
+    iterative repair (or a re-CC over the surviving edge set) is the
+    caller composing this with `connected_components` again, exactly like
+    the reference's iterative chunking reruns its DP
+    (`FastEntityLinker.java:302-398`).
+
+    Output: (id, cluster, support_micro, ejected, repaired_cluster).
+    Scale shape: two id-keyed joins onto the edge list + cluster-keyed
+    aggregates — no self-join, no window over the full pair set.
+    ``edges`` is stored once per undirected pair, either orientation.
+    """
+    a = assign.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster")
+    )
+    sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    e_src = edges.select(F.col("src").alias("id"), F.col("dst").alias("_o"))
+    e_dst = edges.select(F.col("dst").alias("id"), F.col("src").alias("_o"))
+    incident = e_src.unionByName(e_dst)
+    within = (
+        incident.join(a, "id")
+        .join(
+            a.select(F.col("id").alias("_o"), F.col("cluster").alias("_oc")),
+            "_o",
+        )
+        .filter(F.col("cluster") == F.col("_oc"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    supported = (
+        a.join(sizes, "cluster")
+        .join(within, "id", "left")
+        .withColumn(
+            "support_micro",
+            F.when(F.col("_csize") <= 1, F.lit(1_000_000).cast("long")).otherwise(
+                F.floor(
+                    F.coalesce(F.col("_deg"), F.lit(0))
+                    * F.lit(1_000_000)
+                    / (F.col("_csize") - 1)
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "ejected",
+            (F.col("_csize") > 1)
+            & (F.col("support_micro") < F.lit(min_support_micro)),
+        )
+    )
+    relabel = (
+        supported.filter(~F.col("ejected"))
+        .groupBy("cluster")
+        .agg(F.min("id").alias("_newlab"))
+    )
+    return (
+        supported.join(relabel, "cluster", "left")
+        .withColumn(
+            "repaired_cluster",
+            F.when(F.col("ejected"), F.col("id")).otherwise(
+                F.coalesce(F.col("_newlab"), F.col("id"))
+            ),
+        )
+        .select("id", "cluster", "support_micro", "ejected", "repaired_cluster")
+    )

@@ -697,3 +697,47 @@ def fs_multilevel_weights_from_mu(mu: DataFrame) -> DataFrame:
         "level",
         F.round(F.log2(m / u) * 1_000_000).cast("long").alias("w_micro"),
     )
+
+
+def uncertain_pairs(
+    scored: DataFrame,
+    threshold: int,
+    k: int,
+    score_col: str = "score_micro",
+    strata_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Active-learning pair selection: the k pairs nearest the decision
+    boundary (uncertainty sampling, Sarawagi & Bhamidipaty KDD 2002 —
+    the ALIAS loop's query step; Settles 2009 survey).
+
+    Review budget goes where the model is least sure: margin =
+    |score - threshold|, ranked ascending with the engine-neutral
+    (margin, id_a, id_b) total order — never raw-score ties alone, the
+    repo's ranking convention. With ``strata_col`` the top-k is taken
+    PER STRATUM (block, source, score band): that is both the sampling
+    design a labeling pipeline wants (coverage across blocks, not k
+    near-identical pairs from one hot block) and the scale shape —
+    bounded window partitions instead of one global sort. Global top-k
+    (strata_col=None) stays available for dictionary-scale pair sets.
+
+    Output: input columns + margin_micro + sel_rank (1-based within
+    stratum). Labels produced from these pairs feed `fs_em_train` /
+    `fs_weights` as the seed set.
+    """
+    from pyspark.sql import Window
+
+    margin = (F.col(score_col) - F.lit(threshold)).cast("long")
+    margin = F.when(margin < 0, -margin).otherwise(margin)
+    out = scored.withColumn("margin_micro", margin)
+    part = (
+        Window.partitionBy(strata_col)
+        if strata_col is not None
+        else Window.partitionBy(F.lit(1))
+    )
+    w = part.orderBy(F.col("margin_micro"), F.col(id_a), F.col(id_b))
+    return (
+        out.withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= k)
+    )
