@@ -3857,6 +3857,50 @@ def q_er_temporal_scores(spark, sf_dir):
     )
 
 
+def _truth_claims(spark, sf_dir):
+    """Conflicting-claims table for the truth-discovery pair: 13
+    synthetic feeds (doc_id mod 13) each assert a language for one of
+    199 objects (doc_id mod 199). Objects collect ~25 claims across 5
+    possible values at sf0.01, so feeds genuinely disagree and the
+    accuracy fixpoint has real work to do."""
+    return _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 13).alias("source"),
+        (F.col("doc_id") % 199).alias("obj"),
+        F.col("lang").alias("val"),
+    )
+
+
+def q_er_truth_discovery(spark, sf_dir):
+    """Iterative truth discovery (r5, `operators/fusion.py::
+    truth_discovery` — Yin, Han & Yu KDD 2007; Dong, Berti-Équille &
+    Srivastava VLDB 2009): the fusion layer PAST majority-vote
+    `golden_records` — two rounds of accuracy-weighted voting where a
+    source's vote counts by how often it agreed with the elected truths
+    elsewhere. Exact-integer recurrence (micro units, floor `div`), so
+    the oracle replays the full 2-round fixpoint as a generated CTE
+    unroll (the collective/swoosh convention). The reference merges
+    per-feed alias votes into its Datapack the degenerate (1-round) way
+    (`io/Datapack.java`); this is the principled multi-round form.
+    Scale: each round is two hash aggregates keyed by (obj,val) / src
+    plus a per-object window argmax — nothing pair-scale, accuracies
+    are a source-cardinality broadcast."""
+    from fel_spark.operators.fusion import truth_discovery
+
+    return truth_discovery(_truth_claims(spark, sf_dir), rounds=2)
+
+
+def q_er_source_accuracy(spark, sf_dir):
+    """Per-source reliability audit face of `truth_discovery` (r5,
+    `operators/fusion.py::source_accuracies`): floor-micro share of
+    each feed's claims that agree with the final elected truths, plus
+    claim counts — the table a fusion pipeline publishes so downstream
+    consumers can weight or quarantine feeds. Same generated unroll,
+    final accuracy aggregate instead of the truth face."""
+    from fel_spark.operators.fusion import source_accuracies
+
+    return source_accuracies(_truth_claims(spark, sf_dir), rounds=2)
+
+
 def q_er_blocking_rules(spark, sf_dir):
     """Blocking-rule coverage analysis (r5, `operators/blocking.py::
     blocking_rule_coverage` — Splink's blocking-rule coverage chart):
@@ -4138,6 +4182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_repair": q_er_cluster_repair,
         "er_uncertain_pairs": q_er_uncertain_pairs,
         "er_temporal_scores": q_er_temporal_scores,
+        "er_truth_discovery": q_er_truth_discovery,
+        "er_source_accuracy": q_er_source_accuracy,
         "er_metablocking": q_er_metablocking,
         "er_damerau_scores": q_er_damerau_scores,
         "er_incremental_assign": q_er_incremental_assign,
@@ -4716,6 +4762,65 @@ def _group_linkage_oracle(
     JOIN sz na ON na.g = gp.ga
     JOIN sz nb ON nb.g = gp.gb
     LEFT JOIN agg ON agg.ga = gp.ga AND agg.gb = gp.gb""")
+    return "".join(parts)
+
+
+def _truth_oracle(rounds: int = 2, face: str = "truth") -> str:
+    """Generated CTE unroll of q_er_truth_discovery /
+    q_er_source_accuracy: round t's confidences sum round t-1's source
+    accuracies over the distinct claims of each (obj, val); the per-
+    object argmax (conf DESC, val ASC) elects the round's truths;
+    accuracies are the floor-micro agreeing-claims share — the exact
+    loop `fusion.truth_discovery` runs, repeated ``rounds`` times (same
+    definition, no transcription drift). DuckDB's sum() yields HUGEINT,
+    so every output aggregate is wrapped in CAST(... AS BIGINT) per the
+    repo's oracle type contract (test_entry_contract sweeps for it);
+    `//` is DuckDB's integer floor division = Spark's `div` on the
+    non-negative operands used here."""
+    head = """WITH c AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 13 AS src, doc_id % 199 AS obj,
+               lang AS val
+        FROM documents
+    ),
+    a0 AS (
+        SELECT src, CAST(500000 AS BIGINT) AS acc
+        FROM (SELECT DISTINCT src FROM c)
+    )"""
+    parts = [head]
+    prev_acc = "a0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    conf{t} AS (
+        SELECT c.obj, c.val,
+               CAST(sum(a.acc) AS BIGINT) AS conf_micro,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM c JOIN {prev_acc} a USING (src)
+        GROUP BY c.obj, c.val
+    ),
+    t{t} AS (
+        SELECT obj, val, conf_micro, n_votes FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY obj ORDER BY conf_micro DESC, val ASC
+            ) AS rk FROM conf{t}
+        ) WHERE rk = 1
+    ),
+    a{t} AS (
+        SELECT c.src,
+               CAST(sum(CASE WHEN t.obj IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS acc,
+               CAST(count(*) AS BIGINT) AS n_claims
+        FROM c LEFT JOIN t{t} t ON c.obj = t.obj AND c.val = t.val
+        GROUP BY c.src
+    )""")
+        prev_acc = f"a{t}"
+    if face == "truth":
+        parts.append(
+            f"\n    SELECT obj, val, conf_micro, n_votes FROM t{rounds}"
+        )
+    else:
+        parts.append(
+            f"\n    SELECT src, acc AS acc_micro, n_claims FROM a{rounds}"
+        )
     return "".join(parts)
 
 
@@ -8287,6 +8392,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(r.newlab, f.id) END AS repaired_cluster
             FROM flagged f LEFT JOIN relabel r USING (cluster)
         """,
+        # truth discovery: generated 2-round accuracy-weighted-vote unroll
+        # (see _truth_oracle)
+        "er_truth_discovery": _truth_oracle(2, "truth"),
+        "er_source_accuracy": _truth_oracle(2, "acc"),
         # temporal linkage: blocked join + exact-integer decay ramp replay
         "er_temporal_scores": """
             WITH obs AS (

@@ -23,6 +23,134 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def truth_discovery(
+    claims: DataFrame,
+    rounds: int = 2,
+    src_col: str = "source",
+    obj_col: str = "obj",
+    val_col: str = "val",
+    init_acc_micro: int = 500_000,
+) -> DataFrame:
+    """Iterative truth discovery with source-reliability weights.
+
+    The fusion layer PAST majority vote (`golden_records`): when sources
+    conflict, a vote should count more when it comes from a source that
+    has been right elsewhere. The accuracy-weighted-vote fixpoint is the
+    core of the truth-discovery literature (Yin, Han & Yu, "TruthFinder",
+    KDD 2007; Dong, Berti-Équille & Srivastava, VLDB 2009); the reference
+    ranks alias evidence by per-feed aggregate counts the same way its
+    Datapack merges per-source alias votes (`io/Datapack.java`).
+
+    ``claims`` is one row per (source, object, claimed value); duplicate
+    claims from one source are collapsed first (DISTINCT) so no source
+    votes twice. Exact-integer recurrence (micro units, engine-neutral):
+
+      acc_0(s)        = init_acc_micro for every source
+      conf_t(o, v)    = sum acc_{t-1}(s) over sources claiming (o, v)
+      truth_t(o)      = argmax_v conf_t  (ties: conf DESC, val ASC)
+      acc_t(s)        = floor(1e6 * |claims of s agreeing with truth_t|
+                                  / |claims of s|)
+
+    Every round is a pure function of the previous accuracies, so a
+    fixed-round run replays as a generated CTE unroll (the repo's
+    collective/pivot oracle convention). Returns one row per object:
+    (obj, val, conf_micro, n_votes) for the FINAL round's truth plus
+    that value's supporting-vote count.
+
+    Scale shape: each round is two hash aggregates (claims keyed by
+    (obj, val), then sources keyed by src) and one per-object window
+    argmax — all shuffles keyed by object or source, nothing pair-scale,
+    nothing driver-side. Accuracies are a source-cardinality table
+    (dictionary scale) broadcast back onto claims. Lineage is cut per
+    round with a lazy localCheckpoint, the repo's iterative-operator
+    convention (swoosh/collective), so Catalyst never sees an
+    O(rounds)-deep plan.
+    """
+    c = (
+        claims.select(
+            F.col(src_col).alias("src"),
+            F.col(obj_col).alias("obj"),
+            F.col(val_col).alias("val"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    acc = c.select("src").distinct().select(
+        "src", F.lit(init_acc_micro).cast("long").alias("acc_micro")
+    )
+    w = Window.partitionBy("obj").orderBy(
+        F.col("conf_micro").desc(), F.col("val").asc()
+    )
+    conf = None
+    for _ in range(rounds):
+        conf = (
+            c.join(F.broadcast(acc), "src")
+            .groupBy("obj", "val")
+            .agg(
+                F.sum("acc_micro").cast("long").alias("conf_micro"),
+                F.count(F.lit(1)).cast("long").alias("n_votes"),
+            )
+        )
+        truth = (
+            conf.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("obj", "val", "conf_micro", "n_votes")
+            .localCheckpoint(eager=False)
+        )
+        agree = truth.select("obj", "val", F.lit(1).alias("_hit"))
+        # exact integer floor division (`div`), never float `/` + cast:
+        # DuckDB rounds on double->BIGINT casts while Spark truncates.
+        acc = (
+            c.join(agree, ["obj", "val"], "left")
+            .groupBy("src")
+            .agg(
+                F.expr(
+                    "sum(coalesce(_hit, 0)) * 1000000L div count(1)"
+                )
+                .cast("long")
+                .alias("acc_micro")
+            )
+        )
+        last_truth = truth
+    return last_truth
+
+
+def source_accuracies(
+    claims: DataFrame,
+    rounds: int = 2,
+    src_col: str = "source",
+    obj_col: str = "obj",
+    val_col: str = "val",
+    init_acc_micro: int = 500_000,
+) -> DataFrame:
+    """Per-source reliability after ``rounds`` of `truth_discovery`:
+    (src, acc_micro, n_claims) where acc_micro = floor(1e6 * agreeing /
+    total) against the FINAL round's truths. Same recurrence, same
+    engine-neutral integer algebra — the audit face of the operator."""
+    c = (
+        claims.select(
+            F.col(src_col).alias("src"),
+            F.col(obj_col).alias("obj"),
+            F.col(val_col).alias("val"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    truth = truth_discovery(
+        claims, rounds, src_col, obj_col, val_col, init_acc_micro
+    ).select("obj", "val", F.lit(1).alias("_hit"))
+    return (
+        c.join(truth, ["obj", "val"], "left")
+        .groupBy("src")
+        .agg(
+            F.expr("sum(coalesce(_hit, 0)) * 1000000L div count(1)")
+            .cast("long")
+            .alias("acc_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_claims"),
+        )
+    )
+
+
 def golden_records(
     records: DataFrame,
     cluster_col: str = "cluster_id",
