@@ -2571,6 +2571,25 @@ def q_er_fs_em_posteriors(spark, sf_dir):
     return fs_posteriors(pairs, params, _FS_FEATURES)
 
 
+def q_er_fs_regions(spark, sf_dir):
+    """Fellegi-Sunter OPTIMAL three-way decision regions (r5,
+    `linkage.fs_optimal_thresholds` — FS JASA 1969 Theorem 1, the
+    theorem the fixed posterior cutoffs approximate): the full 2^3
+    agreement-pattern lattice ordered by likelihood ratio under the
+    EM-estimated model, link/clerical/non-link regions chosen as the
+    largest prefix/suffix inside the target error budgets (mu = 0.02
+    false-match mass, lambda = 0.15 false-non-match mass). Oracle
+    chains the generated EM unroll into the same lattice + two ordered
+    window cumsums (IEEE-identical products and ratios)."""
+    from fel_spark.operators.linkage import fs_em_train, fs_optimal_thresholds
+
+    pairs = _fs_labeled_pairs(spark, sf_dir).drop("is_match")
+    params = fs_em_train(pairs, _FS_FEATURES, iters=3)
+    return fs_optimal_thresholds(
+        pairs, params, _FS_FEATURES, mu=0.02, lam=0.15
+    )
+
+
 def q_er_fs_tf_adjust(spark, sf_dir):
     """Term-frequency adjustment table (r5, `linkage.tf_adjustments` —
     Winkler 1990): per-value agreement-weight corrections for the
@@ -4153,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_em_scores": q_er_fs_em_scores,
         "er_snm_pairs": q_er_snm_pairs,
         "er_fs_em_posteriors": q_er_fs_em_posteriors,
+        "er_fs_regions": q_er_fs_regions,
         "er_fs_tf_adjust": q_er_fs_tf_adjust,
         "er_edit_scores": q_er_edit_scores,
         "er_monge_elkan": q_er_monge_elkan,
@@ -5343,6 +5363,84 @@ def _fs_em_oracle(iters: int = 3, mode: str = "params") -> str:
                CAST(sum(gamma) AS BIGINT) AS n_agree
         FROM melted JOIN w USING (feature)
         GROUP BY 1, 2"""
+    elif mode == "regions":
+        # FS Theorem 1 regions: rounded-micro params burned into
+        # scalars, full 2^3 lattice, likelihood-ratio order, two
+        # cumulative window sums — mirrors fs_optimal_thresholds
+        # exactly (products left-associated from a 1.0 prefix,
+        # complements in-engine, ties broken by gammas DESC).
+        mu, lam_budget = 0.02, 0.15
+        rparams = ", ".join(
+            [
+                f"CAST(round(m{j + 1} * 1000000) AS BIGINT) / 1000000.0"
+                f" AS m{j + 1}_r"
+                for j in range(k)
+            ]
+            + [
+                f"CAST(round(u{j + 1} * 1000000) AS BIGINT) / 1000000.0"
+                f" AS u{j + 1}_r"
+                for j in range(k)
+            ]
+        )
+        pm = " * ".join(
+            ["(1.0)"]
+            + [
+                f"(CASE WHEN {f} = 1 THEN m{j + 1}_r"
+                f" ELSE 1 - m{j + 1}_r END)"
+                for j, f in enumerate(feats)
+            ]
+        )
+        pu = " * ".join(
+            ["(1.0)"]
+            + [
+                f"(CASE WHEN {f} = 1 THEN u{j + 1}_r"
+                f" ELSE 1 - u{j + 1}_r END)"
+                for j, f in enumerate(feats)
+            ]
+        )
+        gcols = ", ".join(feats)
+        ord_top = "pm / pu DESC, " + ", ".join(f"{f} DESC" for f in feats)
+        ord_bot = "pm / pu ASC, " + ", ".join(f"{f} ASC" for f in feats)
+        finals = f"""        , rp AS (SELECT {rparams} FROM it{iters}),
+        lat AS (
+            SELECT CAST(a.v AS BIGINT) AS same_lang,
+                   CAST(b.v AS BIGINT) AS same_source,
+                   CAST(c.v AS BIGINT) AS close_len
+            FROM (VALUES (0), (1)) a(v)
+            CROSS JOIN (VALUES (0), (1)) b(v)
+            CROSS JOIN (VALUES (0), (1)) c(v)
+        ),
+        base AS (
+            SELECT l.same_lang, l.same_source, l.close_len,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS n_pairs,
+                   {pm} AS pm, {pu} AS pu
+            FROM lat l
+            LEFT JOIN hist h ON l.same_lang = h.g1
+                            AND l.same_source = h.g2
+                            AND l.close_len = h.g3
+            CROSS JOIN rp
+        ),
+        win AS (
+            SELECT {gcols}, n_pairs,
+                   CAST(row_number() OVER (ORDER BY {ord_top})
+                        AS INTEGER) AS rnk,
+                   CAST(round(pm * 1e9) AS BIGINT) AS pm_ppb,
+                   CAST(round(pu * 1e9) AS BIGINT) AS pu_ppb,
+                   sum(pu) OVER (ORDER BY {ord_top}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_u,
+                   sum(pm) OVER (ORDER BY {ord_bot}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_m_rev
+            FROM base
+        )
+        SELECT {gcols}, n_pairs, rnk, pm_ppb, pu_ppb,
+               CAST(round(cum_u * 1e9) AS BIGINT) AS cum_u_ppb,
+               CAST(round(cum_m_rev * 1e9) AS BIGINT) AS cum_m_rev_ppb,
+               CASE WHEN cum_u <= {mu} THEN 'link'
+                    WHEN cum_m_rev <= {lam_budget} THEN 'non_link'
+                    ELSE 'possible' END AS decision
+        FROM win"""
     else:
         finals = "\n            UNION ALL\n".join(
             f"""            SELECT '{f}' AS feature,
@@ -7917,6 +8015,9 @@ def oracle_sql() -> dict[str, str]:
         # er_fs_em_posteriors: EM unroll -> rounded-micro scalar params
         # -> map-only CASE products -> posterior + 3-way FS decision
         "er_fs_em_posteriors": _fs_em_oracle(3, mode="posteriors"),
+        # FS Theorem 1 optimal regions: EM unroll -> lattice -> ordered
+        # cumulative error budgets (see _fs_em_oracle mode="regions")
+        "er_fs_regions": _fs_em_oracle(3, mode="regions"),
         # er_fs_em_multilevel: generated full unroll (see generator)
         "er_fs_em_multilevel": _fs_em_multilevel_oracle(3),
         # er_edit_scores: four comparators, three of them DuckDB-NATIVE

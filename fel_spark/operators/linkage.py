@@ -31,7 +31,7 @@ and the arithmetic replays engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _melt_features(
@@ -259,6 +259,102 @@ def fs_posteriors(
         F.when(post > int(upper * 1000000), F.lit("match"))
         .when(post >= int(lower * 1000000), F.lit("possible"))
         .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )
+
+
+def fs_optimal_thresholds(
+    pairs: DataFrame,
+    params: DataFrame,
+    feature_cols: list[str],
+    mu: float = 0.01,
+    lam: float = 0.05,
+) -> DataFrame:
+    """Fellegi-Sunter Theorem 1: OPTIMAL three-way decision regions
+    from target error budgets (Fellegi & Sunter JASA 1969, §3 — the
+    theorem `fs_posteriors`' fixed 0.1/0.9 cutoffs approximate). Given
+    per-feature conditional agreement probabilities (``params`` =
+    `fs_em_train` / `fs_weights` output with m_micro/u_micro), order
+    the FULL 2^k agreement-pattern lattice by likelihood ratio
+    P(gamma|M) / P(gamma|U) descending; the link region A1 is the
+    longest top prefix whose cumulative u-mass stays within ``mu``
+    (target false-match rate among declared links), the non-link
+    region A3 the longest bottom suffix whose cumulative m-mass stays
+    within ``lam`` (target false-non-match rate), and the clerical
+    band A2 is what remains — provably the minimal clerical band at
+    those error levels. Patterns never observed in ``pairs`` still get
+    a decision (n_pairs = 0): the rule must cover future inputs.
+
+    Engine-neutral arithmetic per the repo's FS convention: products
+    left-associated in feature order, complements in-engine ``1 - x``,
+    micro params divided by 1000000.0 — so a SQL replay is
+    IEEE-identical; probability outputs are rounded to ppb longs.
+    Ties in the ratio order break by the gamma columns DESC (total
+    order, both engines). Scale: one pattern-histogram aggregate over
+    the pairs (the only corpus-scale work — map-side combinable),
+    then a 2^k-row lattice with two windows; params are collected
+    driver-side exactly like the EM loop that produced them.
+
+    Returns one row per pattern: gamma columns, n_pairs, rnk,
+    pm_ppb, pu_ppb, cum_u_ppb, cum_m_rev_ppb, decision
+    ('link' | 'possible' | 'non_link')."""
+    spark = pairs.sparkSession
+    rows = {r["feature"]: r for r in params.collect()}
+    lattice = spark.range(2).select(F.col("id").alias(feature_cols[0]))
+    for f in feature_cols[1:]:
+        lattice = lattice.crossJoin(
+            spark.range(2).select(F.col("id").alias(f))
+        )
+    hist = pairs.groupBy(
+        *[F.col(f).cast("long").alias(f) for f in feature_cols]
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    pm, pu = F.lit(1.0), F.lit(1.0)
+    for f in feature_cols:
+        m = rows[f]["m_micro"] / 1e6
+        u = rows[f]["u_micro"] / 1e6
+        g = F.col(f) == 1
+        pm = pm * F.when(g, F.lit(m)).otherwise(F.lit(1 - m))
+        pu = pu * F.when(g, F.lit(u)).otherwise(F.lit(1 - u))
+    base = (
+        lattice.join(hist, feature_cols, "left")
+        .select(
+            *feature_cols,
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            pm.alias("_pm"),
+            pu.alias("_pu"),
+            (pm / pu).alias("_ratio"),
+        )
+    )
+    order = [F.col("_ratio").desc()] + [F.col(f).desc() for f in feature_cols]
+    w_top = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = [F.col("_ratio").asc()] + [F.col(f).asc() for f in feature_cols]
+    w_bot = (
+        Window.orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = base.select(
+        *feature_cols,
+        "n_pairs",
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        F.round(F.col("_pm") * 1e9).cast("long").alias("pm_ppb"),
+        F.round(F.col("_pu") * 1e9).cast("long").alias("pu_ppb"),
+        F.sum("_pu").over(w_top).alias("_cum_u"),
+        F.sum("_pm").over(w_bot).alias("_cum_m_rev"),
+    )
+    return ranked.select(
+        *feature_cols,
+        "n_pairs",
+        "rnk",
+        "pm_ppb",
+        "pu_ppb",
+        F.round(F.col("_cum_u") * 1e9).cast("long").alias("cum_u_ppb"),
+        F.round(F.col("_cum_m_rev") * 1e9).cast("long").alias("cum_m_rev_ppb"),
+        F.when(F.col("_cum_u") <= mu, F.lit("link"))
+        .when(F.col("_cum_m_rev") <= lam, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
         .alias("decision"),
     )
 

@@ -296,3 +296,56 @@ def test_fs_weights_hypothesis_python_parity(spark):
             )
 
     prop()
+
+
+def test_fs_optimal_thresholds_hand_computed_regions(spark):
+    """FS Theorem 1 on a 2-feature lattice: m=(0.9,0.8), u=(0.2,0.1).
+    Ratio order: (1,1) r=36, (1,0) r=1, (0,1) r=1 (tie -> gammas DESC
+    puts (1,0) first), (0,0) r=1/36. cum_u from top = .02/.20/.28/1.0;
+    cum_m from bottom = .02/.10/.28/1.0. With mu=.05, lam=.05 the link
+    region is exactly {(1,1)} and non-link exactly {(0,0)}; unobserved
+    pattern (0,1) still gets a decision with n_pairs=0."""
+    from fel_spark.operators.linkage import fs_optimal_thresholds
+
+    params = spark.createDataFrame(
+        [("f1", 900000, 200000), ("f2", 800000, 100000)],
+        "feature string, m_micro long, u_micro long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 0), (0, 0)], "f1 long, f2 long"
+    )
+    out = {
+        (r["f1"], r["f2"]): r
+        for r in fs_optimal_thresholds(
+            pairs, params, ["f1", "f2"], mu=0.05, lam=0.05
+        ).collect()
+    }
+    assert [out[p]["rnk"] for p in ((1, 1), (1, 0), (0, 1), (0, 0))] == [
+        1, 2, 3, 4,
+    ]
+    assert out[(1, 1)]["decision"] == "link"
+    assert out[(0, 0)]["decision"] == "non_link"
+    assert out[(1, 0)]["decision"] == "possible"
+    assert out[(0, 1)]["decision"] == "possible"
+    assert out[(0, 1)]["n_pairs"] == 0 and out[(1, 1)]["n_pairs"] == 2
+    assert out[(1, 1)]["cum_u_ppb"] == 20_000_000
+    assert out[(0, 0)]["cum_m_rev_ppb"] == 20_000_000
+    assert out[(0, 0)]["cum_u_ppb"] == 1_000_000_000
+    # pm/pu masses are exact products of the micro params
+    assert out[(1, 1)]["pm_ppb"] == 720_000_000
+    assert out[(1, 1)]["pu_ppb"] == 20_000_000
+
+
+def test_fs_optimal_thresholds_budget_zero_never_links(spark):
+    """mu=0 admits no link pattern (every prefix has positive u-mass);
+    lam=1 pushes everything that is not link into non_link."""
+    from fel_spark.operators.linkage import fs_optimal_thresholds
+
+    params = spark.createDataFrame(
+        [("f1", 900000, 100000)], "feature string, m_micro long, u_micro long"
+    )
+    pairs = spark.createDataFrame([(1,), (0,)], "f1 long")
+    out = fs_optimal_thresholds(
+        pairs, params, ["f1"], mu=0.0, lam=1.0
+    ).collect()
+    assert {r["decision"] for r in out} == {"non_link"}
