@@ -3258,6 +3258,51 @@ def q_er_star_clusters(spark, sf_dir):
     return star_clusters(edges)
 
 
+def q_er_merge_center(spark, sf_dir):
+    """Deterministic parallel merge-center clustering (r5,
+    `operators/matching.py::merge_center_clusters` — the MC variant of
+    Hassanzadeh et al., VLDB 2009): star clustering's undominated
+    centers (degree DESC, id ASC), then connected components over ONLY
+    the center-incident edges — overlapping stars merge through shared
+    members, center-free chain segments never conduct. Sits strictly
+    between one-shot stars and transitive CC (refinement-chain
+    property fuzz-tested). Edges: mod-23 blocked self-join over 10-char
+    prefixes kept at jw_micro >= 780000 (bit-exact kernel vs DuckDB's
+    native). Oracle: the same center CTE + recursive min-label
+    propagation restricted to center-incident edges."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+    from fel_spark.operators.matching import merge_center_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 23).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 23).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jw_micro",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("jw_micro") >= 780_000)
+        .select("id_a", "id_b")
+    )
+    return merge_center_clusters(edges)
+
+
 def q_er_pivot_clusters(spark, sf_dir):
     """Deterministic parallel-pivot correlation clustering (r5,
     `operators/matching.py::pivot_clusters` — KwikCluster, Ailon et al.
@@ -4182,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_mutual_best": q_er_mutual_best,
         "er_one_to_one": q_er_one_to_one,
         "er_star_clusters": q_er_star_clusters,
+        "er_merge_center": q_er_merge_center,
         "er_pivot_clusters": q_er_pivot_clusters,
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
@@ -8658,6 +8704,61 @@ def oracle_sql() -> dict[str, str]:
             FROM verts
             LEFT JOIN cent ON cent.v = verts.v
             LEFT JOIN best ON best.v = verts.v
+        """,
+        # er_merge_center: star centers + recursive min-label propagation
+        # restricted to center-incident edges (centers are an independent
+        # set, so each kept edge appears once in center->member direction)
+        "er_merge_center": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            e AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 23 = b.doc_id % 23 AND a.doc_id < b.doc_id
+                WHERE CAST(round(jaro_winkler_similarity(a.s, b.s)
+                                 * 1000000) AS BIGINT) >= 780000
+            ),
+            sym AS (
+                SELECT id_a AS v, id_b AS w FROM e
+                UNION ALL
+                SELECT id_b AS v, id_a AS w FROM e
+            ),
+            deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY 1),
+            nbr AS (
+                SELECT s.v, s.w, dv.deg AS deg_v, dw.deg AS deg_w
+                FROM sym s
+                JOIN deg dv ON dv.v = s.v
+                JOIN deg dw ON dw.v = s.w
+            ),
+            cent AS (
+                SELECT v FROM nbr GROUP BY v
+                HAVING max(CASE WHEN deg_w > deg_v
+                                  OR (deg_w = deg_v AND w < v)
+                                THEN 1 ELSE 0 END) = 0
+            ),
+            kept AS (
+                SELECT n.v AS src, n.w AS dst
+                FROM nbr n JOIN cent ON cent.v = n.v
+            ),
+            ke AS (
+                SELECT src, dst FROM kept
+                UNION ALL
+                SELECT dst, src FROM kept
+            ),
+            reach(id, comp) AS (
+                SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+                UNION
+                SELECT ke.dst, r.comp FROM reach r JOIN ke ON ke.src = r.id
+            )
+            SELECT r.id,
+                   CAST(min(r.comp) AS BIGINT) AS cluster_id,
+                   CAST(CASE WHEN cent.v IS NOT NULL
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_center
+            FROM reach r LEFT JOIN cent ON cent.v = r.id
+            GROUP BY r.id, cent.v
         """,
         # er_pivot_clusters: generated 3-round parallel-pivot unroll
         # (see _pivot_oracle)

@@ -149,6 +149,38 @@ def one_to_one_greedy(
     return out
 
 
+def _sym_nbr_centers(
+    pairs: DataFrame, id_a: str, id_b: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared star/merge-center machinery: symmetrize the pair set, land
+    both endpoint degrees on every directed neighbor row, and compute the
+    undominated centers under the total order (degree DESC, id ASC).
+    Dominance is total on each edge, so centers form an independent set.
+    Returns (sym(v, w), nbr(v, w, deg, deg_w), centers(v, is_center))."""
+    sym = pairs.select(
+        F.col(id_a).alias("v"), F.col(id_b).alias("w")
+    ).unionByName(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("w")))
+    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+    nbr = sym.join(deg, "v").join(
+        deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w")),
+        "w",
+    )
+    # w dominates v under (deg DESC, id ASC)
+    dominated = F.when(
+        (F.col("deg_w") > F.col("deg"))
+        | ((F.col("deg_w") == F.col("deg")) & (F.col("w") < F.col("v"))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    centers = (
+        nbr.withColumn("_dom", dominated)
+        .groupBy("v")
+        .agg(F.max("_dom").alias("_any_dom"))
+        .filter(F.col("_any_dom") == 0)
+        .select("v", F.lit(1).alias("is_center"))
+    )
+    return sym, nbr, centers
+
+
 def star_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -176,31 +208,7 @@ def star_clusters(
     Scale: symmetrize (map), degree hash-agg, one co-partitioned join to
     land degrees on neighbors, one window argmax. No iteration.
     """
-    sym = pairs.select(
-        F.col(id_a).alias("v"), F.col(id_b).alias("w")
-    ).unionByName(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("w")))
-    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
-    # neighbor rows with both endpoint degrees
-    nbr = (
-        sym.join(deg, "v")
-        .join(
-            deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w")),
-            "w",
-        )
-    )
-    # w dominates v under (deg DESC, id ASC)
-    dominated = F.when(
-        (F.col("deg_w") > F.col("deg"))
-        | ((F.col("deg_w") == F.col("deg")) & (F.col("w") < F.col("v"))),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    centers = (
-        nbr.withColumn("_dom", dominated)
-        .groupBy("v")
-        .agg(F.max("_dom").alias("_any_dom"))
-        .filter(F.col("_any_dom") == 0)
-        .select("v", F.lit(1).alias("is_center"))
-    )
+    sym, nbr, centers = _sym_nbr_centers(pairs, id_a, id_b)
     # each vertex's best adjacent center (deg DESC, id ASC)
     adj_center = nbr.join(
         centers.select(F.col("v").alias("w")), "w"
@@ -222,6 +230,64 @@ def star_clusters(
             F.when(F.col("is_center") == 1, F.col("v"))
             .otherwise(F.coalesce("c", "v"))
             .alias("cluster_id"),
+            F.coalesce("is_center", F.lit(0)).cast("int").alias("is_center"),
+        )
+    )
+
+
+def merge_center_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Deterministic parallel MERGE-CENTER clustering (Hassanzadeh,
+    Chiang, Lee & Miller, "Framework for evaluating clustering algorithms
+    in duplicate detection", VLDB 2009 — their MC variant of Center
+    clustering): the middle ground between one-shot stars (radius 1,
+    overlapping stars stay split) and transitive CC (merges arbitrary
+    chains). Centers are EXACTLY :func:`star_clusters`' centers
+    (undominated under degree DESC, id ASC — shared helper, so the two
+    decision layers are comparable on the same graph). Where the
+    sequential MC scan merges two clusters when a record is similar to
+    both their centers, the parallel recast takes the connected
+    components of the subgraph of edges INCIDENT TO AT LEAST ONE CENTER:
+    a merge conducts only center -> shared member -> center, so
+    center-free chain segments never conduct — chaining is bounded by
+    center adjacency, not raw path length (path graph test:
+    `tests/test_matching.py::test_merge_center_between_star_and_cc`).
+
+    Output: one row per distinct vertex — (``id``, ``cluster_id``,
+    ``is_center``) with ``cluster_id`` = min vertex id reachable in the
+    kept subgraph (vertices with no center-incident edge stay
+    singletons). Star clusters are always a refinement of merge-center
+    clusters, which are a refinement of CC components.
+
+    Scale: the star center machinery (symmetrize + degree agg +
+    domination agg), one semi-join keeping center-incident edges —
+    centers are independent, so each kept edge survives exactly once in
+    its center->member direction — then `cluster.connected_components`
+    (gated NumPy fast path vs checkpointed pointer-jumping) over the
+    REDUCED graph, never the full pair set.
+    """
+    from fel_spark.operators.cluster import connected_components
+
+    sym, nbr, centers = _sym_nbr_centers(pairs, id_a, id_b)
+    kept = (
+        nbr.join(centers.select("v"), "v", "left_semi")
+        .select(F.col("v").alias("src"), F.col("w").alias("dst"))
+    )
+    verts = sym.select("v").distinct()
+    comp = connected_components(
+        kept,
+        vertices=verts.select(F.col("v").alias("id")),
+        max_iterations=max_iterations,
+    )
+    return (
+        comp.join(centers.select(F.col("v").alias("id"), "is_center"), "id", "left")
+        .select(
+            "id",
+            F.col("component").alias("cluster_id"),
             F.coalesce("is_center", F.lit(0)).cast("int").alias("is_center"),
         )
     )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from fel_spark.operators.matching import (
     canopy_clusters,
+    merge_center_clusters,
     mutual_best_matches,
     one_to_one_greedy,
     pivot_clusters,
@@ -163,6 +164,119 @@ def test_star_centers_independent_and_no_chains(spark):
     adj = {(a, b) for a, b in rows} | {(b, a) for a, b in rows}
     for v, (c, is_c) in got.items():
         assert is_c == 1 or c == v or (v, c) in adj
+
+
+# ---------------------------------------------------------------------------
+# merge-center clustering
+
+
+def _py_merge_center(edges):
+    """Plain replay: star centers, then BFS components over the subgraph
+    of edges incident to >=1 center; everything else is a singleton."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ws) for v, ws in adj.items()}
+
+    def dominates(w, v):
+        return deg[w] > deg[v] or (deg[w] == deg[v] and w < v)
+
+    centers = {v for v in adj if not any(dominates(w, v) for w in adj[v])}
+    kadj = defaultdict(set)
+    for a, b in edges:
+        if a in centers or b in centers:
+            kadj[a].add(b)
+            kadj[b].add(a)
+    out = {}
+    for v in sorted(adj):
+        if v in out:
+            continue
+        comp, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in kadj[u]:
+                if w not in comp:
+                    comp.add(w)
+                    stack.append(w)
+        root = min(comp)
+        for u in comp:
+            out[u] = (root, 1 if u in centers else 0)
+    return out
+
+
+def test_merge_center_replay_fuzz(spark):
+    rng = random.Random(47)
+    for trial in range(3):
+        edges = set()
+        while len(edges) < 70:
+            a, b = rng.randint(0, 39), rng.randint(0, 39)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [(a, b) for a, b in sorted(edges)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        got = {
+            r["id"]: (r["cluster_id"], r["is_center"])
+            for r in merge_center_clusters(df).collect()
+        }
+        assert got == _py_merge_center(rows), f"trial {trial}"
+
+
+def test_merge_center_between_star_and_cc(spark):
+    # Two stars (centers 0 and 4) sharing member 1, plus a center-free
+    # pendant chain 3-7-8. Star keeps the stars apart; CC would merge
+    # everything including the chain; merge-center merges the stars
+    # through the shared member but the chain does NOT conduct.
+    rows = [(0, 1), (0, 2), (0, 3), (1, 4), (4, 5), (4, 6), (3, 7), (7, 8)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        r["id"]: (r["cluster_id"], r["is_center"])
+        for r in merge_center_clusters(df).collect()
+    }
+    centers = {v for v, (_, c) in got.items() if c == 1}
+    assert centers == {0, 4}
+    # stars merged through shared member 1
+    assert {got[v][0] for v in (0, 1, 2, 3, 4, 5, 6)} == {0}
+    # the center-free chain segment stays out
+    assert got[7] == (7, 0) and got[8] == (8, 0)
+    # star_clusters on the same graph keeps the two stars apart
+    star = {
+        r["id"]: r["cluster_id"] for r in star_clusters(df).collect()
+    }
+    assert star[5] == 4 and star[2] == 0 and star[5] != star[2]
+
+
+def test_merge_center_refines_cc_and_is_refined_by_star(spark):
+    # fuzz property: star partition <= merge-center partition <= CC
+    from fel_spark.operators.cluster import connected_components
+
+    rng = random.Random(53)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 34), rng.randint(0, 34)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows = [(a, b) for a, b in sorted(edges)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    mc = {
+        r["id"]: r["cluster_id"]
+        for r in merge_center_clusters(df).collect()
+    }
+    star = {r["id"]: r["cluster_id"] for r in star_clusters(df).collect()}
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        ).collect()
+    }
+    for u in mc:
+        for v in mc:
+            if star[u] == star[v]:
+                assert mc[u] == mc[v], (u, v)
+            if mc[u] == mc[v]:
+                assert cc[u] == cc[v], (u, v)
 
 
 # ---------------------------------------------------------------------------
