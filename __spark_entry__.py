@@ -3491,6 +3491,32 @@ def q_er_muc(spark, sf_dir):
     return muc_score(assign)
 
 
+def q_er_blanc(spark, sf_dir):
+    """BLANC clustering score (r5, `operators/evalmetrics.py::
+    blanc_score` — Recasens & Hovy, NLE 2011): the Rand-index member of
+    the coreference quartet (MUC/B-cubed/CEAF/BLANC), averaging an F on
+    coref LINKS with an F on NON-LINKS so singleton-heavy graphs can't
+    saturate. Exact integer pair-count algebra over the one-aggregate
+    (pred, gold) contingency table. Same planted-error construction
+    family as er_muc, different residues: gold = doc_id % 24; pred
+    splits every doc_id % 7 == 0 record into its own singleton and
+    merges gold clusters 0/1. Oracle: the same counting in pure SQL with
+    the identical float op order."""
+    from fel_spark.operators.evalmetrics import blanc_score
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 24
+    pred = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(3000) + F.col("doc_id"))
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return blanc_score(assign)
+
+
 def _fs_multilevel_inputs(spark, sf_dir):
     """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
@@ -4231,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pivot_clusters": q_er_pivot_clusters,
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
+        "er_blanc": q_er_blanc,
         "er_ceaf": q_er_ceaf,
         "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
@@ -8863,6 +8890,70 @@ def oracle_sql() -> dict[str, str]:
                              ELSE round(2.0 * p * r / (p + r) * 1000000)
                         END AS BIGINT) AS muc_f1_micro
             FROM fin
+        """,
+        # er_blanc: exact pair-count algebra over the contingency table;
+        # float op order mirrors the Spark side (2.0*p*r/(p+r), (fc+fn)/2.0)
+        "er_blanc": """
+            WITH assign AS (
+                SELECT CASE WHEN doc_id % 7 = 0 THEN 3000 + doc_id
+                            WHEN doc_id % 24 < 2 THEN 0
+                            ELSE doc_id % 24 END AS pred,
+                       doc_id % 24 AS gold
+                FROM documents
+            ),
+            cells AS (
+                SELECT pred, gold, count(*) AS c FROM assign GROUP BY 1, 2
+            ),
+            per AS (
+                SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS rc,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM cells
+            ),
+            lp AS (
+                SELECT CAST(sum(pn * (pn - 1) / 2) AS BIGINT) AS lp
+                FROM (SELECT sum(c) AS pn FROM cells GROUP BY pred)
+            ),
+            lg AS (
+                SELECT CAST(sum(gn * (gn - 1) / 2) AS BIGINT) AS lg
+                FROM (SELECT sum(c) AS gn FROM cells GROUP BY gold)
+            ),
+            base AS (
+                SELECT n, rc, lp, lg,
+                       CAST(n * (n - 1) / 2 AS BIGINT) AS t,
+                       CAST(n * (n - 1) / 2 AS BIGINT) - lp - lg + rc AS rn
+                FROM per CROSS JOIN lp CROSS JOIN lg
+            ),
+            pr AS (
+                SELECT *,
+                       CASE WHEN lp = 0 THEN 0.0
+                            ELSE rc / CAST(lp AS DOUBLE) END AS p_c,
+                       CASE WHEN lg = 0 THEN 0.0
+                            ELSE rc / CAST(lg AS DOUBLE) END AS r_c,
+                       CASE WHEN t - lp = 0 THEN 0.0
+                            ELSE rn / CAST(t - lp AS DOUBLE) END AS p_n,
+                       CASE WHEN t - lg = 0 THEN 0.0
+                            ELSE rn / CAST(t - lg AS DOUBLE) END AS r_n
+                FROM base
+            ),
+            fs AS (
+                SELECT *,
+                       CASE WHEN p_c + r_c = 0.0 THEN 0.0
+                            ELSE 2.0 * p_c * r_c / (p_c + r_c) END AS f_c,
+                       CASE WHEN p_n + r_n = 0.0 THEN 0.0
+                            ELSE 2.0 * p_n * r_n / (p_n + r_n) END AS f_n
+                FROM pr
+            )
+            SELECT n AS n_records,
+                   rc AS links_right,
+                   CAST(rn AS BIGINT) AS nonlinks_right,
+                   CAST(round(f_c * 1000000) AS BIGINT) AS blanc_fc_micro,
+                   CAST(round(f_n * 1000000) AS BIGINT) AS blanc_fn_micro,
+                   CAST(round(CASE
+                         WHEN lp = 0 AND lg = 0 THEN f_n
+                         WHEN t - lp = 0 AND t - lg = 0 THEN f_c
+                         ELSE (f_c + f_n) / 2.0 END * 1000000)
+                        AS BIGINT) AS blanc_micro
+            FROM fs
         """,
         # er_fs_multilevel: graded-agreement FS — grid (incl. unseen
         # levels), Dirichlet-Jeffreys smoothing, log2 weights

@@ -196,6 +196,96 @@ def muc_score(
     )
 
 
+def blanc_score(
+    assign: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """BLANC clustering score (Recasens & Hovy, "BLANC: Implementing the
+    Rand index for coreference evaluation", Natural Language Engineering
+    2011): the Rand-index family member of the standard coreference
+    quartet (MUC / B-cubed / CEAF / BLANC — the other three are
+    :func:`muc_score`, :func:`bcubed_ari`, :func:`ceaf_scores`). It
+    averages an F-score on COREFERENCE LINKS (record pairs co-clustered
+    in pred and gold) with an F-score on NON-LINKS (pairs separated in
+    both), so singleton-heavy ER graphs can't saturate the metric the
+    way raw Rand does.
+
+    Every quantity is exact integer pair-count algebra over the same
+    one-aggregate (pred, gold) contingency table as the rest of the
+    family: with cell counts c, pred sizes pn, gold sizes gn, N records:
+
+    * rc  = sum C(c, 2)                      (links right)
+    * L_p = sum C(pn, 2), L_g = sum C(gn, 2), T = C(N, 2)
+    * rn  = T - L_p - L_g + rc               (non-links right)
+    * P_c = rc/L_p, R_c = rc/L_g; P_n = rn/(T-L_p), R_n = rn/(T-L_g)
+    * BLANC = (F_c + F_n)/2, with the paper's boundary conventions:
+      no coref links in BOTH pred and gold -> BLANC = F_n alone; no
+      non-links in both -> BLANC = F_c alone; a 0 denominator inside a
+      P/R scores 0 and F = 2pr/(p+r) (0 when p + r = 0).
+
+    Output: one row — n_records, links_right, nonlinks_right,
+    blanc_fc_micro, blanc_fn_micro, blanc_micro (micro = round(1e6*x),
+    engine-replayable integers).
+
+    Scale: ONE corpus-scale hash aggregate (the contingency cells),
+    then dictionary-scale sums — identical shape to `muc_score`.
+    """
+    cells = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("c"))
+    per = cells.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("rc"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    lp = (
+        cells.groupBy(pred_col)
+        .agg(F.sum("c").alias("pn"))
+        .agg(F.sum(F.col("pn") * (F.col("pn") - 1) / 2).cast("long").alias("lp"))
+    )
+    lg = (
+        cells.groupBy(gold_col)
+        .agg(F.sum("c").alias("gn"))
+        .agg(F.sum(F.col("gn") * (F.col("gn") - 1) / 2).cast("long").alias("lg"))
+    )
+    s = per.crossJoin(F.broadcast(lp)).crossJoin(F.broadcast(lg))
+    t = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    s = s.select(
+        "n", "rc", "lp", "lg", t.alias("t"),
+        (t - F.col("lp") - F.col("lg") + F.col("rc")).alias("rn"),
+    )
+
+    def _ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
+    p_c = _ratio(F.col("rc"), F.col("lp"))
+    r_c = _ratio(F.col("rc"), F.col("lg"))
+    p_n = _ratio(F.col("rn"), F.col("t") - F.col("lp"))
+    r_n = _ratio(F.col("rn"), F.col("t") - F.col("lg"))
+
+    def _f(p, r):
+        return F.when(p + r == 0.0, F.lit(0.0)).otherwise(
+            F.lit(2.0) * p * r / (p + r)
+        )
+
+    f_c = _f(p_c, r_c)
+    f_n = _f(p_n, r_n)
+    blanc = (
+        F.when((F.col("lp") == 0) & (F.col("lg") == 0), f_n)
+        .when(
+            (F.col("t") - F.col("lp") == 0) & (F.col("t") - F.col("lg") == 0),
+            f_c,
+        )
+        .otherwise((f_c + f_n) / 2.0)
+    )
+    return s.select(
+        F.col("n").alias("n_records"),
+        F.col("rc").alias("links_right"),
+        F.col("rn").cast("long").alias("nonlinks_right"),
+        F.round(f_c * 1000000).cast("long").alias("blanc_fc_micro"),
+        F.round(f_n * 1000000).cast("long").alias("blanc_fn_micro"),
+        F.round(blanc * 1000000).cast("long").alias("blanc_micro"),
+    )
+
+
 def ceaf_scores(
     assign: DataFrame,
     pred_col: str = "pred",

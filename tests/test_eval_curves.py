@@ -178,6 +178,82 @@ def test_muc_degenerate_all_singletons(spark):
 
 
 # ---------------------------------------------------------------------------
+# BLANC
+
+
+def _py_blanc(pairs):
+    """Plain BLANC (Recasens & Hovy 2011): F over coref links averaged
+    with F over non-links, exact pair counting."""
+    from itertools import combinations
+
+    n = len(pairs)
+    rc = lp = lg = 0
+    for (pa, ga), (pb, gb) in combinations(pairs, 2):
+        if pa == pb:
+            lp += 1
+        if ga == gb:
+            lg += 1
+        if pa == pb and ga == gb:
+            rc += 1
+    t = n * (n - 1) // 2
+    rn = t - lp - lg + rc
+
+    def ratio(a, b):
+        return a / b if b else 0.0
+
+    def f(p, r):
+        return 0.0 if p + r == 0 else 2.0 * p * r / (p + r)
+
+    f_c = f(ratio(rc, lp), ratio(rc, lg))
+    f_n = f(ratio(rn, t - lp), ratio(rn, t - lg))
+    if lp == 0 and lg == 0:
+        blanc = f_n
+    elif t - lp == 0 and t - lg == 0:
+        blanc = f_c
+    else:
+        blanc = (f_c + f_n) / 2.0
+    return rc, rn, f_c, f_n, blanc
+
+
+def _blanc_df(spark, pairs):
+    from fel_spark.operators.evalmetrics import blanc_score
+
+    df = spark.createDataFrame(pairs, "pred long, gold long")
+    return blanc_score(df).collect()[0]
+
+
+def test_blanc_python_replay_fuzz(spark):
+    import random
+
+    rng = random.Random(17)
+    for trial in range(4):
+        pairs = [
+            (rng.randint(0, 6), rng.randint(0, 5)) for _ in range(40)
+        ]
+        row = _blanc_df(spark, pairs)
+        rc, rn, f_c, f_n, blanc = _py_blanc(pairs)
+        assert row["links_right"] == rc, trial
+        assert row["nonlinks_right"] == rn, trial
+        assert row["blanc_fc_micro"] == round(f_c * 1000000), trial
+        assert row["blanc_fn_micro"] == round(f_n * 1000000), trial
+        assert row["blanc_micro"] == round(blanc * 1000000), trial
+
+
+def test_blanc_boundary_conventions(spark):
+    # perfect clustering: both F's are 1 -> BLANC 1
+    row = _blanc_df(spark, [(0, 0), (0, 0), (1, 1), (2, 2)])
+    assert row["blanc_micro"] == 1000000
+    # all-singleton pred AND gold: no coref links anywhere -> BLANC = F_n
+    row = _blanc_df(spark, [(0, 0), (1, 1), (2, 2)])
+    assert row["blanc_fc_micro"] == 0
+    assert row["blanc_micro"] == row["blanc_fn_micro"] == 1000000
+    # one all-covering cluster in both: no non-links -> BLANC = F_c
+    row = _blanc_df(spark, [(0, 5), (0, 5), (0, 5)])
+    assert row["blanc_fn_micro"] == 0
+    assert row["blanc_micro"] == row["blanc_fc_micro"] == 1000000
+
+
+# ---------------------------------------------------------------------------
 # CEAF (greedy alignment)
 
 
