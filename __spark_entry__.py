@@ -3347,6 +3347,50 @@ def q_er_pivot_clusters(spark, sf_dir):
     return pivot_clusters(edges, max_rounds=3)
 
 
+def q_er_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation (r5,
+    `operators/matching.py::label_propagation` — Raghavan, Albert &
+    Kumara, Phys. Rev. E 2007): the community-detection decision layer —
+    each round every vertex simultaneously adopts the PLURALITY label of
+    its neighbors under (count DESC, label ASC), 3 bounded rounds from
+    own-id labels; thin bridges between dense groups get out-voted, so
+    density (not radius or reachability) bounds the clusters. Edges:
+    mod-29 blocked self-join over 10-char prefixes at jw_micro >= 800000
+    (bit-exact kernel vs DuckDB's native). Oracle: generated 3-round
+    vote/argmax unroll of the identical round definition."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+    from fel_spark.operators.matching import label_propagation
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 29).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 29).alias("bk"),
+    )
+    edges = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jw_micro",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("jw_micro") >= 800_000)
+        .select("id_a", "id_b")
+    )
+    return label_propagation(edges, max_rounds=3)
+
+
 def q_er_canopy(spark, sf_dir):
     """Deterministic parallel canopy clustering (r5,
     `operators/matching.py::canopy_clusters` — McCallum, Nigam & Ungar
@@ -4255,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_star_clusters": q_er_star_clusters,
         "er_merge_center": q_er_merge_center,
         "er_pivot_clusters": q_er_pivot_clusters,
+        "er_label_prop": q_er_label_prop,
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
         "er_blanc": q_er_blanc,
@@ -5117,6 +5162,50 @@ def _pivot_oracle(
         SELECT v, v AS cluster_id, CAST(0 AS INTEGER) AS round
         FROM av{rounds + 1}
     ) fin""")
+    return "".join(parts)
+
+
+def _lpa_oracle(rounds: int, mod: int, plen: int, thresh: int) -> str:
+    """Generated CTE unroll of q_er_label_prop: labels start as own ids;
+    each round every vertex's new label is the plurality label among its
+    neighbors' current labels under (count DESC, label ASC) — one vote
+    count + one argmax per round, repeated ``rounds`` times (the
+    generated-unroll pattern: same loop, no transcription drift)."""
+    parts = [f"""WITH d AS (
+        SELECT doc_id, substr(text, 1, {plen}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+        WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                   AS BIGINT) >= {thresh}
+    ),
+    sym AS MATERIALIZED (
+        SELECT id_a AS v, id_b AS w FROM e0
+        UNION ALL
+        SELECT id_b AS v, id_a AS w FROM e0
+    ),
+    lab0 AS (SELECT DISTINCT v, v AS label FROM sym)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    cnt{k} AS (
+        SELECT s.v, l.label, count(*) AS c
+        FROM sym s JOIN lab{k - 1} l ON l.v = s.w
+        GROUP BY 1, 2
+    ),
+    lab{k} AS MATERIALIZED (
+        SELECT v, label FROM (
+            SELECT v, label,
+                   row_number() OVER (PARTITION BY v
+                       ORDER BY c DESC, label ASC) AS rn
+            FROM cnt{k}
+        ) t WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT v AS id, CAST(label AS BIGINT) AS cluster_id
+    FROM lab{rounds}""")
     return "".join(parts)
 
 
@@ -8791,6 +8880,9 @@ def oracle_sql() -> dict[str, str]:
         # (see _pivot_oracle)
         "er_pivot_clusters": _pivot_oracle(3, 13, 10, 790_000),
         # er_canopy: generated 2-round canopy unroll (see _canopy_oracle)
+        # er_label_prop: generated 3-round plurality-vote unroll
+        # (see _lpa_oracle)
+        "er_label_prop": _lpa_oracle(3, 29, 10, 800_000),
         "er_canopy": _canopy_oracle(2, 19, 10, 700_000, 850_000),
         # er_ceaf: greedy-aligned CEAF (see _ceaf_oracle)
         "er_ceaf": _ceaf_oracle(6),

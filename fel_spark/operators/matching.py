@@ -515,3 +515,66 @@ def pivot_clusters(
     return out.unionByName(leftovers).select(
         F.col("v").alias("id"), "cluster_id", "round"
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (Raghavan, Albert &
+    Kumara, "Near linear time algorithm to detect community structures
+    in large-scale networks", Phys. Rev. E 2007) — the community-
+    detection decision layer for dense match graphs: where stars/pivots
+    bound cluster RADIUS, LPA bounds cluster DENSITY — a vertex joins
+    the label held by the PLURALITY of its neighbors, so a thin bridge
+    between two dense groups cannot merge them (bridge endpoints are
+    out-voted by their own side).
+
+    The paper's randomness is removed the same way as in
+    :func:`pivot_clusters`: every vertex starts as its own label; each
+    round ALL vertices simultaneously adopt the plurality label among
+    their neighbors' current labels under the total order
+    (count DESC, label ASC). Rounds are bounded (synchronous LPA can
+    2-cycle on bipartite structures — the bounded-round prefix is the
+    deterministic contract, the same convention as the pivot/canopy
+    unrolls); isolated vertices never appear in a symmetrized pair set
+    and are the caller's to add as singletons.
+
+    Output: one row per vertex — (``id``, ``cluster_id``) after
+    ``max_rounds`` (labels are vertex ids).
+
+    Scale: per round ONE co-partitioned join (labels onto directed
+    edges), one hash agg (vote counts), one window argmax per vertex —
+    no cartesian, no collect; labels localCheckpoint'd per round
+    (lineage discipline of `cluster.connected_components`).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("v"), F.col(id_b).alias("w")
+    ).unionByName(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("w")))
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("v").distinct().withColumn("label", F.col("v"))
+    wv = Window.partitionBy("v").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(max_rounds):
+        votes = (
+            sym.join(
+                labels.select(F.col("v").alias("w"), "label"), "w"
+            )
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+            .select("v", "label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("v").alias("id"), F.col("label").alias("cluster_id")
+    )

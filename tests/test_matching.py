@@ -528,3 +528,61 @@ def test_matching_plan_no_cartesian(spark):
         .toString()
     )
     assert "Cartesian" not in star_plan
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def _py_lpa(edges, rounds):
+    """Plain replay of the deterministic synchronous plurality rounds."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, ws in adj.items():
+            votes = Counter(lab[w] for w in ws)
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    return lab
+
+
+def test_label_propagation_replay_fuzz(spark):
+    from fel_spark.operators.matching import label_propagation
+
+    rng = random.Random(61)
+    for trial in range(3):
+        edges = set()
+        while len(edges) < 70:
+            a, b = rng.randint(0, 39), rng.randint(0, 39)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [(a, b) for a, b in sorted(edges)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in label_propagation(df, max_rounds=3).collect()
+        }
+        assert got == _py_lpa(rows, 3), f"trial {trial}"
+
+
+def test_label_propagation_bridge_does_not_merge(spark):
+    from fel_spark.operators.matching import label_propagation
+
+    # two triangles {0,1,2} and {10,11,12} joined by the single bridge
+    # 2-10: CC merges them; LPA's plurality vote keeps each side on its
+    # own side's labels (the bridge endpoint is out-voted 2-to-1).
+    rows = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in label_propagation(df, max_rounds=4).collect()
+    }
+    left = {got[v] for v in (0, 1, 2)}
+    right = {got[v] for v in (10, 11, 12)}
+    assert left.isdisjoint(right), (left, right)
