@@ -3391,6 +3391,71 @@ def q_er_label_prop(spark, sf_dir):
     return label_propagation(edges, max_rounds=3)
 
 
+def _er_jw_edges(spark, sf_dir, mod: int, thresh: int):
+    """Shared blocked-JW edge construction for the graph-cleaning
+    queries: mod-``mod`` blocked self-join over 10-char document-text
+    prefixes, kept at jw_micro >= ``thresh`` (bit-exact kernel vs
+    DuckDB's native jaro_winkler_similarity)."""
+    from fel_spark.functions.sim import jaro_winkler_pudf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % mod).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % mod).alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jw_micro",
+            F.round(
+                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("jw_micro") >= thresh)
+        .select("id_a", "id_b")
+    )
+
+
+def q_er_kcore(spark, sf_dir):
+    """k-core match-graph trimming (r5, `operators/graphclean.py::
+    k_core` — Seidman 1983): synchronous peel rounds delete every
+    vertex whose surviving degree drops below k, the standard
+    density filter applied to an ER candidate graph before the
+    clustering decision layer (records attached by one lucky comparator
+    hit cascade out). k=2, 4 bounded rounds over the mod-17 JW >= 0.80
+    edge set; output tags every vertex with its peel round (0 =
+    survives). Oracle: generated synchronous-peel unroll."""
+    from fel_spark.operators.graphclean import k_core
+
+    return k_core(_er_jw_edges(spark, sf_dir, 17, 800_000), 2, max_rounds=4)
+
+
+def q_er_ktruss(spark, sf_dir):
+    """k-truss match-graph trimming (r5, `operators/graphclean.py::
+    k_truss` — Cohen 2008, distributed peel a la Wang & Cheng VLDB
+    2012): the EDGE analogue of the core — round r deletes edges with
+    fewer than k-2 supporting triangles, so a single spurious link
+    between two true entities (zero triangle support) falls out of the
+    3-truss in round 1 while dense cluster edges survive. Triangles
+    enumerated once each via the oriented compact-forward wedge join.
+    k=3, 3 bounded rounds over the mod-19 JW >= 0.80 edge set. Oracle:
+    generated peel unroll with the identical oriented triangle count."""
+    from fel_spark.operators.graphclean import k_truss
+
+    return k_truss(_er_jw_edges(spark, sf_dir, 19, 800_000), 3, max_rounds=3)
+
+
 def q_er_canopy(spark, sf_dir):
     """Deterministic parallel canopy clustering (r5,
     `operators/matching.py::canopy_clusters` — McCallum, Nigam & Ungar
@@ -4300,6 +4365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_merge_center": q_er_merge_center,
         "er_pivot_clusters": q_er_pivot_clusters,
         "er_label_prop": q_er_label_prop,
+        "er_kcore": q_er_kcore,
+        "er_ktruss": q_er_ktruss,
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
         "er_blanc": q_er_blanc,
@@ -5206,6 +5273,106 @@ def _lpa_oracle(rounds: int, mod: int, plen: int, thresh: int) -> str:
     parts.append(f"""
     SELECT v AS id, CAST(label AS BIGINT) AS cluster_id
     FROM lab{rounds}""")
+    return "".join(parts)
+
+
+def _kcore_oracle(rounds: int, mod: int, plen: int, thresh: int, k: int) -> str:
+    """Generated CTE unroll of q_er_kcore: round r drops every surviving
+    vertex with degree < k in the surviving subgraph (synchronous peel —
+    order-independent fixpoint, so the bounded unroll is a prefix of the
+    true core and equals it once a round drops nothing)."""
+    parts = [f"""WITH d AS (
+        SELECT doc_id, substr(text, 1, {plen}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+        WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                   AS BIGINT) >= {thresh}
+    ),
+    s1 AS MATERIALIZED (
+        SELECT id_a AS v, id_b AS w FROM e0
+        UNION ALL
+        SELECT id_b AS v, id_a AS w FROM e0
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    deg{r} AS (SELECT v, count(*) AS deg FROM s{r} GROUP BY 1),
+    drop{r} AS MATERIALIZED (
+        SELECT v FROM deg{r} WHERE deg < {k}
+    ),
+    s{r + 1} AS MATERIALIZED (
+        SELECT s.v, s.w FROM s{r} s
+        WHERE s.v NOT IN (SELECT v FROM drop{r})
+          AND s.w NOT IN (SELECT v FROM drop{r})
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT v, {r} AS r FROM drop{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f""",
+    peel AS ({union}),
+    verts AS (SELECT DISTINCT v FROM s1)
+    SELECT verts.v AS id,
+           CAST(coalesce(p.r, 0) AS INTEGER) AS peel_round,
+           CAST(CASE WHEN p.r IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS in_core
+    FROM verts LEFT JOIN peel p ON p.v = verts.v""")
+    return "".join(parts)
+
+
+def _ktruss_oracle(rounds: int, mod: int, plen: int, thresh: int, k: int) -> str:
+    """Generated CTE unroll of q_er_ktruss: round r drops every surviving
+    edge with triangle support < k-2; triangles are enumerated once each
+    on the oriented (a < b) edge list via the compact-forward wedge
+    (a->b, a->c) closed by (b->c), and support each of their 3 edges."""
+    parts = [f"""WITH d AS (
+        SELECT doc_id, substr(text, 1, {plen}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    t1 AS MATERIALIZED (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+        WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                   AS BIGINT) >= {thresh}
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    tri{r} AS (
+        SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        FROM t{r} x
+        JOIN t{r} y ON y.a = x.a AND x.b < y.b
+        JOIN t{r} z ON z.a = x.b AND z.b = y.b
+    ),
+    s3_{r} AS (
+        SELECT ta AS a, tb AS b FROM tri{r}
+        UNION ALL
+        SELECT ta AS a, tc AS b FROM tri{r}
+        UNION ALL
+        SELECT tb AS a, tc AS b FROM tri{r}
+    ),
+    sup{r} AS (SELECT a, b, count(*) AS c FROM s3_{r} GROUP BY 1, 2),
+    drop{r} AS MATERIALIZED (
+        SELECT e.a, e.b
+        FROM t{r} e LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+        WHERE coalesce(s.c, 0) < {k - 2}
+    ),
+    t{r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM t{r} e
+        ANTI JOIN drop{r} dr ON dr.a = e.a AND dr.b = e.b
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT a, b, {r} AS r FROM drop{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f""",
+    peel AS ({union})
+    SELECT e.a AS id_a, e.b AS id_b,
+           CAST(coalesce(p.r, 0) AS INTEGER) AS peel_round,
+           CAST(CASE WHEN p.r IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS in_truss
+    FROM t1 e LEFT JOIN peel p ON p.a = e.a AND p.b = e.b""")
     return "".join(parts)
 
 
@@ -8883,6 +9050,10 @@ def oracle_sql() -> dict[str, str]:
         # er_label_prop: generated 3-round plurality-vote unroll
         # (see _lpa_oracle)
         "er_label_prop": _lpa_oracle(3, 29, 10, 800_000),
+        # er_kcore / er_ktruss: generated synchronous-peel unrolls
+        # (see _kcore_oracle / _ktruss_oracle)
+        "er_kcore": _kcore_oracle(4, 17, 10, 800_000, 2),
+        "er_ktruss": _ktruss_oracle(3, 19, 10, 800_000, 3),
         "er_canopy": _canopy_oracle(2, 19, 10, 700_000, 850_000),
         # er_ceaf: greedy-aligned CEAF (see _ceaf_oracle)
         "er_ceaf": _ceaf_oracle(6),

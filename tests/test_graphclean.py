@@ -1,0 +1,149 @@
+"""k-core / k-truss peeling: plain-Python synchronous-round replays,
+fixpoint order-independence, structural bridge-removal properties."""
+
+from __future__ import annotations
+
+import random
+
+from fel_spark.operators.graphclean import k_core, k_truss, triangle_support
+
+
+def _rand_edges(rng, n_v, n_e):
+    edges = set()
+    while len(edges) < n_e:
+        a, b = rng.randint(0, n_v - 1), rng.randint(0, n_v - 1)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _py_kcore(edges, k, rounds):
+    """Synchronous peel replay -> {v: (peel_round, in_core)}."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    live = {v: set(ws) for v, ws in adj.items()}
+    out = {}
+    for rnd in range(1, rounds + 1):
+        drop = {v for v, ws in live.items() if len(ws) < k}
+        if not drop:
+            break
+        for v in drop:
+            out[v] = (rnd, 0)
+        live = {
+            v: ws - drop for v, ws in live.items() if v not in drop
+        }
+    for v in adj:
+        out.setdefault(v, (0, 1))
+    return out
+
+
+def _py_support(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    sup = {e: 0 for e in es}
+    vs = sorted({v for e in es for v in e})
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            if (a, b) not in es:
+                continue
+            for c in vs:
+                if c > b and (a, c) in es and (b, c) in es:
+                    sup[(a, b)] += 1
+                    sup[(a, c)] += 1
+                    sup[(b, c)] += 1
+    return sup
+
+
+def _py_ktruss(edges, k, rounds):
+    es = {tuple(sorted(e)) for e in edges}
+    out = {}
+    live = set(es)
+    for rnd in range(1, rounds + 1):
+        sup = _py_support(live)
+        drop = {e for e in live if sup[e] < k - 2}
+        if not drop:
+            break
+        for e in drop:
+            out[e] = (rnd, 0)
+        live -= drop
+    for e in es:
+        out.setdefault(e, (0, 1))
+    return out
+
+
+def test_triangle_support_replay_fuzz(spark):
+    rng = random.Random(67)
+    rows = _rand_edges(rng, 18, 45)
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in triangle_support(df).collect()
+    }
+    assert got == _py_support(rows)
+
+
+def test_k_core_replay_fuzz(spark):
+    rng = random.Random(71)
+    for trial, k in [(0, 2), (1, 3)]:
+        rows = _rand_edges(rng, 24, 50)
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        got = {
+            r["id"]: (r["peel_round"], r["in_core"])
+            for r in k_core(df, k, max_rounds=6).collect()
+        }
+        assert got == _py_kcore(rows, k, 6), (trial, k)
+
+
+def test_k_truss_replay_fuzz(spark):
+    rng = random.Random(73)
+    rows = _rand_edges(rng, 16, 40)
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["peel_round"], r["in_truss"])
+        for r in k_truss(df, 3, max_rounds=5).collect()
+    }
+    assert got == _py_ktruss(rows, 3, 5)
+
+
+def test_truss_drops_bridge_core_does_not(spark):
+    # two triangles joined by the bridge 2-10: every vertex has degree
+    # >= 2, so the 2-core keeps everything — but the bridge has zero
+    # triangle support and falls out of the 3-truss in round 1, while
+    # every triangle edge survives.
+    rows = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    core = {r["id"]: r["in_core"] for r in k_core(df, 2).collect()}
+    assert all(v == 1 for v in core.values())
+    truss = {
+        (r["id_a"], r["id_b"]): (r["peel_round"], r["in_truss"])
+        for r in k_truss(df, 3).collect()
+    }
+    assert truss[(2, 10)] == (1, 0)
+    assert all(
+        t == (0, 1) for e, t in truss.items() if e != (2, 10)
+    )
+
+
+def test_k_core_cascading_peel(spark):
+    # path 0-1-2-3 hanging off triangle 3-4-5: 2-core peels the path
+    # endpoint first, then the cascade 1, then 2 — three rounds.
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        r["id"]: (r["peel_round"], r["in_core"])
+        for r in k_core(df, 2, max_rounds=6).collect()
+    }
+    assert got[0] == (1, 0)
+    assert got[1] == (2, 0)
+    assert got[2] == (3, 0)
+    assert got[3] == (0, 1) and got[4] == (0, 1) and got[5] == (0, 1)
+
+
+def test_graphclean_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    for built in (triangle_support(df), k_truss(df, 3, max_rounds=1, checkpoint=False)):
+        plan = built._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan
