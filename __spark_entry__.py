@@ -3391,11 +3391,12 @@ def q_er_label_prop(spark, sf_dir):
     return label_propagation(edges, max_rounds=3)
 
 
-def _er_jw_edges(spark, sf_dir, mod: int, thresh: int):
+def _er_jw_edges(spark, sf_dir, mod: int, thresh: int, keep_score: bool = False):
     """Shared blocked-JW edge construction for the graph-cleaning
     queries: mod-``mod`` blocked self-join over 10-char document-text
     prefixes, kept at jw_micro >= ``thresh`` (bit-exact kernel vs
-    DuckDB's native jaro_winkler_similarity)."""
+    DuckDB's native jaro_winkler_similarity). ``keep_score`` keeps the
+    jw_micro column (for weight-consuming operators)."""
     from fel_spark.functions.sim import jaro_winkler_pudf
 
     d = (
@@ -3423,7 +3424,7 @@ def _er_jw_edges(spark, sf_dir, mod: int, thresh: int):
             ).cast("long"),
         )
         .filter(F.col("jw_micro") >= thresh)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", *(["jw_micro"] if keep_score else []))
     )
 
 
@@ -3454,6 +3455,24 @@ def q_er_ktruss(spark, sf_dir):
     from fel_spark.operators.graphclean import k_truss
 
     return k_truss(_er_jw_edges(spark, sf_dir, 19, 800_000), 3, max_rounds=3)
+
+
+def q_er_mcl(spark, sf_dir):
+    """Quantized Markov clustering (r5, `operators/mcl.py::mcl_clusters`
+    — van Dongen 2000; TRIBE-MCL, Enright et al. NAR 2002): 2 bounded
+    iterations of expand (matrix self-join) -> inflate (entrywise
+    square) -> prune over the JW-weighted match graph, then every node
+    follows its strongest incoming flow to its attractor. The only
+    decision layer in the package driven by WEIGHTED FLOW — a weak
+    bottleneck between dense groups decays instead of merging them. All
+    arithmetic is exact integer micro-units (floor-div normalization:
+    Spark `div` == DuckDB `//`), so the oracle replays the rounds
+    bit-exactly. Edges: mod-31 blocked JW >= 0.78 with jw_micro as the
+    initial weights."""
+    from fel_spark.operators.mcl import mcl_clusters
+
+    edges = _er_jw_edges(spark, sf_dir, 31, 780_000, keep_score=True)
+    return mcl_clusters(edges, weight_col="jw_micro", n_iter=2)
 
 
 def q_er_canopy(spark, sf_dir):
@@ -4367,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_label_prop": q_er_label_prop,
         "er_kcore": q_er_kcore,
         "er_ktruss": q_er_ktruss,
+        "er_mcl": q_er_mcl,
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
         "er_blanc": q_er_blanc,
@@ -5373,6 +5393,79 @@ def _ktruss_oracle(rounds: int, mod: int, plen: int, thresh: int, k: int) -> str
            CAST(CASE WHEN p.r IS NULL THEN 1 ELSE 0 END AS INTEGER)
                AS in_truss
     FROM t1 e LEFT JOIN peel p ON p.a = e.a AND p.b = e.b""")
+    return "".join(parts)
+
+
+def _mcl_oracle(
+    n_iter: int, mod: int, plen: int, thresh: int, prune: int
+) -> str:
+    """Generated CTE unroll of q_er_mcl: exact-integer quantized MCL —
+    floor-div column normalization ((p * 1e6) // colsum, dropping
+    zeros), expansion as the entry-list self-join on the shared index,
+    inflation as entrywise square, pruning at ``prune`` micro after the
+    post-inflation normalize; attractor = argmax incoming flow per
+    column under (p DESC, r ASC). Mirrors mcl.py round for round."""
+    parts = [f"""WITH d AS (
+        SELECT doc_id, substr(text, 1, {plen}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                    AS BIGINT) AS w
+        FROM d a JOIN d b
+          ON a.doc_id % {mod} = b.doc_id % {mod} AND a.doc_id < b.doc_id
+        WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                   AS BIGINT) >= {thresh}
+    ),
+    sym0 AS (
+        SELECT id_a AS r, id_b AS c, w AS p FROM e0
+        UNION ALL
+        SELECT id_b AS r, id_a AS c, w AS p FROM e0
+    ),
+    m0 AS (
+        SELECT r, c, p FROM sym0
+        UNION ALL
+        SELECT c AS r, c, max(p) AS p FROM sym0 GROUP BY c
+    ),
+    n0 AS MATERIALIZED (
+        SELECT r, c, p FROM (
+            SELECT r, c,
+                   (p * 1000000)
+                   // CAST(sum(p) OVER (PARTITION BY c) AS BIGINT) AS p
+            FROM m0
+        ) t WHERE p > 0
+    )"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+    ex{k} AS (
+        SELECT l.r, rr.c, CAST(sum(l.p * rr.p) AS BIGINT) AS p
+        FROM n{k - 1} l JOIN n{k - 1} rr ON rr.r = l.c
+        GROUP BY 1, 2
+    ),
+    nx{k} AS (
+        SELECT r, c, p FROM (
+            SELECT r, c,
+                   (p * 1000000)
+                   // CAST(sum(p) OVER (PARTITION BY c) AS BIGINT) AS p
+            FROM ex{k}
+        ) t WHERE p > 0
+    ),
+    inf{k} AS (SELECT r, c, p * p AS p FROM nx{k}),
+    n{k} AS MATERIALIZED (
+        SELECT r, c, p FROM (
+            SELECT r, c,
+                   (p * 1000000)
+                   // CAST(sum(p) OVER (PARTITION BY c) AS BIGINT) AS p
+            FROM inf{k}
+        ) t WHERE p >= {prune}
+    )""")
+    parts.append(f"""
+    SELECT c AS id, r AS attractor, p AS p_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY c
+                      ORDER BY p DESC, r ASC) AS rn
+        FROM n{n_iter}
+    ) fin WHERE rn = 1""")
     return "".join(parts)
 
 
@@ -9054,6 +9147,9 @@ def oracle_sql() -> dict[str, str]:
         # (see _kcore_oracle / _ktruss_oracle)
         "er_kcore": _kcore_oracle(4, 17, 10, 800_000, 2),
         "er_ktruss": _ktruss_oracle(3, 19, 10, 800_000, 3),
+        # er_mcl: generated exact-integer quantized MCL unroll
+        # (see _mcl_oracle)
+        "er_mcl": _mcl_oracle(2, 31, 10, 780_000, 1_000),
         "er_canopy": _canopy_oracle(2, 19, 10, 700_000, 850_000),
         # er_ceaf: greedy-aligned CEAF (see _ceaf_oracle)
         "er_ceaf": _ceaf_oracle(6),
