@@ -2697,6 +2697,35 @@ def q_er_phonetic_blocking(spark, sf_dir):
     )
 
 
+def q_er_caverphone_blocks(spark, sf_dir):
+    """Caverphone 2.0 phonetic blocking key (r5,
+    `functions/phonetic.py::caverphone2_col` — Hood, "Caverphone
+    Revisited", Otago CTP150804 2004): the data-derived NZ-electoral-
+    roll phonetic code, published AS an ordered regex-replacement chain
+    — so ONE rule table drives all three renderings (Spark columns,
+    plain `re` in pytest, DuckDB SQL in this oracle), zero
+    transcription drift. Per-code block stats over every token of
+    p_name: member count, distinct surface forms folded, and the
+    quadratic candidate-pair budget the block would cost."""
+    from fel_spark.functions.phonetic import caverphone2_col
+
+    t = _t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("tok")
+    )
+    return (
+        t.select(caverphone2_col(F.col("tok")).alias("code"), "tok")
+        .filter(F.col("code").isNotNull())
+        .groupBy("code")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("tok").cast("long").alias("n_forms"),
+            (F.count("*") * (F.count("*") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4393,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ceaf": q_er_ceaf,
         "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
+        "er_caverphone_blocks": q_er_caverphone_blocks,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -5958,7 +5988,10 @@ def _pagerank_oracle(iterations: int = 3) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fel_spark.functions.phonetic import caverphone2_sql
+
     toks = _TOKS.format(c="text")
+    _cv2_sql_tok = caverphone2_sql("tok")
     oracles = {
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
@@ -8646,6 +8679,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.st_pico, 0) AS st_pico
             FROM p LEFT JOIN sums s
               ON s.id_a = p.id_a AND s.id_b = p.id_b
+        """,
+        # er_caverphone_blocks: the DuckDB rendering of the SAME
+        # Caverphone 2.0 rule table the Spark column chain folds over
+        # (phonetic.caverphone2_sql — one rule list, zero drift)
+        "er_caverphone_blocks": f"""
+            WITH t AS (
+                SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+            ),
+            coded AS (
+                SELECT {_cv2_sql_tok} AS code, tok FROM t
+            )
+            SELECT code,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_forms,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM coded WHERE code IS NOT NULL
+            GROUP BY 1
         """,
         # er_phonetic_blocking: the DuckDB replay of the identical
         # Soundex chain (generated by phonetic.soundex_sql; the Spark

@@ -110,3 +110,61 @@ def test_phonetic_block_stats_plan_one_aggregate(spark):
     )
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg (+AQE read)
+
+
+# ---------------------------------------------------------------------------
+# Caverphone 2.0
+
+
+def _py_caverphone2(s):
+    import re
+
+    from fel_spark.functions.phonetic import _CAVERPHONE2_RULES
+
+    u = re.sub(r"[^a-z]", "", s.lower())
+    if not u:
+        return None
+    x = u
+    for pat, rep in _CAVERPHONE2_RULES:
+        x = re.sub(pat, rep, x)
+    return (x + "1111111111")[:10]
+
+
+def test_caverphone2_published_vectors(spark):
+    # the two worked examples from Hood's "Caverphone Revisited" paper
+    from fel_spark.functions.phonetic import caverphone2_col
+
+    df = spark.createDataFrame(
+        [("Stevenson",), ("Thompson",)], "w string"
+    ).select("w", caverphone2_col(F.col("w")).alias("cv"))
+    got = {r["w"]: r["cv"] for r in df.collect()}
+    assert got == {"Stevenson": "STFNSN1111", "Thompson": "TMPSN11111"}
+
+
+def test_caverphone2_column_matches_python_and_sql(spark):
+    """Three renderings of the one rule table (Spark columns, plain
+    `re`, DuckDB SQL) must agree on random words + edge cases."""
+    from fel_spark.functions.phonetic import caverphone2_col, caverphone2_sql
+
+    rng = random.Random(101)
+    words = [
+        "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(300)
+    ] + ["enough", "trough", "climb", "", "42", "o'brien", "why", "yes"]
+    con = duckdb.connect()
+    duck = {
+        w: con.sql(
+            f"SELECT {caverphone2_sql('w')} FROM (SELECT ? AS w) t",
+            params=[w],
+        ).fetchone()[0]
+        for w in words
+    }
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", caverphone2_col(F.col("w")).alias("cv")
+    )
+    for r in df.collect():
+        assert r["cv"] == _py_caverphone2(r["w"]), (r["w"], r["cv"])
+        assert r["cv"] == duck[r["w"]], (r["w"], r["cv"], duck[r["w"]])
