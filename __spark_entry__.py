@@ -2726,6 +2726,30 @@ def q_er_caverphone_blocks(spark, sf_dir):
     )
 
 
+def q_er_adaptive_snm(spark, sf_dir):
+    """Adaptive sorted-neighborhood blocking (r5,
+    `operators/blocking.py::adaptive_sorted_blocks` — Yan, Lee, Kan &
+    Giles, JCDL 2007): blocks are maximal runs of the global (key, id)
+    sort order whose ADJACENT key Jaro-Winkler stays >= 0.82 — dense
+    key regions become one block regardless of size, sparse regions
+    stop wasting the fixed window's budget. Rank is the sharded
+    construction (no single-partition window); adjacency is a
+    co-partitioned rank join; the opener running-max uses the sharded
+    cumsum discipline. Keys: 12-char document-text prefixes. Oracle:
+    lag + running max over the identical order with DuckDB's native
+    JW (bit-exact vs the Spark kernel)."""
+    from fel_spark.operators.blocking import adaptive_sorted_blocks
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 12).alias("k"))
+    )
+    return adaptive_sorted_blocks(
+        d, "k", id_col="doc_id", min_sim_micro=820_000
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4423,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_caverphone_blocks": q_er_caverphone_blocks,
+        "er_adaptive_snm": q_er_adaptive_snm,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8696,6 +8721,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
             FROM coded WHERE code IS NOT NULL
             GROUP BY 1
+        """,
+        # er_adaptive_snm: global sort + lag + running max over the
+        # identical (k, rid) order, DuckDB-native JW on adjacent keys
+        "er_adaptive_snm": """
+            WITH d AS (
+                SELECT doc_id AS rid, substr(text, 1, 12) AS k
+                FROM documents WHERE length(text) > 0
+            ),
+            r AS (
+                SELECT rid, k,
+                       CAST(row_number() OVER (ORDER BY k, rid) AS BIGINT)
+                           AS rank
+                FROM d
+            ),
+            adj AS (
+                SELECT *, lag(k) OVER (ORDER BY k, rid) AS k_prev FROM r
+            ),
+            b AS (
+                SELECT *,
+                       CASE WHEN k_prev IS NULL
+                              OR CAST(round(jaro_winkler_similarity(k_prev, k)
+                                            * 1000000) AS BIGINT) < 820000
+                            THEN rank END AS sr
+                FROM adj
+            ),
+            f AS (
+                SELECT *,
+                       max(sr) OVER (ORDER BY rank
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS block_id
+                FROM b
+            )
+            SELECT rid AS id, rank,
+                   CAST(block_id AS BIGINT) AS block_id,
+                   CAST(CASE WHEN sr IS NOT NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS is_start
+            FROM f
         """,
         # er_phonetic_blocking: the DuckDB replay of the identical
         # Soundex chain (generated by phonetic.soundex_sql; the Spark

@@ -266,6 +266,34 @@ def blocking_quality(
     )
 
 
+def _sharded_global_ranks(
+    df: DataFrame, key_col, id_col: str, prefix_len: int
+) -> DataFrame:
+    """Exact global 1-based sort ranks by (key, id) WITHOUT a
+    single-partition window: ordered coarse buckets = the key's leading
+    ``prefix_len`` chars (prefix order coarsens lexicographic order),
+    dictionary-scale bucket counts cumsum'd into offsets (window over
+    the tiny aggregate only) and broadcast back, within-bucket
+    row_number windows in parallel. -> (rid, _k, _ob, rank);
+    prefix_len only changes parallelism, never the ranks. NULL keys
+    coalesce to '' (sort first)."""
+    from pyspark.sql import Window
+
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    d = df.select(F.col(id_col).alias("rid"), key.alias("_k")).withColumn(
+        "_ob", F.substring("_k", 1, prefix_len)
+    )
+    counts = d.groupBy("_ob").agg(F.count("*").alias("_c"))
+    wb = Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(wb), F.lit(0)).cast("long")
+    ).select("_ob", "_off")
+    wi = Window.partitionBy("_ob").orderBy("_k", "rid")
+    return d.join(F.broadcast(offs), "_ob").withColumn(
+        "rank", (F.col("_off") + F.row_number().over(wi)).cast("long")
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     key_col,
@@ -302,28 +330,11 @@ def sorted_neighborhood_pairs(
     Returns (id_a, id_b, rank_a, rank_b) with rank_a < rank_b. NULL
     keys sort first (coalesced to '').
     """
-    from pyspark.sql import Window
-
     if window < 2:
         raise ValueError("window must be >= 2")
     s = window - 1
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-    d = df.select(F.col(id_col).alias("rid"), key.alias("_k")).withColumn(
-        "_ob", F.substring("_k", 1, prefix_len)
-    )
-    counts = d.groupBy("_ob").agg(F.count("*").alias("_c"))
-    wb = Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.withColumn(
-        "_off", F.coalesce(F.sum("_c").over(wb), F.lit(0)).cast("long")
-    ).select("_ob", "_off")
-    wi = Window.partitionBy("_ob").orderBy("_k", "rid")
-    ranked = (
-        d.join(F.broadcast(offs), "_ob")
-        .withColumn(
-            "rank",
-            (F.col("_off") + F.row_number().over(wi)).cast("long"),
-        )
-        .withColumn("_b", F.floor((F.col("rank") - 1) / s).cast("long"))
+    ranked = _sharded_global_ranks(df, key_col, id_col, prefix_len).withColumn(
+        "_b", F.floor((F.col("rank") - 1) / s).cast("long")
     )
     left = ranked.select(
         F.col("rid").alias("id_a"),
@@ -718,4 +729,80 @@ def dynamic_block_assign(
     return (
         fits.join(best, ["_rid", "level"])
         .select(F.col("_rid").alias(id_col), "level", "block_key")
+    )
+
+
+def adaptive_sorted_blocks(
+    df: DataFrame,
+    key_col,
+    id_col: str = "record_id",
+    min_sim_micro: int = 800_000,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Adaptive sorted-neighborhood blocking (Yan, Lee, Kan & Giles,
+    "Adaptive sorted neighborhood methods for efficient record
+    linkage", JCDL 2007): where classic SNM slides a FIXED window over
+    the sort order, the adaptive variant cuts block boundaries where
+    the sorted keys themselves stop being similar — a block is a
+    maximal run of consecutive records whose ADJACENT sort-key
+    Jaro-Winkler stays >= ``min_sim_micro``. Dense key regions (many
+    variants of one name) become one block regardless of size; sparse
+    regions produce singletons instead of wasting the fixed window's
+    pair budget on unrelated neighbors.
+
+    Output: one row per record — (``id``, ``rank``, ``block_id``,
+    ``is_start``) with rank the exact global (key, id) sort rank,
+    block_id the rank of the block's first record, is_start 1 on block
+    openers (rank 1, or adjacent-key similarity below threshold).
+
+    Scale: the global rank is the SHARDED construction of
+    `sorted_neighborhood_pairs` (no single-partition window); adjacent
+    keys meet by a co-partitioned rank join (rank = rank+1), never a
+    global lag; the block-opener running max decomposes into
+    within-bucket windows + a broadcast cumulative-max over the
+    dictionary-scale bucket table — the `splits.py` sharded-cumsum
+    discipline. JW is the fuzz-proven batch kernel (bit-exact vs
+    DuckDB's native, so the driver oracle replays with lag + running
+    max over the same similarity).
+    """
+    from pyspark.sql import Window
+
+    from fel_spark.functions.sim import jaro_winkler_pudf
+
+    ranked = _sharded_global_ranks(df, key_col, id_col, prefix_len)
+    prev = ranked.select(
+        (F.col("rank") + 1).alias("rank"), F.col("_k").alias("_k_prev")
+    )
+    adj = ranked.join(prev, "rank", "left")
+    jw = F.round(
+        jaro_winkler_pudf(F.col("_k_prev"), F.col("_k")) * 1_000_000
+    ).cast("long")
+    starts = adj.withColumn(
+        "_start_rank",
+        F.when(
+            F.col("_k_prev").isNull() | (jw < F.lit(min_sim_micro)),
+            F.col("rank"),
+        ),
+    )
+    # running max of the sparse opener ranks, sharded by prefix bucket
+    wi = Window.partitionBy("_ob").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = starts.withColumn("_wmax", F.max("_start_rank").over(wi))
+    bmax = within.groupBy("_ob").agg(F.max("_start_rank").alias("_bm"))
+    wb = Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
+    prior = bmax.withColumn("_pmax", F.max("_bm").over(wb)).select(
+        "_ob", "_pmax"
+    )
+    return (
+        within.join(F.broadcast(prior), "_ob")
+        .select(
+            F.col("rid").alias("id"),
+            "rank",
+            F.greatest("_wmax", "_pmax").cast("long").alias("block_id"),
+            F.when(F.col("_start_rank").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_start"),
+        )
     )

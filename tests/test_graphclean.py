@@ -147,3 +147,82 @@ def test_graphclean_plan_no_cartesian(spark):
     for built in (triangle_support(df), k_truss(df, 3, max_rounds=1, checkpoint=False)):
         plan = built._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# adaptive sorted-neighborhood blocking (blocking.adaptive_sorted_blocks)
+
+
+def _py_adaptive(rows, t):
+    """Sequential replay: sort by (key, id), cut where adjacent-key JW
+    (DuckDB's native — bit-exact vs the Spark kernel) < t."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def jw(a, b):
+        return round(
+            con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            * 1_000_000
+        )
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    out, block, prev = {}, None, None
+    for i, (rid, k) in enumerate(order, start=1):
+        start = 1 if prev is None or jw(prev, k) < t else 0
+        if start:
+            block = i
+        out[rid] = (i, block, start)
+        prev = k
+    return out
+
+
+def test_adaptive_sorted_blocks_replay_fuzz(spark):
+    from fel_spark.operators.blocking import adaptive_sorted_blocks
+
+    rng = random.Random(89)
+    base = ["thompson", "thomson", "tohmpson", "smith", "smyth", "jones"]
+    rows = []
+    for i in range(60):
+        w = rng.choice(base)
+        if rng.random() < 0.4:
+            p = rng.randrange(len(w))
+            w = w[:p] + rng.choice("abcdefgh") + w[p + 1 :]
+        rows.append((i, w))
+    df = spark.createDataFrame(rows, "record_id long, k string")
+    got = {
+        r["id"]: (r["rank"], r["block_id"], r["is_start"])
+        for r in adaptive_sorted_blocks(
+            df, "k", min_sim_micro=880_000
+        ).collect()
+    }
+    assert got == _py_adaptive(rows, 880_000)
+
+
+def test_adaptive_sorted_blocks_prefix_len_invariant(spark):
+    from fel_spark.operators.blocking import adaptive_sorted_blocks
+
+    rng = random.Random(97)
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice("ab") for _ in range(rng.randint(1, 6))
+            ),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "record_id long, k string")
+    outs = []
+    for pl in (1, 3):
+        outs.append(
+            sorted(
+                (r["id"], r["rank"], r["block_id"], r["is_start"])
+                for r in adaptive_sorted_blocks(
+                    df, "k", min_sim_micro=900_000, prefix_len=pl
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
