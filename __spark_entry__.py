@@ -2750,6 +2750,24 @@ def q_er_adaptive_snm(spark, sf_dir):
     )
 
 
+def q_er_dup_estimate(spark, sf_dir):
+    """Sample-based duplicate-rate estimation (r5,
+    `operators/estimate.py::dup_rate_estimate` — Chao1, Chao 1984,
+    bias-corrected form; Good-Turing unseen mass, Good 1953): dedup the
+    deterministic md5(id) quarter-sample exactly, then extrapolate the
+    distinct-entity count from the duplicate-group size histogram — the
+    estimate a 100 TB run computes BEFORE paying for the full dedup
+    pass. All integer floor-division (Spark `div` == DuckDB `//`): f1^2
+    exceeds double exactness at corpus scale. Dup key: 6-char text
+    prefix; oracle replays sample, histogram and algebra verbatim."""
+    from fel_spark.operators.estimate import dup_rate_estimate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 6).alias("k")
+    )
+    return dup_rate_estimate(d, "k", id_col="doc_id")
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4448,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_phonetic_blocking": q_er_phonetic_blocking,
         "er_caverphone_blocks": q_er_caverphone_blocks,
         "er_adaptive_snm": q_er_adaptive_snm,
+        "er_dup_estimate": q_er_dup_estimate,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8721,6 +8740,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
             FROM coded WHERE code IS NOT NULL
             GROUP BY 1
+        """,
+        # er_dup_estimate: deterministic quarter-sample + group-size
+        # histogram + exact integer Chao1/Good-Turing algebra
+        "er_dup_estimate": """
+            WITH s AS (
+                SELECT doc_id, substr(text, 1, 6) AS k FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+            ),
+            g AS (SELECT k, count(*) AS sz FROM s GROUP BY 1),
+            a AS (
+                SELECT CAST(sum(sz) AS BIGINT) AS n_sampled,
+                       CAST(count(*) AS BIGINT) AS d_observed,
+                       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f1,
+                       CAST(sum(CASE WHEN sz = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f2
+                FROM g
+            )
+            SELECT n_sampled, d_observed, f1, f2,
+                   CAST(d_observed + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+                        AS BIGINT) AS chao1_hat,
+                   CAST((f1 * 1000000) // n_sampled AS BIGINT)
+                       AS unseen_mass_micro,
+                   CAST(((n_sampled - d_observed) * 1000000) // n_sampled
+                        AS BIGINT) AS dup_rate_micro
+            FROM a
         """,
         # er_adaptive_snm: global sort + lag + running max over the
         # identical (k, rid) order, DuckDB-native JW on adjacent keys
