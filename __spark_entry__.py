@@ -2768,6 +2768,37 @@ def q_er_dup_estimate(spark, sf_dir):
     return dup_rate_estimate(d, "k", id_col="doc_id")
 
 
+def q_er_lcs_scores(spark, sf_dir):
+    """LCS comparator (r5, `operators/editsim.py::lcs_scores` — Wagner
+    & Fischer 1974; Christen 2012 ch.5.6): longest-common-subsequence
+    length + normalized 2|LCS|/(|a|+|b|) similarity over mod-37 blocked
+    8-char prefix pairs. Spark side: the Arrow-batched position-pair DP
+    kernel (one vector op per (i,j) cell across the whole batch).
+    Oracle: a recursive CTE advancing one DP ROW per step via the
+    last-match identity (in-row dependency eliminated by row
+    monotonicity) — both engines run the published recurrence itself,
+    no reference implementation in between."""
+    from fel_spark.operators.editsim import lcs_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 8).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 37).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 37).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return lcs_scores(pairs, "s_a", "s_b")
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4467,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_caverphone_blocks": q_er_caverphone_blocks,
         "er_adaptive_snm": q_er_adaptive_snm,
         "er_dup_estimate": q_er_dup_estimate,
+        "er_lcs_scores": q_er_lcs_scores,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8740,6 +8772,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
             FROM coded WHERE code IS NOT NULL
             GROUP BY 1
+        """,
+        # er_lcs_scores: recursive row-DP — one DP row per recursive
+        # step; the last-match identity removes the in-row dependency
+        "er_lcs_scores": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, substr(text, 1, 8) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.s AS s_a, b.s AS s_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 37 = b.doc_id % 37 AND a.doc_id < b.doc_id
+            ),
+            pp AS (
+                SELECT id_a, id_b,
+                       string_split(s_a, '') AS a,
+                       string_split(s_b, '') AS b,
+                       length(s_a) AS alen, length(s_b) AS blen
+                FROM pr
+            ),
+            dp(id_a, id_b, i, row) AS (
+                SELECT id_a, id_b, 0,
+                       list_transform(range(0, blen + 1), x -> 0)
+                FROM pp
+                UNION ALL
+                SELECT r.id_a, r.id_b, r.i + 1,
+                       list_concat([0], list_transform(
+                           range(1, q.blen + 1),
+                           j -> greatest(
+                                    r.row[j + 1],
+                                    coalesce(list_aggregate(
+                                        list_transform(range(1, j + 1),
+                                            k -> CASE
+                                                 WHEN q.b[k] = q.a[r.i + 1]
+                                                 THEN r.row[k] + 1 END),
+                                        'max'), 0))))
+                FROM dp r
+                JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+                WHERE r.i < q.alen
+            )
+            SELECT pr.id_a, pr.id_b, pr.s_a, pr.s_b,
+                   CAST(r.row[q.blen + 1] AS BIGINT) AS lcs,
+                   CAST(CASE WHEN q.alen + q.blen = 0 THEN 1000000
+                             ELSE (2 * r.row[q.blen + 1] * 1000000)
+                                  // (q.alen + q.blen) END AS BIGINT)
+                       AS lcs_sim_micro
+            FROM dp r
+            JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+            JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b
+            WHERE r.i = q.alen
         """,
         # er_dup_estimate: deterministic quarter-sample + group-size
         # histogram + exact integer Chao1/Good-Turing algebra

@@ -414,3 +414,42 @@ def damerau_levenshtein_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
         index=a.index,
         dtype="int64",
     )
+
+
+def lcs_batch(strs_a: list[str], strs_b: list[str]) -> np.ndarray:
+    """Vectorized longest-common-subsequence LENGTH over a batch of
+    string pairs (Wagner & Fischer 1974 DP; the LCS comparator of
+    Christen 2012 ch.5.6). The DP runs over POSITION pairs (i, j) —
+    each cell update is one boolean/np.where vector op across the whole
+    batch, O(L1 * L2) NumPy ops total instead of O(rows * L1 * L2)
+    interpreted Python (the `jaro_winkler_batch` discipline). Distinct
+    padding sentinels never match, so every pair's answer sits
+    unperturbed in the final row regardless of batch max lengths."""
+    n = len(strs_a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    A, la = _code_matrix(strs_a, _PAD_A)
+    B, lb = _code_matrix(strs_b, _PAD_B)
+    L1 = int(la.max())
+    L2 = int(lb.max())
+    prev = np.zeros((L2 + 1, n), dtype=np.int64)
+    for i in range(L1):
+        cur = np.zeros_like(prev)
+        ai = A[i]
+        for j in range(L2):
+            # on a match dp[i-1][j-1] + 1 dominates both alternatives
+            cur[j + 1] = np.where(
+                B[j] == ai, prev[j] + 1, np.maximum(prev[j + 1], cur[j])
+            )
+        prev = cur
+    return prev[L2]
+
+
+@F.pandas_udf(LongType())
+def lcs_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched LCS length; kernel is :func:`lcs_batch`."""
+    return pd.Series(
+        lcs_batch(a.fillna("").tolist(), b.fillna("").tolist()),
+        index=a.index,
+        dtype="int64",
+    )

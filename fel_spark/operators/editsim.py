@@ -415,3 +415,41 @@ def numeric_date_scores(
     return out.withColumn("num_level", _level(F.col("num_sim_4dp"))).withColumn(
         "ts_level", _level(F.col("ts_sim_4dp"))
     )
+
+
+def lcs_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Longest-common-subsequence comparator (Wagner & Fischer 1974;
+    the LCS comparator of Christen 2012 ch.5.6 — order-preserving
+    subsequence overlap, the standard complement to edit distance for
+    names with dropped or inserted middles). Appends to ``pairs``:
+
+    * ``lcs`` — the LCS length (Arrow-batched position-pair DP kernel,
+      `functions/sim.py::lcs_batch`, fuzz-proven against the scalar
+      Wagner-Fischer table);
+    * ``lcs_sim_micro`` — the normalized similarity
+      ``2*|LCS| / (|a| + |b|)`` in micro units, exact integer floor
+      division (two empty strings score 1.0 by convention).
+
+    Map-only over the already-blocked candidate set — zero shuffles
+    added (the `edit_distance_scores` discipline). The driver oracle
+    replays the DP itself: a recursive CTE advances one DP ROW per
+    step using the last-match identity
+    ``dp(i,j) = max(dp(i-1,j), max_{k<=j, b_k=a_i}(dp(i-1,k-1)+1))``
+    (row-monotonicity makes the in-row dependency vanish), so both
+    engines run the same published recurrence with no third
+    implementation in between."""
+    from fel_spark.functions.sim import lcs_pudf
+
+    la = F.length(F.col(a_col))
+    lb = F.length(F.col(b_col))
+    out = pairs.withColumn("lcs", lcs_pudf(F.col(a_col), F.col(b_col)))
+    return out.withColumn(
+        "lcs_sim_micro",
+        F.when((la + lb) == 0, F.lit(1_000_000))
+        .otherwise(F.expr(f"(2 * lcs * 1000000) div (length({a_col}) + length({b_col}))"))
+        .cast("long"),
+    )

@@ -276,3 +276,51 @@ def test_soft_tfidf_replay(spark):
         assert out[(ia, ib)] == st, (ia, ib)
     # a totally-unrelated pair contributes nothing but is still emitted
     assert out[(1, 5)] == 0
+
+
+# ---------------------------------------------------------------------------
+# LCS
+
+
+def _py_lcs(a, b):
+    la, lb = len(a), len(b)
+    dp = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la):
+        for j in range(lb):
+            dp[i + 1][j + 1] = (
+                dp[i][j] + 1 if a[i] == b[j] else max(dp[i][j + 1], dp[i + 1][j])
+            )
+    return dp[la][lb]
+
+
+def test_lcs_batch_matches_wagner_fischer_fuzz():
+    import random
+
+    from fel_spark.functions.sim import lcs_batch
+
+    rng = random.Random(107)
+    pairs = [("", ""), ("a", ""), ("", "b"), ("abc", "cba")]
+    for _ in range(400):
+        pairs.append(
+            (
+                "".join(rng.choice("abcd") for _ in range(rng.randint(0, 11))),
+                "".join(rng.choice("abcd") for _ in range(rng.randint(0, 11))),
+            )
+        )
+    got = lcs_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert g == _py_lcs(a, b), (a, b)
+
+
+def test_lcs_scores_normalization(spark):
+    from fel_spark.operators.editsim import lcs_scores
+
+    rows = [(1, 2, "banana", "bandana"), (3, 4, "", ""), (5, 6, "ab", "cd")]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, s_a string, s_b string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["lcs"], r["lcs_sim_micro"])
+        for r in lcs_scores(df, "s_a", "s_b").collect()
+    }
+    assert got[(1, 2)] == (6, (2 * 6 * 1_000_000) // 13)
+    assert got[(3, 4)] == (0, 1_000_000)
+    assert got[(5, 6)] == (0, 0)
