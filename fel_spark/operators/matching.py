@@ -522,6 +522,7 @@ def label_propagation(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 3,
+    include_self: bool = False,
     checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation (Raghavan, Albert &
@@ -543,6 +544,16 @@ def label_propagation(
     unrolls); isolated vertices never appear in a symmetrized pair set
     and are the caller's to add as singletons.
 
+    ``include_self`` adds each vertex's own current label to its vote
+    (the self-inclusion variant discussed for synchronous schedules,
+    cf. Cordasco & Gargano, "Community detection via semi-synchronous
+    label propagation", 2010): an isolated EDGE under pure neighbor
+    voting swaps labels forever (each endpoint adopts the other's —
+    the 2-clique never merges); with the self vote the tie breaks to
+    the smaller label and the pair converges in one round. The
+    record-linkage plan runs this variant — dedup graphs are full of
+    2-cliques.
+
     Output: one row per vertex — (``id``, ``cluster_id``) after
     ``max_rounds`` (labels are vertex ids).
 
@@ -554,9 +565,16 @@ def label_propagation(
     sym = pairs.select(
         F.col(id_a).alias("v"), F.col(id_b).alias("w")
     ).unionByName(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("w")))
+    verts = (
+        pairs.select(F.col(id_a).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("v")))
+        .distinct()
+    )
+    if include_self:
+        sym = sym.unionByName(verts.select("v", F.col("v").alias("w")))
     if checkpoint:
         sym = sym.localCheckpoint(eager=True)
-    labels = sym.select("v").distinct().withColumn("label", F.col("v"))
+    labels = verts.withColumn("label", F.col("v"))
     wv = Window.partitionBy("v").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )

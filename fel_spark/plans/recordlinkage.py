@@ -157,21 +157,31 @@ def run_record_linkage(
     ``clusterer`` picks the pair-DECISION layer over the positive-LLR
     match edges: ``"cc"`` (transitive connected components — maximal
     recall, chains can over-merge), ``"star"`` (one-shot star
-    clustering — radius-1 clusters, chains cannot merge), or
-    ``"pivot"`` (parallel-pivot correlation clustering — radius-1 AND
-    residue re-clusters over rounds). All three return the identical
-    shape; the ``corr_objective`` aux snapshot records each run's
-    correlation-clustering disagreement count so the choice is
-    auditable."""
+    clustering — radius-1 clusters, chains cannot merge), ``"pivot"``
+    (parallel-pivot correlation clustering — radius-1 AND residue
+    re-clusters over rounds), ``"mc"`` (merge-center — stars merged
+    through shared members, center-free chains never conduct),
+    ``"lpa"`` (synchronous label propagation — plurality votes, thin
+    bridges out-voted), or ``"mcl"`` (quantized Markov clustering —
+    weighted-flow attractors; edge weight = the FS score clamped to
+    >= 1). All return the identical shape; the ``corr_objective`` aux
+    snapshot records each run's correlation-clustering disagreement
+    count so the choice is auditable."""
     from fel_spark.operators.cluster import connected_components
     from fel_spark.operators.evalmetrics import (
         cluster_edge_audit,
         correlation_objective,
     )
     from fel_spark.operators.fusion import golden_records
-    from fel_spark.operators.matching import pivot_clusters, star_clusters
+    from fel_spark.operators.matching import (
+        label_propagation,
+        merge_center_clusters,
+        pivot_clusters,
+        star_clusters,
+    )
+    from fel_spark.operators.mcl import mcl_clusters
 
-    if clusterer not in ("cc", "star", "pivot"):
+    if clusterer not in ("cc", "star", "pivot", "mc", "lpa", "mcl"):
         raise ValueError(f"unknown clusterer: {clusterer!r}")
     if pairgen not in ("plain", "blocksplit"):
         raise ValueError(f"unknown pairgen: {pairgen!r}")
@@ -223,20 +233,36 @@ def run_record_linkage(
         edges = scored.filter(F.col("fs_score_micro") > 0).select(
             F.col("id_a").cast("long").alias("src"),
             F.col("id_b").cast("long").alias("dst"),
+            F.greatest(F.col("fs_score_micro").cast("long"), F.lit(1)).alias(
+                "w"
+            ),
         )
         verts = records.select(F.col(id_col).cast("long").alias("id"))
         if clusterer == "cc":
-            assign_l = connected_components(edges, vertices=verts).select(
-                "id", F.col("component").alias("cluster_id")
-            )
+            assign_l = connected_components(
+                edges.drop("w"), vertices=verts
+            ).select("id", F.col("component").alias("cluster_id"))
         else:
-            part = (
-                star_clusters(edges, "src", "dst").select("id", "cluster_id")
-                if clusterer == "star"
-                else pivot_clusters(
+            if clusterer == "star":
+                part = star_clusters(edges, "src", "dst").select(
+                    "id", "cluster_id"
+                )
+            elif clusterer == "pivot":
+                part = pivot_clusters(
                     edges, "src", "dst", max_rounds=6
                 ).select("id", "cluster_id")
-            )
+            elif clusterer == "mc":
+                part = merge_center_clusters(edges, "src", "dst").select(
+                    "id", "cluster_id"
+                )
+            elif clusterer == "lpa":
+                part = label_propagation(
+                    edges, "src", "dst", max_rounds=4, include_self=True
+                ).select("id", "cluster_id")
+            else:  # mcl
+                part = mcl_clusters(
+                    edges, "src", "dst", weight_col="w", n_iter=3
+                ).select("id", F.col("attractor").alias("cluster_id"))
             # edge-less records never appear in the pair graph: singletons
             assign_l = verts.join(part, "id", "left").select(
                 "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")

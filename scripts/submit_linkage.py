@@ -61,11 +61,13 @@ def main() -> int:
     ap.add_argument("--em-iters", type=int, default=5)
     ap.add_argument(
         "--clusterer",
-        choices=["cc", "star", "pivot"],
+        choices=["cc", "star", "pivot", "mc", "lpa", "mcl"],
         default="cc",
         help="pair-decision layer: transitive CC (default), one-shot "
-        "star clustering, or parallel-pivot correlation clustering "
-        "(both radius-1, chain-resistant; see _aux/corr_objective)",
+        "star clustering, parallel-pivot correlation clustering, "
+        "merge-center, synchronous label propagation, or quantized "
+        "Markov clustering (see _aux/corr_objective for the "
+        "disagreement audit of each run)",
     )
     args = ap.parse_args()
 

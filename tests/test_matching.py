@@ -586,3 +586,24 @@ def test_label_propagation_bridge_does_not_merge(spark):
     left = {got[v] for v in (0, 1, 2)}
     right = {got[v] for v in (10, 11, 12)}
     assert left.isdisjoint(right), (left, right)
+
+
+def test_label_propagation_self_vote_merges_isolated_edge(spark):
+    from fel_spark.operators.matching import label_propagation
+
+    # pure neighbor voting on an isolated edge swaps labels forever —
+    # the pair NEVER merges at any even round; the self-vote variant
+    # breaks the tie to the smaller label and converges in one round.
+    df = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    pure = {
+        r["id"]: r["cluster_id"]
+        for r in label_propagation(df, max_rounds=4).collect()
+    }
+    assert pure[3] != pure[7]
+    merged = {
+        r["id"]: r["cluster_id"]
+        for r in label_propagation(
+            df, max_rounds=2, include_self=True
+        ).collect()
+    }
+    assert merged[3] == merged[7] == 3

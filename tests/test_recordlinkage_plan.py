@@ -106,7 +106,7 @@ def test_plan_clusterer_variants(spark, planted, tmp_path):
     """star and pivot decision layers: every record assigned, pairwise
     precision at least as good as CC's bar (radius-1 clusters cannot
     chain), and the corr_objective aux snapshot lands."""
-    for clusterer in ("star", "pivot"):
+    for clusterer in ("star", "pivot", "mc", "lpa", "mcl"):
         run_dir = str(tmp_path / f"run_{clusterer}")
         out = run_record_linkage(
             spark, run_dir, planted, clusterer=clusterer
