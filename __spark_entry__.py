@@ -2799,6 +2799,36 @@ def q_er_lcs_scores(spark, sf_dir):
     return lcs_scores(pairs, "s_a", "s_b")
 
 
+def q_er_smith_waterman(spark, sf_dir):
+    """Smith-Waterman local alignment comparator (r5,
+    `operators/editsim.py::smith_waterman_scores` — Smith & Waterman
+    1981, +2/-1/-1 linear-gap scoring): best local substring alignment
+    over mod-41 blocked 8-char prefix pairs, with the containment-
+    normalized micro similarity. Oracle: recursive row-DP — the in-row
+    gap dependency unrolls to a decaying prefix max
+    (max_k(base(k)+g*k) - g*j), one CTE step per DP row, running best
+    carried alongside. Both engines run the published recurrence."""
+    from fel_spark.operators.editsim import smith_waterman_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 8).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 41).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 41).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return smith_waterman_scores(pairs, "s_a", "s_b")
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4499,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_adaptive_snm": q_er_adaptive_snm,
         "er_dup_estimate": q_er_dup_estimate,
         "er_lcs_scores": q_er_lcs_scores,
+        "er_smith_waterman": q_er_smith_waterman,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8820,6 +8851,61 @@ def oracle_sql() -> dict[str, str]:
                              ELSE (2 * r.row[q.blen + 1] * 1000000)
                                   // (q.alen + q.blen) END AS BIGINT)
                        AS lcs_sim_micro
+            FROM dp r
+            JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+            JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b
+            WHERE r.i = q.alen
+        """,
+        # er_smith_waterman: recursive row-DP; in-row gap dependency
+        # removed by the decaying prefix max (base(k)+g*k, then -g*j)
+        "er_smith_waterman": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, substr(text, 1, 8) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.s AS s_a, b.s AS s_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 41 = b.doc_id % 41 AND a.doc_id < b.doc_id
+            ),
+            pp AS (
+                SELECT id_a, id_b,
+                       string_split(s_a, '') AS a,
+                       string_split(s_b, '') AS b,
+                       length(s_a) AS alen, length(s_b) AS blen
+                FROM pr
+            ),
+            dp(id_a, id_b, i, row, best) AS (
+                SELECT id_a, id_b, 0,
+                       list_transform(range(0, blen + 1), x -> 0), 0
+                FROM pp
+                UNION ALL
+                SELECT r.id_a, r.id_b, r.i + 1, nr.nrow,
+                       greatest(r.best,
+                                coalesce(list_aggregate(nr.nrow, 'max'), 0))
+                FROM dp r
+                JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b,
+                LATERAL (
+                    SELECT list_concat([0], list_transform(
+                        range(1, q.blen + 1),
+                        j -> list_aggregate(list_transform(range(1, j + 1),
+                                 k -> greatest(0,
+                                          r.row[k]
+                                          + CASE WHEN q.b[k] = q.a[r.i + 1]
+                                                 THEN 2 ELSE -1 END,
+                                          r.row[k + 1] - 1) + k),
+                             'max') - j)) AS nrow
+                ) nr
+                WHERE r.i < q.alen
+            )
+            SELECT pr.id_a, pr.id_b, pr.s_a, pr.s_b,
+                   CAST(r.best AS BIGINT) AS sw,
+                   CAST(CASE WHEN least(q.alen, q.blen) = 0 THEN 0
+                             ELSE (r.best * 1000000)
+                                  // (2 * least(q.alen, q.blen)) END
+                        AS BIGINT) AS sw_sim_micro
             FROM dp r
             JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
             JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b

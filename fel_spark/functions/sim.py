@@ -453,3 +453,56 @@ def lcs_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
         index=a.index,
         dtype="int64",
     )
+
+
+def smith_waterman_batch(
+    strs_a: list[str],
+    strs_b: list[str],
+    *,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = 1,
+) -> np.ndarray:
+    """Vectorized Smith-Waterman LOCAL alignment score (Smith &
+    Waterman, J. Mol. Biol. 1981; linear gap penalty) over a batch of
+    string pairs — the alignment comparator record linkage borrowed
+    from sequence analysis (Monge & Elkan 1996 used exactly this family
+    for field matching). Integer scoring (+match / mismatch / -gap per
+    step, floor 0), answer = max over all DP cells. Same batch
+    discipline as :func:`lcs_batch`: one vector op per (i, j) cell
+    across the whole batch; distinct padding sentinels never match, and
+    a padded row can only echo scores the true table already reached
+    (every pad cell is a gap-decayed copy of a real cell), so the
+    running max is pad-invariant."""
+    n = len(strs_a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    A, la = _code_matrix(strs_a, _PAD_A)
+    B, lb = _code_matrix(strs_b, _PAD_B)
+    L1 = int(la.max())
+    L2 = int(lb.max())
+    prev = np.zeros((L2 + 1, n), dtype=np.int64)
+    best = np.zeros(n, dtype=np.int64)
+    for i in range(L1):
+        cur = np.zeros_like(prev)
+        ai = A[i]
+        for j in range(L2):
+            sub = prev[j] + np.where(B[j] == ai, match, mismatch)
+            cur[j + 1] = np.maximum(
+                0,
+                np.maximum(sub, np.maximum(prev[j + 1] - gap, cur[j] - gap)),
+            )
+        best = np.maximum(best, cur.max(axis=0))
+        prev = cur
+    return best
+
+
+@F.pandas_udf(LongType())
+def smith_waterman_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Smith-Waterman (default +2/-1/-1 scoring); kernel
+    is :func:`smith_waterman_batch`."""
+    return pd.Series(
+        smith_waterman_batch(a.fillna("").tolist(), b.fillna("").tolist()),
+        index=a.index,
+        dtype="int64",
+    )

@@ -453,3 +453,43 @@ def lcs_scores(
         .otherwise(F.expr(f"(2 * lcs * 1000000) div (length({a_col}) + length({b_col}))"))
         .cast("long"),
     )
+
+
+def smith_waterman_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Smith-Waterman local alignment comparator (Smith & Waterman
+    1981, +2/-1/-1 integer scoring, linear gaps) — the alignment-family
+    comparator (Monge & Elkan 1996 field matching): finds the
+    best-scoring LOCAL substring alignment, so shared name cores
+    survive prefixed/suffixed junk that sinks whole-string measures.
+    Appends ``sw`` (alignment score) and ``sw_sim_micro`` =
+    ``sw / (2 * min(|a|, |b|))`` in exact-integer micro units (score of
+    a perfect containment; 0 when either side is empty).
+
+    Map-only over the blocked candidate set (the `edit_distance_scores`
+    discipline); kernel is `functions/sim.py::smith_waterman_batch`.
+    The driver oracle replays the DP ROW recurrence itself: the in-row
+    gap dependency ``H(j) = max(base(j), H(j-1) - g)`` unrolls to the
+    decaying prefix max ``max_k(base(k) + g*k) - g*j``, so one
+    recursive CTE step per row reproduces the published recurrence
+    with no third implementation in between."""
+    from fel_spark.functions.sim import smith_waterman_pudf
+
+    la = F.length(F.col(a_col))
+    lb = F.length(F.col(b_col))
+    out = pairs.withColumn(
+        "sw", smith_waterman_pudf(F.col(a_col), F.col(b_col))
+    )
+    return out.withColumn(
+        "sw_sim_micro",
+        F.when(F.least(la, lb) == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(sw * 1000000) div (2 * least(length({a_col}), length({b_col})))"
+            )
+        )
+        .cast("long"),
+    )

@@ -324,3 +324,58 @@ def test_lcs_scores_normalization(spark):
     assert got[(1, 2)] == (6, (2 * 6 * 1_000_000) // 13)
     assert got[(3, 4)] == (0, 1_000_000)
     assert got[(5, 6)] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Smith-Waterman
+
+
+def _py_sw(a, b, m=2, mm=-1, g=1):
+    la, lb = len(a), len(b)
+    h = [[0] * (lb + 1) for _ in range(la + 1)]
+    best = 0
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            s = m if a[i - 1] == b[j - 1] else mm
+            h[i][j] = max(
+                0, h[i - 1][j - 1] + s, h[i - 1][j] - g, h[i][j - 1] - g
+            )
+            best = max(best, h[i][j])
+    return best
+
+
+def test_smith_waterman_batch_matches_scalar_fuzz():
+    import random
+
+    from fel_spark.functions.sim import smith_waterman_batch
+
+    rng = random.Random(109)
+    pairs = [("", ""), ("a", ""), ("gattaca", "attac"), ("xxabcxx", "yyabcyy")]
+    for _ in range(400):
+        pairs.append(
+            (
+                "".join(rng.choice("abcd") for _ in range(rng.randint(0, 11))),
+                "".join(rng.choice("abcd") for _ in range(rng.randint(0, 11))),
+            )
+        )
+    got = smith_waterman_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert g == _py_sw(a, b), (a, b)
+
+
+def test_smith_waterman_scores_containment(spark):
+    from fel_spark.operators.editsim import smith_waterman_scores
+
+    # "abc" inside junk scores a perfect local alignment: sw = 2*3,
+    # sim = 1.0 against the shorter side
+    rows = [(1, 2, "xxabcxx", "abc"), (3, 4, "", "abc"), (5, 6, "ab", "cd")]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, s_a string, s_b string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["sw"], r["sw_sim_micro"])
+        for r in smith_waterman_scores(df, "s_a", "s_b").collect()
+    }
+    assert got[(1, 2)] == (6, 1_000_000)
+    assert got[(3, 4)] == (0, 0)
+    assert got[(5, 6)] == (0, 0)
