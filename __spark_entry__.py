@@ -3777,6 +3777,31 @@ def q_er_blanc(spark, sf_dir):
     return blanc_score(assign)
 
 
+def q_er_gmd(spark, sf_dir):
+    """Generalized Merge Distance (r5, `operators/evalmetrics.py::
+    gmd_scores` — Menestrina, Whang & Garcia-Molina, VLDB 2010): the
+    split/merge edit distance between partitions, both standard cost
+    instantiations in closed form over the one-aggregate contingency
+    table — unit costs ((C-P)+(C-G) forced operations) and pair costs
+    (= pairwise disagreements, the paper's precision/recall
+    generalization). All exact BIGINT math. Planted errors: gold =
+    doc_id % 18; pred splits every doc_id % 13 == 0 record into its own
+    singleton and merges gold clusters 0/1."""
+    from fel_spark.operators.evalmetrics import gmd_scores
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 18
+    pred = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(4000) + F.col("doc_id"))
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return gmd_scores(assign)
+
+
 def _fs_multilevel_inputs(spark, sf_dir):
     """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
@@ -4522,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_canopy": q_er_canopy,
         "er_muc": q_er_muc,
         "er_blanc": q_er_blanc,
+        "er_gmd": q_er_gmd,
         "er_ceaf": q_er_ceaf,
         "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
@@ -9576,6 +9602,45 @@ def oracle_sql() -> dict[str, str]:
                              ELSE round(2.0 * p * r / (p + r) * 1000000)
                         END AS BIGINT) AS muc_f1_micro
             FROM fin
+        """,
+        # er_gmd: closed-form split/merge algebra over the contingency
+        # table (unit costs and pair costs), all exact BIGINT
+        "er_gmd": """
+            WITH assign AS (
+                SELECT CASE WHEN doc_id % 13 = 0 THEN 4000 + doc_id
+                            WHEN doc_id % 18 < 2 THEN 0
+                            ELSE doc_id % 18 END AS pred,
+                       doc_id % 18 AS gold
+                FROM documents
+            ),
+            cells AS (
+                SELECT pred, gold, count(*) AS c FROM assign GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS cc,
+                       CAST(count(DISTINCT pred) AS BIGINT) AS p,
+                       CAST(count(DISTINCT gold) AS BIGINT) AS g,
+                       CAST(sum(c * (c - 1) / 2) AS BIGINT) AS rc
+                FROM cells
+            ),
+            lp AS (
+                SELECT CAST(sum(pn * (pn - 1) / 2) AS BIGINT) AS lp
+                FROM (SELECT sum(c) AS pn FROM cells GROUP BY pred)
+            ),
+            lg AS (
+                SELECT CAST(sum(gn * (gn - 1) / 2) AS BIGINT) AS lg
+                FROM (SELECT sum(c) AS gn FROM cells GROUP BY gold)
+            )
+            SELECT n AS n_records,
+                   p AS n_pred_clusters,
+                   g AS n_gold_clusters,
+                   cc AS n_cells,
+                   cc - p AS gmd_splits,
+                   cc - g AS gmd_merges,
+                   2 * cc - p - g AS gmd_unit,
+                   lp + lg - 2 * rc AS gmd_pair
+            FROM s CROSS JOIN lp CROSS JOIN lg
         """,
         # er_blanc: exact pair-count algebra over the contingency table;
         # float op order mirrors the Spark side (2.0*p*r/(p+r), (fc+fn)/2.0)

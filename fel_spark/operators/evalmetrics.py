@@ -551,3 +551,67 @@ def cluster_edge_audit(
         F.col("n_external").cast("long").alias("n_external"),
         (poss == F.col("n_edges")).alias("is_clique"),
     )
+
+
+def gmd_scores(
+    assign: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Generalized Merge Distance (Menestrina, Whang & Garcia-Molina,
+    "Evaluating entity resolution results", VLDB 2010): the edit
+    distance between partitions under split/merge operations — the
+    paper's "slice" algorithm turns the predicted clustering into the
+    gold one by first SPLITTING every predicted cluster into its
+    gold-pure parts, then MERGING parts per gold cluster. Two standard
+    cost instantiations, both closed-form over the same one-aggregate
+    (pred, gold) contingency table as the rest of this module:
+
+    * unit costs (f = 1 per operation): splits = C - P, merges = C - G,
+      where C = occupied contingency cells, P/G = predicted/gold
+      cluster counts — ``gmd_unit = (C - P) + (C - G)``. (The paper's
+      basic merge distance; equals the minimum operation count because
+      every split/merge is forced.)
+    * pair costs (f(x, y) = x*y): each split/merge pays the record
+      pairs it separates/joins, and GMD collapses to the PAIRWISE
+      DISAGREEMENT count — ``gmd_pair = L_p + L_g - 2*rc`` with
+      L_p/L_g = within-pred/within-gold pair counts and rc = pairs
+      co-clustered in both (Theorem: GMD generalizes pairwise
+      precision/recall, sec. 4 of the paper).
+
+    Output: one row — n_records, n_pred_clusters, n_gold_clusters,
+    n_cells, gmd_splits, gmd_merges, gmd_unit, gmd_pair. All exact
+    BIGINT math; no floats anywhere.
+    """
+    cells = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("c"))
+    s = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("cc"),
+        F.countDistinct(pred_col).cast("long").alias("p"),
+        F.countDistinct(gold_col).cast("long").alias("g"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("rc"),
+    )
+    lp = (
+        cells.groupBy(pred_col)
+        .agg(F.sum("c").alias("pn"))
+        .agg(F.sum(F.col("pn") * (F.col("pn") - 1) / 2).cast("long").alias("lp"))
+    )
+    lg = (
+        cells.groupBy(gold_col)
+        .agg(F.sum("c").alias("gn"))
+        .agg(F.sum(F.col("gn") * (F.col("gn") - 1) / 2).cast("long").alias("lg"))
+    )
+    return (
+        s.crossJoin(F.broadcast(lp))
+        .crossJoin(F.broadcast(lg))
+        .select(
+            F.col("n").alias("n_records"),
+            F.col("p").alias("n_pred_clusters"),
+            F.col("g").alias("n_gold_clusters"),
+            F.col("cc").alias("n_cells"),
+            (F.col("cc") - F.col("p")).alias("gmd_splits"),
+            (F.col("cc") - F.col("g")).alias("gmd_merges"),
+            (2 * F.col("cc") - F.col("p") - F.col("g")).alias("gmd_unit"),
+            (F.col("lp") + F.col("lg") - 2 * F.col("rc")).alias("gmd_pair"),
+        )
+    )

@@ -409,3 +409,61 @@ def test_correlation_objective_python_replay_fuzz(spark):
         assert row["n_cut"] == cut, trial
         assert row["n_missing_within"] == within_poss - within_edges, trial
         assert row["disagreements"] == cut + within_poss - within_edges
+
+
+# ---------------------------------------------------------------------------
+# Generalized Merge Distance
+
+
+def _py_gmd(pairs):
+    from collections import Counter
+    from itertools import combinations
+
+    cells = Counter(pairs)
+    preds = {p for p, _ in pairs}
+    golds = {g for _, g in pairs}
+    cc = len(cells)
+    splits = cc - len(preds)
+    merges = cc - len(golds)
+    dis = 0
+    for (pa, ga), (pb, gb) in combinations(pairs, 2):
+        if (pa == pb) != (ga == gb):
+            dis += 1
+    return splits, merges, splits + merges, dis
+
+
+def test_gmd_python_replay_fuzz(spark):
+    import random
+
+    from fel_spark.operators.evalmetrics import gmd_scores
+
+    rng = random.Random(113)
+    for trial in range(4):
+        pairs = [(rng.randint(0, 6), rng.randint(0, 5)) for _ in range(45)]
+        df = spark.createDataFrame(pairs, "pred long, gold long")
+        row = gmd_scores(df).collect()[0]
+        sp, mg, unit, dis = _py_gmd(pairs)
+        assert row["gmd_splits"] == sp, trial
+        assert row["gmd_merges"] == mg, trial
+        assert row["gmd_unit"] == unit, trial
+        assert row["gmd_pair"] == dis, trial
+
+
+def test_gmd_identical_partitions_zero(spark):
+    from fel_spark.operators.evalmetrics import gmd_scores
+
+    pairs = [(i % 4, i % 4) for i in range(20)]
+    df = spark.createDataFrame(pairs, "pred long, gold long")
+    row = gmd_scores(df).collect()[0]
+    assert row["gmd_unit"] == 0 and row["gmd_pair"] == 0
+
+
+def test_gmd_one_split_one_merge(spark):
+    from fel_spark.operators.evalmetrics import gmd_scores
+
+    # pred {a,b}{c}{d} vs gold {a,b}{c,d}: one merge, zero splits
+    pairs = [(0, 0), (0, 0), (1, 1), (2, 1)]
+    df = spark.createDataFrame(pairs, "pred long, gold long")
+    row = gmd_scores(df).collect()[0]
+    assert (row["gmd_splits"], row["gmd_merges"]) == (0, 1)
+    assert row["gmd_pair"] == 1  # the (c, d) pair joined
