@@ -3802,6 +3802,30 @@ def q_er_gmd(spark, sf_dir):
     return gmd_scores(assign)
 
 
+def q_er_info_scores(spark, sf_dir):
+    """Information-theoretic partition distances (r5,
+    `operators/evalmetrics.py::info_scores` — Meila's Variation of
+    Information, JMVA 2007 (a true metric on partitions) + mutual
+    information + max-normalized NMI, Strehl & Ghosh 2002): natural-log
+    entropies over the one-aggregate contingency table, identical
+    `ln N - (1/N) sum n ln n` op order in both engines. Planted errors:
+    gold = doc_id % 21; pred splits every doc_id % 19 == 0 record into
+    its own singleton and merges gold clusters 0/1."""
+    from fel_spark.operators.evalmetrics import info_scores
+
+    d = _t(spark, sf_dir, "documents")
+    gold = F.col("doc_id") % 21
+    pred = (
+        F.when(F.col("doc_id") % 19 == 0, F.lit(5000) + F.col("doc_id"))
+        .when(gold < 2, F.lit(0))
+        .otherwise(gold)
+    )
+    assign = d.select(
+        pred.cast("long").alias("pred"), gold.cast("long").alias("gold")
+    )
+    return info_scores(assign)
+
+
 def _fs_multilevel_inputs(spark, sf_dir):
     """Labeled pairs with GRADED agreement levels: len_level in {0,1,2}
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
@@ -4548,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_muc": q_er_muc,
         "er_blanc": q_er_blanc,
         "er_gmd": q_er_gmd,
+        "er_info_scores": q_er_info_scores,
         "er_ceaf": q_er_ceaf,
         "er_corr_objective": q_er_corr_objective,
         "er_phonetic_blocking": q_er_phonetic_blocking,
@@ -9602,6 +9627,51 @@ def oracle_sql() -> dict[str, str]:
                              ELSE round(2.0 * p * r / (p + r) * 1000000)
                         END AS BIGINT) AS muc_f1_micro
             FROM fin
+        """,
+        # er_info_scores: ln-entropy algebra over the contingency
+        # table, op order mirrored term for term (ln N - s/n)
+        "er_info_scores": """
+            WITH assign AS (
+                SELECT CASE WHEN doc_id % 19 = 0 THEN 5000 + doc_id
+                            WHEN doc_id % 21 < 2 THEN 0
+                            ELSE doc_id % 21 END AS pred,
+                       doc_id % 21 AS gold
+                FROM documents
+            ),
+            cells AS (
+                SELECT pred, gold, count(*) AS c FROM assign GROUP BY 1, 2
+            ),
+            joint AS (
+                SELECT sum(c * ln(c)) AS s_j,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM cells
+            ),
+            hp AS (
+                SELECT sum(pn * ln(pn)) AS s_p
+                FROM (SELECT sum(c) AS pn FROM cells GROUP BY pred)
+            ),
+            hg AS (
+                SELECT sum(gn * ln(gn)) AS s_g
+                FROM (SELECT sum(c) AS gn FROM cells GROUP BY gold)
+            ),
+            e AS (
+                SELECT n,
+                       ln(CAST(n AS DOUBLE)) - s_p / CAST(n AS DOUBLE) AS h_p,
+                       ln(CAST(n AS DOUBLE)) - s_g / CAST(n AS DOUBLE) AS h_g,
+                       ln(CAST(n AS DOUBLE)) - s_j / CAST(n AS DOUBLE) AS h_pg
+                FROM joint CROSS JOIN hp CROSS JOIN hg
+            ),
+            f AS (
+                SELECT n, h_p, h_g, h_p + h_g - h_pg AS mi FROM e
+            )
+            SELECT n AS n_records,
+                   CAST(round(mi * 1000000) AS BIGINT) AS mi_micro,
+                   CAST(round((h_p + h_g - 2.0 * mi) * 1000000) AS BIGINT)
+                       AS vi_micro,
+                   CAST(round(CASE WHEN greatest(h_p, h_g) = 0.0 THEN 1.0
+                                   ELSE mi / greatest(h_p, h_g) END
+                              * 1000000) AS BIGINT) AS nmi_micro
+            FROM f
         """,
         # er_gmd: closed-form split/merge algebra over the contingency
         # table (unit costs and pair costs), all exact BIGINT

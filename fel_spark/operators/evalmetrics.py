@@ -615,3 +615,60 @@ def gmd_scores(
             (F.col("lp") + F.col("lg") - 2 * F.col("rc")).alias("gmd_pair"),
         )
     )
+
+
+def info_scores(
+    assign: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Information-theoretic partition distances over the one-aggregate
+    contingency table: mutual information, Variation of Information
+    (Meila, "Comparing clusterings — an information based distance",
+    J. Multivariate Analysis 2007 — a true METRIC on partitions, unlike
+    the F-style scores), and max-normalized NMI (Strehl & Ghosh 2002
+    family; the max normalization keeps NMI <= 1 and metric-compatible:
+    1 - NMI_max is a distance).
+
+        I(P; G)  = H(P) + H(G) - H(P, G)
+        VI(P, G) = H(P) + H(G) - 2 I(P; G)
+        NMI_max  = I / max(H(P), H(G))     (1.0 when both entropies 0 —
+                                            identical trivial partitions)
+
+    Natural-log entropies via the same ``ln N - (1/N) sum n ln n`` op
+    order as :func:`vmeasure` (the SQL replay mirrors it term for
+    term). Output in micro units: n_records, mi_micro, vi_micro,
+    nmi_micro. One corpus-scale hash aggregate; everything after is
+    dictionary-scale.
+    """
+    cells = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("c"))
+    joint = cells.agg(
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("s_j"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    hp = (
+        cells.groupBy(pred_col)
+        .agg(F.sum("c").alias("pn"))
+        .agg(F.sum(F.col("pn") * F.log(F.col("pn"))).alias("s_p"))
+    )
+    hg = (
+        cells.groupBy(gold_col)
+        .agg(F.sum("c").alias("gn"))
+        .agg(F.sum(F.col("gn") * F.log(F.col("gn"))).alias("s_g"))
+    )
+    s = joint.crossJoin(F.broadcast(hp)).crossJoin(F.broadcast(hg))
+    n = F.col("n").cast("double")
+    h_p = F.log(n) - F.col("s_p") / n
+    h_g = F.log(n) - F.col("s_g") / n
+    h_pg = F.log(n) - F.col("s_j") / n
+    mi = h_p + h_g - h_pg
+    vi = h_p + h_g - F.lit(2.0) * mi
+    nmi = F.when(
+        F.greatest(h_p, h_g) == 0.0, F.lit(1.0)
+    ).otherwise(mi / F.greatest(h_p, h_g))
+    return s.select(
+        F.col("n").alias("n_records"),
+        F.round(mi * 1000000).cast("long").alias("mi_micro"),
+        F.round(vi * 1000000).cast("long").alias("vi_micro"),
+        F.round(nmi * 1000000).cast("long").alias("nmi_micro"),
+    )

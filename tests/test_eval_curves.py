@@ -467,3 +467,58 @@ def test_gmd_one_split_one_merge(spark):
     row = gmd_scores(df).collect()[0]
     assert (row["gmd_splits"], row["gmd_merges"]) == (0, 1)
     assert row["gmd_pair"] == 1  # the (c, d) pair joined
+
+
+# ---------------------------------------------------------------------------
+# VI / MI / NMI
+
+
+def _py_info(pairs):
+    from collections import Counter
+
+    n = len(pairs)
+    cells = Counter(pairs)
+    pn = Counter(p for p, _ in pairs)
+    gn = Counter(g for _, g in pairs)
+
+    def ent(counts):
+        return math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+
+    h_p, h_g, h_pg = ent(pn), ent(gn), ent(cells)
+    mi = h_p + h_g - h_pg
+    vi = h_p + h_g - 2.0 * mi
+    nmi = 1.0 if max(h_p, h_g) == 0 else mi / max(h_p, h_g)
+    return round(mi * 1e6), round(vi * 1e6), round(nmi * 1e6)
+
+
+def test_info_scores_python_replay_fuzz(spark):
+    import random
+
+    from fel_spark.operators.evalmetrics import info_scores
+
+    rng = random.Random(127)
+    for trial in range(4):
+        pairs = [(rng.randint(0, 6), rng.randint(0, 5)) for _ in range(60)]
+        row = info_scores(_assign(spark, pairs)).collect()[0]
+        mi, vi, nmi = _py_info(pairs)
+        assert row["mi_micro"] == mi, trial
+        assert row["vi_micro"] == vi, trial
+        assert row["nmi_micro"] == nmi, trial
+
+
+def test_info_scores_identical_partitions(spark):
+    from fel_spark.operators.evalmetrics import info_scores
+
+    rows = [(i % 4, i % 4) for i in range(40)]
+    row = info_scores(_assign(spark, rows)).collect()[0]
+    assert row["vi_micro"] == 0
+    assert row["nmi_micro"] == 1_000_000
+
+
+def test_info_scores_trivial_partitions(spark):
+    from fel_spark.operators.evalmetrics import info_scores
+
+    # both sides one big cluster: all entropies 0 -> NMI 1 by convention
+    rows = [(0, 0) for _ in range(10)]
+    row = info_scores(_assign(spark, rows)).collect()[0]
+    assert row["vi_micro"] == 0 and row["nmi_micro"] == 1_000_000
