@@ -2829,6 +2829,35 @@ def q_er_smith_waterman(spark, sf_dir):
     return smith_waterman_scores(pairs, "s_a", "s_b")
 
 
+def q_er_needleman_wunsch(spark, sf_dir):
+    """Needleman-Wunsch global alignment comparator (r5,
+    `operators/editsim.py::needleman_wunsch_scores` — Needleman &
+    Wunsch 1970, +2/-1/-1 linear gaps): whole-string alignment over
+    mod-43 blocked 8-char prefix pairs, normalized against the longer
+    side (junk SW forgives, NW charges). Oracle: the same recursive
+    row-DP as er_smith_waterman with the row-start boundary -g*i
+    entering the decaying prefix max as the k = 0 term."""
+    from fel_spark.operators.editsim import needleman_wunsch_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.substring("text", 1, 8).alias("s"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 43).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 43).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return needleman_wunsch_scores(pairs, "s_a", "s_b")
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4581,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_dup_estimate": q_er_dup_estimate,
         "er_lcs_scores": q_er_lcs_scores,
         "er_smith_waterman": q_er_smith_waterman,
+        "er_needleman_wunsch": q_er_needleman_wunsch,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8902,6 +8932,60 @@ def oracle_sql() -> dict[str, str]:
                              ELSE (2 * r.row[q.blen + 1] * 1000000)
                                   // (q.alen + q.blen) END AS BIGINT)
                        AS lcs_sim_micro
+            FROM dp r
+            JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+            JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b
+            WHERE r.i = q.alen
+        """,
+        # er_needleman_wunsch: recursive row-DP with the -g*i row
+        # boundary as the k = 0 term of the decaying prefix max
+        "er_needleman_wunsch": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, substr(text, 1, 8) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.s AS s_a, b.s AS s_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 43 = b.doc_id % 43 AND a.doc_id < b.doc_id
+            ),
+            pp AS (
+                SELECT id_a, id_b,
+                       string_split(s_a, '') AS a,
+                       string_split(s_b, '') AS b,
+                       length(s_a) AS alen, length(s_b) AS blen
+                FROM pr
+            ),
+            dp(id_a, id_b, i, row) AS (
+                SELECT id_a, id_b, 0,
+                       list_transform(range(0, blen + 1), x -> -x)
+                FROM pp
+                UNION ALL
+                SELECT r.id_a, r.id_b, r.i + 1,
+                       list_concat([-(r.i + 1)], list_transform(
+                           range(1, q.blen + 1),
+                           j -> list_aggregate(list_concat(
+                                    [-(r.i + 1)],
+                                    list_transform(range(1, j + 1),
+                                        k -> greatest(
+                                                 r.row[k]
+                                                 + CASE WHEN q.b[k]
+                                                             = q.a[r.i + 1]
+                                                        THEN 2 ELSE -1 END,
+                                                 r.row[k + 1] - 1) + k)),
+                                'max') - j))
+                FROM dp r
+                JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+                WHERE r.i < q.alen
+            )
+            SELECT pr.id_a, pr.id_b, pr.s_a, pr.s_b,
+                   CAST(r.row[q.blen + 1] AS BIGINT) AS nw,
+                   CAST(CASE WHEN greatest(q.alen, q.blen) = 0 THEN 1000000
+                             ELSE (greatest(r.row[q.blen + 1], 0) * 1000000)
+                                  // (2 * greatest(q.alen, q.blen)) END
+                        AS BIGINT) AS nw_sim_micro
             FROM dp r
             JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
             JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b

@@ -506,3 +506,57 @@ def smith_waterman_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
         index=a.index,
         dtype="int64",
     )
+
+
+def needleman_wunsch_batch(
+    strs_a: list[str],
+    strs_b: list[str],
+    *,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = 1,
+) -> np.ndarray:
+    """Vectorized Needleman-Wunsch GLOBAL alignment score (Needleman &
+    Wunsch, J. Mol. Biol. 1970; linear gaps, +match/mismatch/-gap) —
+    the whole-string sibling of :func:`smith_waterman_batch`: every
+    character must be aligned or gapped, so trailing junk costs where
+    SW ignores it. The answer lives at cell (|a|, |b|), so each pair's
+    score is SNAPSHOT when its own last row is computed (one
+    fancy-index per row) — padding rows computed after that never touch
+    it."""
+    n = len(strs_a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    A, la = _code_matrix(strs_a, _PAD_A)
+    B, lb = _code_matrix(strs_b, _PAD_B)
+    L1 = int(la.max())
+    L2 = int(lb.max())
+    cols = np.arange(n)
+    prev = np.outer(-gap * np.arange(L2 + 1), np.ones(n, dtype=np.int64))
+    ans = prev[lb, cols].copy()  # pairs with |a| == 0
+    for i in range(L1):
+        cur = np.empty_like(prev)
+        cur[0] = -gap * (i + 1)
+        ai = A[i]
+        for j in range(L2):
+            sub = prev[j] + np.where(B[j] == ai, match, mismatch)
+            cur[j + 1] = np.maximum(
+                sub, np.maximum(prev[j + 1] - gap, cur[j] - gap)
+            )
+        done = la == i + 1
+        if done.any():
+            ans[done] = cur[lb[done], cols[done]]
+        prev = cur
+    return ans
+
+
+@F.pandas_udf(LongType())
+def needleman_wunsch_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Needleman-Wunsch (default +2/-1/-1 scoring)."""
+    return pd.Series(
+        needleman_wunsch_batch(
+            a.fillna("").tolist(), b.fillna("").tolist()
+        ),
+        index=a.index,
+        dtype="int64",
+    )

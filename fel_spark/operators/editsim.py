@@ -493,3 +493,43 @@ def smith_waterman_scores(
         )
         .cast("long"),
     )
+
+
+def needleman_wunsch_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Needleman-Wunsch global alignment comparator (Needleman & Wunsch
+    1970, +2/-1/-1 linear gaps) — the whole-string sibling of
+    :func:`smith_waterman_scores`: every character aligns or pays a
+    gap, so the score punishes trailing junk SW ignores (use SW for
+    containment, NW for whole-field equality under edits). Appends
+    ``nw`` (alignment score; can be negative) and ``nw_sim_micro`` =
+    ``max(0, nw) / (2 * max(|a|, |b|))`` in exact-integer micro units
+    (perfect equality scores 1.0; both empty score 1.0 by convention).
+
+    Map-only past the blocked join; kernel
+    `functions/sim.py::needleman_wunsch_batch` (per-pair answers
+    snapshot at their own last DP row, so batch padding never leaks).
+    The oracle replays the row recurrence with the same decaying
+    prefix-max unroll as Smith-Waterman, the row-start boundary
+    ``-g*i`` entering as the k = 0 term."""
+    from fel_spark.functions.sim import needleman_wunsch_pudf
+
+    la = F.length(F.col(a_col))
+    lb = F.length(F.col(b_col))
+    out = pairs.withColumn(
+        "nw", needleman_wunsch_pudf(F.col(a_col), F.col(b_col))
+    )
+    return out.withColumn(
+        "nw_sim_micro",
+        F.when(F.greatest(la, lb) == 0, F.lit(1_000_000))
+        .otherwise(
+            F.expr(
+                "(greatest(nw, 0) * 1000000) div "
+                f"(2 * greatest(length({a_col}), length({b_col})))"
+            )
+        )
+        .cast("long"),
+    )

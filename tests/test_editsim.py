@@ -379,3 +379,54 @@ def test_smith_waterman_scores_containment(spark):
     assert got[(1, 2)] == (6, 1_000_000)
     assert got[(3, 4)] == (0, 0)
     assert got[(5, 6)] == (0, 0)
+
+
+def _py_nw(a, b, m=2, mm=-1, g=1):
+    la, lb = len(a), len(b)
+    h = [[0] * (lb + 1) for _ in range(la + 1)]
+    for j in range(lb + 1):
+        h[0][j] = -g * j
+    for i in range(1, la + 1):
+        h[i][0] = -g * i
+        for j in range(1, lb + 1):
+            s = m if a[i - 1] == b[j - 1] else mm
+            h[i][j] = max(
+                h[i - 1][j - 1] + s, h[i - 1][j] - g, h[i][j - 1] - g
+            )
+    return h[la][lb]
+
+
+def test_needleman_wunsch_batch_matches_scalar_fuzz():
+    import random
+
+    from fel_spark.functions.sim import needleman_wunsch_batch
+
+    rng = random.Random(131)
+    pairs = [("", ""), ("a", ""), ("", "bc"), ("same", "same")]
+    for _ in range(400):
+        pairs.append(
+            (
+                "".join(rng.choice("abcd") for _ in range(rng.randint(0, 11))),
+                "".join(rng.choice("abcd") for _ in range(rng.randint(0, 11))),
+            )
+        )
+    got = needleman_wunsch_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert g == _py_nw(a, b), (a, b)
+
+
+def test_nw_punishes_junk_sw_ignores(spark):
+    from fel_spark.operators.editsim import (
+        needleman_wunsch_scores,
+        smith_waterman_scores,
+    )
+
+    rows = [(1, 2, "xxabcxx", "abc")]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, s_a string, s_b string"
+    )
+    sw = smith_waterman_scores(df, "s_a", "s_b").collect()[0]
+    nw = needleman_wunsch_scores(df, "s_a", "s_b").collect()[0]
+    assert sw["sw_sim_micro"] == 1_000_000  # perfect containment
+    assert nw["nw"] == 2 * 3 - 4  # 3 matches, 4 gaps
+    assert nw["nw_sim_micro"] < sw["sw_sim_micro"]
