@@ -15,5 +15,11 @@ privacy-preserving encodings (pprl), collective relational evidence
 (collective), group linkage (grouplink), blocking-scheme learning
 (blockscheme), q-gram approximate string joins (qgramjoin), Swoosh
 merge-based ER (swoosh), temporal decayed-evidence linkage (temporal),
-cluster repair (cluster.repair_clusters), and active-learning
-uncertainty sampling (linkage.uncertain_pairs)."""
+cluster repair (cluster.repair_clusters), active-learning
+uncertainty sampling (linkage.uncertain_pairs), community decision
+layers (matching.merge_center_clusters / label_propagation, mcl),
+match-graph cleaning (graphclean: k-core / k-truss), sample-based
+duplicate estimation (estimate: Chao1 / Good-Turing), alignment
+comparators (editsim: LCS / Smith-Waterman / Needleman-Wunsch), and
+the completed evaluation canon (evalmetrics: + BLANC, Generalized
+Merge Distance, VI/MI/NMI)."""
