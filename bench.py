@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "er_blocksplit_pairs",
     "er_group_linkage",
     "er_collective",
+    # r5 seventh wave: the heaviest new decision layers — MCL's matrix
+    # self-join rounds and the k-truss oriented triangle peel
+    "er_mcl",
+    "er_ktruss",
     "corpus_prep_e2e",
     "record_linkage_e2e",
 ]
