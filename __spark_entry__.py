@@ -2858,6 +2858,43 @@ def q_er_needleman_wunsch(spark, sf_dir):
     return needleman_wunsch_scores(pairs, "s_a", "s_b")
 
 
+def q_er_token_ratios(spark, sf_dir):
+    """Token-sort + token-set ratios (r5, `operators/editsim.py::
+    token_sort_scores` / `token_set_scores` — the fuzzywuzzy/RapidFuzz
+    comparator family): word-order-insensitive (sorted dedup'd tokens
+    then Levenshtein) and subset-forgiving (max over the t0/t1/t2
+    common-core comparisons) name similarities, pure columns, map-only.
+    Pairs: mod-47 blocked 5-token document-text prefixes. Oracle:
+    identical list algebra with DuckDB's native levenshtein — two
+    engine-native DPs on identically reconstructed strings."""
+    from fel_spark.operators.editsim import token_set_scores, token_sort_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 5), " "
+            ).alias("s"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        (F.col("doc_id") % 47).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        (F.col("doc_id") % 47).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return token_set_scores(
+        token_sort_scores(pairs, "s_a", "s_b"), "s_a", "s_b"
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4611,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_lcs_scores": q_er_lcs_scores,
         "er_smith_waterman": q_er_smith_waterman,
         "er_needleman_wunsch": q_er_needleman_wunsch,
+        "er_token_ratios": q_er_token_ratios,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8936,6 +8974,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
             JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b
             WHERE r.i = q.alen
+        """,
+        # er_token_ratios: identical list algebra, DuckDB-native
+        # levenshtein on identically reconstructed strings
+        "er_token_ratios": """
+            WITH d AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 5),
+                           ' ') AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.s AS s_a, b.s AS s_b
+                FROM d a JOIN d b
+                  ON a.doc_id % 47 = b.doc_id % 47 AND a.doc_id < b.doc_id
+            ),
+            tk AS (
+                SELECT *,
+                       list_sort(list_distinct(list_filter(
+                           string_split(lower(s_a), ' '),
+                           t -> t != ''))) AS ta,
+                       list_sort(list_distinct(list_filter(
+                           string_split(lower(s_b), ' '),
+                           t -> t != ''))) AS tb
+                FROM pr
+            ),
+            parts AS (
+                SELECT *,
+                       array_to_string(ta, ' ') AS ka,
+                       array_to_string(tb, ' ') AS kb,
+                       list_sort(list_filter(ta,
+                           t -> list_contains(tb, t))) AS inter,
+                       list_sort(list_filter(ta,
+                           t -> NOT list_contains(tb, t))) AS onlya,
+                       list_sort(list_filter(tb,
+                           t -> NOT list_contains(ta, t))) AS onlyb
+                FROM tk
+            ),
+            strs AS (
+                SELECT *,
+                       array_to_string(inter, ' ') AS t0,
+                       array_to_string(list_concat(inter, onlya), ' ')
+                           AS t1,
+                       array_to_string(list_concat(inter, onlyb), ' ')
+                           AS t2
+                FROM parts
+            )
+            SELECT id_a, id_b, s_a, s_b,
+                   CAST(CASE WHEN greatest(length(ka), length(kb)) = 0
+                             THEN 1000000
+                             ELSE round((1.0 - levenshtein(ka, kb)
+                                         / greatest(length(ka), length(kb)))
+                                        * 1000000) END AS BIGINT)
+                       AS token_sort_sim_micro,
+                   CAST(greatest(
+                       CASE WHEN greatest(length(t0), length(t1)) = 0
+                            THEN 1000000
+                            ELSE round((1.0 - levenshtein(t0, t1)
+                                        / greatest(length(t0), length(t1)))
+                                       * 1000000) END,
+                       CASE WHEN greatest(length(t0), length(t2)) = 0
+                            THEN 1000000
+                            ELSE round((1.0 - levenshtein(t0, t2)
+                                        / greatest(length(t0), length(t2)))
+                                       * 1000000) END,
+                       CASE WHEN greatest(length(t1), length(t2)) = 0
+                            THEN 1000000
+                            ELSE round((1.0 - levenshtein(t1, t2)
+                                        / greatest(length(t1), length(t2)))
+                                       * 1000000) END) AS BIGINT)
+                       AS token_set_sim_micro
+            FROM strs
         """,
         # er_needleman_wunsch: recursive row-DP with the -g*i row
         # boundary as the k = 0 term of the decaying prefix max

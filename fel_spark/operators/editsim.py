@@ -533,3 +533,78 @@ def needleman_wunsch_scores(
         )
         .cast("long"),
     )
+
+
+def _lev_sim_micro(a: Column, b: Column) -> Column:
+    """Levenshtein similarity 1 - dist/max(|a|, |b|) in micro units
+    (1.0 when both empty) — Spark-native levenshtein vs DuckDB-native
+    in the oracle: two engine implementations of the published DP."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return (
+        F.when(mx == 0, F.lit(1_000_000))
+        .otherwise(
+            F.round((F.lit(1.0) - F.levenshtein(a, b) / mx) * 1_000_000)
+        )
+        .cast("long")
+    )
+
+
+def _token_arrays(a_col: str, b_col: str) -> tuple[Column, Column]:
+    def toks(c):
+        return F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(c)), " "), lambda x: x != ""
+                )
+            )
+        )
+
+    return toks(a_col), toks(b_col)
+
+
+def token_sort_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Token-sort ratio (the fuzzywuzzy/RapidFuzz comparator family,
+    itself the classic "sorted tokens then edit distance" trick for
+    word-order-insensitive name matching — "meyer, jonathan" vs
+    "jonathan meyer"): lowercase, split, DEDUP + SORT the tokens,
+    rejoin, then Levenshtein similarity. Appends
+    ``token_sort_sim_micro``. Map-only pure columns — no UDF; both
+    engines run their native levenshtein on identically reconstructed
+    strings."""
+    ta, tb = _token_arrays(a_col, b_col)
+    return pairs.withColumn(
+        "token_sort_sim_micro",
+        _lev_sim_micro(F.array_join(ta, " "), F.array_join(tb, " ")),
+    )
+
+
+def token_set_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Token-set ratio (same family): with t0 = sorted common tokens,
+    t1 = t0 + sorted a-only tokens, t2 = t0 + sorted b-only tokens,
+    score = max of the three pairwise Levenshtein similarities — a
+    subset listing ("jonathan meyer" vs "dr jonathan meyer phd") scores
+    1.0 because t0 vs t1 compares the common core against itself.
+    Appends ``token_set_sim_micro``. Pure columns, map-only."""
+    ta, tb = _token_arrays(a_col, b_col)
+    inter = F.array_sort(F.array_intersect(ta, tb))
+    only_a = F.array_sort(F.array_except(ta, tb))
+    only_b = F.array_sort(F.array_except(tb, ta))
+    t0 = F.array_join(inter, " ")
+    t1 = F.array_join(F.concat(inter, only_a), " ")
+    t2 = F.array_join(F.concat(inter, only_b), " ")
+    return pairs.withColumn(
+        "token_set_sim_micro",
+        F.greatest(
+            _lev_sim_micro(t0, t1),
+            _lev_sim_micro(t0, t2),
+            _lev_sim_micro(t1, t2),
+        ),
+    )

@@ -430,3 +430,95 @@ def test_nw_punishes_junk_sw_ignores(spark):
     assert sw["sw_sim_micro"] == 1_000_000  # perfect containment
     assert nw["nw"] == 2 * 3 - 4  # 3 matches, 4 gaps
     assert nw["nw_sim_micro"] < sw["sw_sim_micro"]
+
+
+# ---------------------------------------------------------------------------
+# token-sort / token-set ratios
+
+
+def _py_lev(a, b):
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(
+                dp[j] + 1,
+                dp[j - 1] + 1,
+                prev + (a[i - 1] != b[j - 1]),
+            )
+            prev, dp[j] = dp[j], cur
+    return dp[lb]
+
+
+def _py_lev_sim(a, b):
+    mx = max(len(a), len(b))
+    return 1_000_000 if mx == 0 else round((1.0 - _py_lev(a, b) / mx) * 1e6)
+
+
+def _py_token_sort(a, b):
+    sa = " ".join(sorted(set(t for t in a.lower().split(" ") if t)))
+    sb = " ".join(sorted(set(t for t in b.lower().split(" ") if t)))
+    return _py_lev_sim(sa, sb)
+
+
+def _py_token_set(a, b):
+    ta = set(t for t in a.lower().split(" ") if t)
+    tb = set(t for t in b.lower().split(" ") if t)
+    t0 = " ".join(sorted(ta & tb))
+    t1 = " ".join(sorted(ta & tb) + sorted(ta - tb))
+    t2 = " ".join(sorted(ta & tb) + sorted(tb - ta))
+    return max(
+        _py_lev_sim(t0, t1), _py_lev_sim(t0, t2), _py_lev_sim(t1, t2)
+    )
+
+
+def test_token_ratios_replay_fuzz(spark):
+    import random
+
+    from fel_spark.operators.editsim import token_set_scores, token_sort_scores
+
+    rng = random.Random(137)
+    words = ["jonathan", "meyer", "dr", "phd", "van", "der", "berg", "j"]
+    rows = []
+    for i in range(40):
+        na = " ".join(rng.choice(words) for _ in range(rng.randint(0, 4)))
+        nb = " ".join(rng.choice(words) for _ in range(rng.randint(0, 4)))
+        rows.append((i, i + 1000, na, nb))
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, s_a string, s_b string"
+    )
+    srt = {
+        r["id_a"]: r["token_sort_sim_micro"]
+        for r in token_sort_scores(df, "s_a", "s_b").collect()
+    }
+    st = {
+        r["id_a"]: r["token_set_sim_micro"]
+        for r in token_set_scores(df, "s_a", "s_b").collect()
+    }
+    for i, _, na, nb in rows:
+        assert srt[i] == _py_token_sort(na, nb), (na, nb)
+        assert st[i] == _py_token_set(na, nb), (na, nb)
+
+
+def test_token_ratios_canonical_cases(spark):
+    from fel_spark.operators.editsim import token_set_scores, token_sort_scores
+
+    rows = [
+        (1, 2, "meyer, jonathan".replace(",", ""), "jonathan meyer"),
+        (3, 4, "jonathan meyer", "dr jonathan meyer phd"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, s_a string, s_b string"
+    )
+    srt = {
+        r["id_a"]: r["token_sort_sim_micro"]
+        for r in token_sort_scores(df, "s_a", "s_b").collect()
+    }
+    st = {
+        r["id_a"]: r["token_set_sim_micro"]
+        for r in token_set_scores(df, "s_a", "s_b").collect()
+    }
+    assert srt[1] == 1_000_000  # word order vanishes under token sort
+    assert st[3] == 1_000_000  # subset listing is perfect under token set
+    assert srt[3] < 1_000_000  # ...but not under token sort
