@@ -2895,6 +2895,23 @@ def q_er_token_ratios(spark, sf_dir):
     )
 
 
+def q_doc_text_tiles(spark, sf_dir):
+    """TextTiling topic segmentation (r5, `operators/segmentation.py::
+    text_tiles` — Hearst, CL 1997): token-sequence blocks (w=20), k=2
+    block comparison per gap, hp=3 peak windows, per-document
+    mean + sd/2 boundary threshold — the cohesion-aware episode
+    splitter for long transcripts/documents ahead of chunking. Exact
+    integer block vectors; the cos/threshold float chains are pinned
+    IEEE op orders replayed verbatim by the oracle (round = half-away
+    in both engines). The last partial token-sequence feeds only RIGHT
+    blocks (the descending-sequence leak is regression-tested)."""
+    from fel_spark.operators.segmentation import text_tiles
+
+    return text_tiles(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", w=20, k=2, hp=3
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4649,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_smith_waterman": q_er_smith_waterman,
         "er_needleman_wunsch": q_er_needleman_wunsch,
         "er_token_ratios": q_er_token_ratios,
+        "doc_text_tiles": q_doc_text_tiles,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -8975,6 +8993,108 @@ def oracle_sql() -> dict[str, str]:
             JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b
             WHERE r.i = q.alen
         """,
+        # doc_text_tiles: full TextTiling replay — zipped unnest for
+        # positions, gap fan-out via range(), windowed peak maxima,
+        # per-doc mean + sd/2 threshold with the pinned float op order
+        "doc_text_tiles": f"""
+            WITH tk AS (
+                SELECT doc_id AS id,
+                       unnest({{toks}}) AS tok,
+                       unnest(range(0, len({{toks}}))) AS pos
+                FROM documents
+            ),
+            sq AS (
+                SELECT id, pos // 20 AS seq, tok FROM tk
+            ),
+            cnt AS (
+                SELECT id, seq, tok, count(*) AS c
+                FROM sq GROUP BY 1, 2, 3
+            ),
+            ns AS (
+                SELECT id, max(seq) + 1 AS n_seq FROM cnt GROUP BY 1
+            ),
+            cc AS (
+                SELECT cnt.*, ns.n_seq, ns.n_seq - 2 AS last_gap
+                FROM cnt JOIN ns USING (id)
+                WHERE ns.n_seq >= 2
+            ),
+            lft AS (
+                SELECT id, gap, tok, CAST(sum(c) AS BIGINT) AS l
+                FROM (
+                    SELECT id, tok, c,
+                           unnest(range(seq, least(seq + 1, last_gap) + 1))
+                               AS gap
+                    FROM cc WHERE seq <= last_gap
+                ) t GROUP BY 1, 2, 3
+            ),
+            rgt AS (
+                SELECT id, gap, tok, CAST(sum(c) AS BIGINT) AS r
+                FROM (
+                    SELECT id, tok, c,
+                           unnest(range(greatest(seq - 2, 0), seq)) AS gap
+                    FROM cc WHERE seq >= 1
+                ) t GROUP BY 1, 2, 3
+            ),
+            l2 AS (
+                SELECT id, gap, CAST(sum(l * l) AS BIGINT) AS l2
+                FROM lft GROUP BY 1, 2
+            ),
+            r2 AS (
+                SELECT id, gap, CAST(sum(r * r) AS BIGINT) AS r2
+                FROM rgt GROUP BY 1, 2
+            ),
+            dt AS (
+                SELECT lft.id, lft.gap,
+                       CAST(sum(lft.l * rgt.r) AS BIGINT) AS dot
+                FROM lft JOIN rgt
+                  ON rgt.id = lft.id AND rgt.gap = lft.gap
+                 AND rgt.tok = lft.tok
+                GROUP BY 1, 2
+            ),
+            gaps AS (
+                SELECT l2.id, l2.gap,
+                       CAST(round(coalesce(dt.dot, 0)
+                                  / sqrt(l2.l2 * r2.r2) * 1000000)
+                            AS BIGINT) AS cos_micro
+                FROM l2
+                JOIN r2 ON r2.id = l2.id AND r2.gap = l2.gap
+                LEFT JOIN dt ON dt.id = l2.id AND dt.gap = l2.gap
+            ),
+            dep AS (
+                SELECT id, gap, cos_micro,
+                       CAST((max(cos_micro) OVER (PARTITION BY id
+                                 ORDER BY gap ROWS BETWEEN 3 PRECEDING
+                                 AND CURRENT ROW) - cos_micro)
+                            + (max(cos_micro) OVER (PARTITION BY id
+                                 ORDER BY gap ROWS BETWEEN CURRENT ROW
+                                 AND 3 FOLLOWING) - cos_micro)
+                            AS BIGINT) AS depth_micro
+                FROM gaps
+            ),
+            st AS (
+                SELECT id,
+                       CAST(sum(depth_micro) AS BIGINT) AS s,
+                       CAST(sum(depth_micro * depth_micro) AS BIGINT)
+                           AS sqs,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM dep GROUP BY 1
+            ),
+            thr AS (
+                SELECT id,
+                       CAST(round(s / CAST(n AS DOUBLE)
+                            + 0.5 * sqrt(greatest(
+                                  sqs / CAST(n AS DOUBLE)
+                                  - (s / CAST(n AS DOUBLE))
+                                    * (s / CAST(n AS DOUBLE)), 0.0)))
+                            AS BIGINT) AS threshold_micro
+                FROM st
+            )
+            SELECT dep.id, dep.gap, dep.cos_micro, dep.depth_micro,
+                   thr.threshold_micro,
+                   CAST(CASE WHEN dep.depth_micro > thr.threshold_micro
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_boundary
+            FROM dep JOIN thr USING (id)
+        """.format(toks=_TOKS.format(c='text')),
         # er_token_ratios: identical list algebra, DuckDB-native
         # levenshtein on identically reconstructed strings
         "er_token_ratios": """
