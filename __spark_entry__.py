@@ -2912,6 +2912,42 @@ def q_doc_text_tiles(spark, sf_dir):
     )
 
 
+def q_conv_near_dup(spark, sf_dir):
+    """NEAR-duplicate conversation detection (r5,
+    `operators/convstats.py::conversation_near_dup`): conversations as
+    SETS of turn fingerprints (md5 of turn text — order-free, so
+    replayed sessions with reordered identical turns still match),
+    MinHash-LSH candidate pairs, exact turn-set Jaccard verify. Input
+    plants real near-dups: every events conversation (turn text =
+    event_type:props) is re-ingested under conv_id + 100000 with the
+    ~15/16 deterministic md5(event_id) subset — the replayed-session
+    shape exact conversation dedup (conv_exact_dedup) misses entirely.
+    Parity probe: md5_hash60 signatures, salt cap disabled (the
+    minhash_pairs_md5 convention); the oracle replays fingerprints,
+    signature minima, band keys, bucket join and the verify."""
+    from fel_spark.functions.hashing import md5_hash60
+    from fel_spark.operators.convstats import conversation_near_dup
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").alias("conv_id"),
+        F.concat_ws(
+            ":", F.coalesce("event_type", F.lit("")), F.coalesce("props", F.lit(""))
+        ).alias("text"),
+        "event_id",
+    )
+    replay = base.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) != "f"
+    ).select((F.col("conv_id") + 100_000).alias("conv_id"), "text")
+    t = base.select("conv_id", "text").unionByName(replay)
+    return conversation_near_dup(
+        t,
+        min_jaccard_4dp=5_000,
+        hash_fn=md5_hash60,
+        max_block=1_000_000_000,
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4667,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_needleman_wunsch": q_er_needleman_wunsch,
         "er_token_ratios": q_er_token_ratios,
         "doc_text_tiles": q_doc_text_tiles,
+        "conv_near_dup": q_conv_near_dup,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -9095,6 +9132,58 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS INTEGER) AS is_boundary
             FROM dep JOIN thr USING (id)
         """.format(toks=_TOKS.format(c='text')),
+        # conv_near_dup: full LSH replay at conversation granularity —
+        # planted replays, md5 turn fingerprints, signature minima,
+        # (band, joined-minima) bucket equality, exact set Jaccard
+        "conv_near_dup": """
+            WITH base AS (
+                SELECT user_id AS cid,
+                       concat_ws(':', coalesce(event_type, ''),
+                                 coalesce(props, '')) AS text,
+                       event_id
+                FROM events
+            ),
+            allc AS (
+                SELECT cid, text FROM base
+                UNION ALL
+                SELECT cid + 100000, text FROM base
+                WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) != 'f'
+            ),
+            tf AS (SELECT DISTINCT cid, md5(text) AS th FROM allc),
+            hs AS (
+                SELECT cid, s,
+                       min(CAST(('0x' || substr(md5((4242 + s) || ':' || th),
+                                               1, 15)) AS BIGINT)) AS mh
+                FROM tf, generate_series(0, 7) ss(s)
+                GROUP BY cid, s
+            ),
+            bk AS (
+                SELECT cid, s // 2 AS band,
+                       string_agg(CAST(mh AS VARCHAR), '_' ORDER BY s)
+                           AS key
+                FROM hs GROUP BY cid, s // 2
+            ),
+            cand AS (
+                SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+                FROM bk a JOIN bk b
+                  ON a.band = b.band AND a.key = b.key AND a.cid < b.cid
+            ),
+            sets AS (
+                SELECT cid, list_distinct(list(th)) AS ths
+                FROM tf GROUP BY cid
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(floor(len(list_intersect(sa.ths, sb.ths)) * 10000.0
+                        / (len(sa.ths) + len(sb.ths)
+                           - len(list_intersect(sa.ths, sb.ths))))
+                        AS BIGINT) AS jaccard_4dp
+            FROM cand c
+            JOIN sets sa ON sa.cid = c.id_a
+            JOIN sets sb ON sb.cid = c.id_b
+            WHERE floor(len(list_intersect(sa.ths, sb.ths)) * 10000.0
+                  / (len(sa.ths) + len(sb.ths)
+                     - len(list_intersect(sa.ths, sb.ths)))) >= 5000
+        """,
         # er_token_ratios: identical list algebra, DuckDB-native
         # levenshtein on identically reconstructed strings
         "er_token_ratios": """

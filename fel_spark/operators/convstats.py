@@ -208,3 +208,80 @@ def conversation_dedup(
         F.count("*").over(w).alias("dup_group_size"),
         (F.col(conv_col) == F.min(conv_col).over(w)).alias("is_canonical"),
     )
+
+
+def conversation_near_dup(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard_4dp: int = 5_000,
+    max_block: int = 200,
+    hash_fn=None,
+) -> DataFrame:
+    """NEAR-duplicate conversation detection: re-ingested or replayed
+    sessions that drop/gain a few turns escape
+    :func:`conversation_dedup`'s exact fingerprint — here each
+    conversation becomes the SET of its distinct turn fingerprints
+    (md5 of turn text; order-free on purpose — a replay that reorders
+    identical turns is still the same session), MinHash-LSH proposes
+    candidate conversation pairs (`functions/hashing.py` explode +
+    min-aggregate signatures, banded keys, salt-capped bucket join —
+    the `dedup.py` discipline at conversation granularity), and exact
+    turn-set Jaccard verifies. Output: (``id_a``, ``id_b``,
+    ``jaccard_4dp``) pairs at or above ``min_jaccard_4dp``.
+
+    ``hash_fn``: signature hash — default xxhash64 (codegen scale
+    path); pass `hashing.md5_hash60` for the ANSI-replayable parity
+    variant the driver oracle value-checks.
+
+    Scale: the corpus-sized work is one distinct + one explode/min-agg
+    (map-side combined to ``num_hashes`` longs per conversation); the
+    bucket self-join is salt-capped; the verify join carries only the
+    candidate pairs. Nothing pair-scale before LSH."""
+    from fel_spark.functions.hashing import lsh_band_keys, minhash_signatures_df
+    from fel_spark.operators.blocking import cap_blocks
+
+    rows_per_band = num_hashes // bands
+    tf = transcripts.select(
+        F.col(conv_col).alias("cid"),
+        F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("string")).alias(
+            "th"
+        ),
+    ).distinct()
+    sets = tf.groupBy("cid").agg(
+        F.array_sort(F.collect_set("th")).alias("ths")
+    )
+    with_sig = minhash_signatures_df(
+        sets, F.col("ths"), ["cid"], num_hashes, hash_fn=hash_fn
+    )
+    banded = with_sig.withColumn(
+        "block_key",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)),
+    ).select("cid", "block_key")
+    blocked = cap_blocks(banded, max_block=max_block, salt_col="cid")
+    a = blocked.select(F.col("cid").alias("id_a"), "block_key")
+    b = blocked.select(F.col("cid").alias("id_b"), "block_key")
+    cand = (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("cid").alias("id_a"), F.col("ths").alias("ths_a"))
+    sb = sets.select(F.col("cid").alias("id_b"), F.col("ths").alias("ths_b"))
+    inter = F.size(F.array_intersect(F.col("ths_a"), F.col("ths_b")))
+    union = F.size(F.col("ths_a")) + F.size(F.col("ths_b")) - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(inter * 10_000.0 / union).cast("long").alias(
+                "jaccard_4dp"
+            ),
+        )
+        .filter(F.col("jaccard_4dp") >= min_jaccard_4dp)
+    )

@@ -172,3 +172,35 @@ def test_conversation_dedup_separator_injection(spark):
     out = {r["conv_id"]: r for r in conversation_dedup(df).collect()}
     assert out["a"]["conv_fp"] != out["b"]["conv_fp"]
     assert out["a"]["dup_group_size"] == 1 and out["b"]["dup_group_size"] == 1
+
+
+def test_conversation_near_dup_planted(spark):
+    from fel_spark.operators.convstats import conversation_near_dup
+
+    # conv 1 (10 turns) and conv 2 (9 shared + 2 extra = 11 turns):
+    # J = 9/12 = 0.75; conv 3 unrelated. Exact dedup misses 1~2 entirely.
+    rows = []
+    for t in range(10):
+        rows.append((1, f"turn-{t}"))
+    for t in range(1, 10):
+        rows.append((2, f"turn-{t}"))
+    rows += [(2, "extra-a"), (2, "extra-b")]
+    rows += [(3, f"other-{t}") for t in range(10)]
+    df = spark.createDataFrame(rows, "conv_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_4dp"]
+        for r in conversation_near_dup(df, min_jaccard_4dp=5000).collect()
+    }
+    assert got == {(1, 2): 9 * 10_000 // 12}
+
+
+def test_conversation_near_dup_order_free(spark):
+    from fel_spark.operators.convstats import conversation_near_dup
+
+    # same turn SET in different order/multiplicity is jaccard 1.0
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "c"), (2, "b"), (2, "a"), (2, "a")]
+    df = spark.createDataFrame(rows, "conv_id long, text string")
+    got = conversation_near_dup(df, min_jaccard_4dp=9000).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_4dp"]) for r in got] == [
+        (1, 2, 10_000)
+    ]
