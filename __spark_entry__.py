@@ -2948,6 +2948,36 @@ def q_conv_near_dup(spark, sf_dir):
     )
 
 
+def q_conv_tool_loops(spark, sf_dir):
+    """Agent-loop detection (r5, `operators/convstats.py::tool_loops`):
+    periodic tool-call cycles per conversation — lag-p self-comparison
+    (p = 1..4) + gaps-and-islands runs; a run of length L at period p
+    means the cycle played L div p + 1 times. The hygiene gate that
+    keeps stuck-agent sessions out of training data. Same
+    events->transcript derivation as conv_integrity (tool =
+    event_type); unique event_id makes the rank key total, so run
+    structure is deterministic. Oracle: generated per-period
+    lag-join/island unroll with the identical best-period argmax."""
+    from fel_spark.operators.convstats import tool_loops
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.coalesce(F.col("event_id"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("event_type"), F.lit("")),
+    )
+    t = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("turn_idx", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "turn_idx",
+            F.col("event_type").alias("tool"),
+        )
+    )
+    return tool_loops(t)
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4704,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_token_ratios": q_er_token_ratios,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
+        "conv_tool_loops": q_conv_tool_loops,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -5778,6 +5809,72 @@ def _mcl_oracle(
         FROM n{n_iter}
     ) fin WHERE rn = 1""")
     return "".join(parts)
+
+
+def _tool_loops_oracle(max_period: int, min_reps: int) -> str:
+    """Generated replay of q_conv_tool_loops: the conv_integrity rank
+    key, per-period lag self-join + gaps-and-islands longest run, and
+    the (reps DESC, period ASC) best-period argmax."""
+    per = []
+    for p in range(1, max_period + 1):
+        per.append(f"""
+            SELECT cid, {p} AS period, max(run) AS longest_run,
+                   max(run) // {p} + 1 AS reps
+            FROM (
+                SELECT cid, count(*) AS run
+                FROM (
+                    SELECT e.cid,
+                           e.pos - row_number() OVER (PARTITION BY e.cid
+                               ORDER BY e.pos) AS isl
+                    FROM (
+                        SELECT a.cid, a.pos
+                        FROM pos a JOIN pos b
+                          ON b.cid = a.cid AND b.pos = a.pos - {p}
+                         AND b.tool = a.tool
+                    ) e
+                ) i GROUP BY cid, isl
+            ) r GROUP BY cid""")
+    union = "\n            UNION ALL ".join(per)
+    return f"""
+            WITH t AS (
+                SELECT user_id AS cid,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts ASC NULLS LAST,
+                                    coalesce(event_id,
+                                             -4611686018427387904),
+                                    coalesce(event_type, '')) AS ti,
+                       event_type AS tool
+                FROM events
+            ),
+            calls AS (
+                SELECT cid, ti, tool FROM t
+                WHERE coalesce(tool, '') != ''
+            ),
+            pos AS (
+                SELECT cid, tool,
+                       row_number() OVER (PARTITION BY cid ORDER BY ti)
+                           AS pos
+                FROM calls
+            ),
+            convs AS (
+                SELECT cid FROM pos GROUP BY cid HAVING count(*) >= 2
+            ),
+            best AS ({union}),
+            top AS (
+                SELECT cid, period, longest_run, reps FROM (
+                    SELECT *, row_number() OVER (PARTITION BY cid
+                        ORDER BY reps DESC, period ASC) AS rn
+                    FROM best
+                ) b WHERE rn = 1
+            )
+            SELECT convs.cid AS conv_id,
+                   CAST(coalesce(top.period, 0) AS INTEGER) AS period,
+                   CAST(coalesce(top.longest_run, 0) AS BIGINT)
+                       AS longest_run,
+                   CAST(coalesce(top.reps, 0) AS BIGINT) AS reps,
+                   CAST(CASE WHEN coalesce(top.reps, 0) >= {min_reps}
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_loop
+            FROM convs LEFT JOIN top ON top.cid = convs.cid"""
 
 
 def _canopy_oracle(
@@ -9132,6 +9229,9 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS INTEGER) AS is_boundary
             FROM dep JOIN thr USING (id)
         """.format(toks=_TOKS.format(c='text')),
+        # conv_tool_loops: generated per-period lag/island unroll
+        # (see _tool_loops_oracle)
+        "conv_tool_loops": _tool_loops_oracle(4, 3),
         # conv_near_dup: full LSH replay at conversation granularity —
         # planted replays, md5 turn fingerprints, signature minima,
         # (band, joined-minima) bucket equality, exact set Jaccard

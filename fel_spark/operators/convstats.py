@@ -285,3 +285,98 @@ def conversation_near_dup(
         )
         .filter(F.col("jaccard_4dp") >= min_jaccard_4dp)
     )
+
+
+def tool_loops(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+    max_period: int = 4,
+    min_reps: int = 3,
+) -> DataFrame:
+    """Agent-LOOP detection: an agent stuck retrying cycles the same
+    tool sequence (`act -> observe -> act ...`) — the conversation-level
+    analogue of `textstats.repetition_signals`, and a standard hygiene
+    gate before transcripts become training data (loops teach the
+    model to loop). A loop of period ``p`` shows up as a run of
+    consecutive tool-call positions where ``tool[i] == tool[i-p]``:
+    for each period 1..``max_period`` the lag comparison is ONE
+    co-partitioned self-join on (conversation, position - p), runs of
+    matches are grouped with the gaps-and-islands key
+    (pos - row_number over matches), and a run of length L at period p
+    means the cycle played ``L div p + 1`` times.
+
+    Output: one row per conversation that has >= 2 tool calls —
+    (``conv_id``, ``period``, ``longest_run``, ``reps``,
+    ``is_loop``) for the conversation's BEST period under
+    (reps DESC, period ASC); ``is_loop`` = 1 when reps >= ``min_reps``.
+    Conversations whose best lag never matches report period 0.
+
+    Scale: positions are per-conversation windows (conversation-keyed,
+    never global); each period adds one narrow self-join on the same
+    partitioning; the island aggregation is keyed by (conv, period,
+    island). Nothing pair-scale across conversations.
+    """
+    from pyspark.sql import Window as W
+
+    calls = transcripts.filter(
+        F.coalesce(F.col(tool_col), F.lit("")) != ""
+    ).select(
+        F.col(conv_col).alias("cid"),
+        F.col(turn_col).alias("ti"),
+        F.col(tool_col).alias("tool"),
+    )
+    wp = W.partitionBy("cid").orderBy("ti")
+    pos = calls.withColumn("pos", F.row_number().over(wp))
+    convs = pos.groupBy("cid").agg(F.count("*").alias("n_calls")).filter(
+        F.col("n_calls") >= 2
+    )
+    best: DataFrame | None = None
+    for p in range(1, max_period + 1):
+        lagged = pos.select(
+            "cid", (F.col("pos") + p).alias("pos"), F.col("tool").alias("_prev")
+        )
+        eq = (
+            pos.join(lagged, ["cid", "pos"])
+            .filter(F.col("tool") == F.col("_prev"))
+            .select("cid", "pos")
+        )
+        wi = W.partitionBy("cid").orderBy("pos")
+        runs = (
+            eq.withColumn("_isl", F.col("pos") - F.row_number().over(wi))
+            .groupBy("cid", "_isl")
+            .agg(F.count("*").alias("run"))
+            .groupBy("cid")
+            .agg(F.max("run").alias("longest_run"))
+            .select(
+                "cid",
+                F.lit(p).alias("period"),
+                "longest_run",
+                (F.expr(f"longest_run div {p}") + 1).alias("reps"),
+            )
+        )
+        best = runs if best is None else best.unionByName(runs)
+    wb = W.partitionBy("cid").orderBy(
+        F.col("reps").desc(), F.col("period").asc()
+    )
+    top = (
+        best.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        convs.join(top, "cid", "left")
+        .select(
+            F.col("cid").alias(conv_col),
+            F.coalesce("period", F.lit(0)).cast("int").alias("period"),
+            F.coalesce("longest_run", F.lit(0)).cast("long").alias(
+                "longest_run"
+            ),
+            F.coalesce("reps", F.lit(0)).cast("long").alias("reps"),
+            F.when(F.coalesce("reps", F.lit(0)) >= min_reps, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_loop"),
+        )
+    )

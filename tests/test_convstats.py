@@ -204,3 +204,73 @@ def test_conversation_near_dup_order_free(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard_4dp"]) for r in got] == [
         (1, 2, 10_000)
     ]
+
+
+def test_tool_loops_planted_cycle(spark):
+    from fel_spark.operators.convstats import tool_loops
+
+    # conv 1: a period-2 cycle (search, fetch) x 4 -> lag-2 run of 6,
+    # reps 4. conv 2: all-distinct tools, no lag ever matches. conv 3:
+    # same tool 5x = period-1 loop.
+    rows = []
+    for i, tool in enumerate(["search", "fetch"] * 4):
+        rows.append((1, i, tool))
+    for i, tool in enumerate(["a", "b", "c", "d"]):
+        rows.append((2, i, tool))
+    for i in range(5):
+        rows.append((3, i, "retry"))
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx long, tool string")
+    got = {
+        r["conv_id"]: (r["period"], r["longest_run"], r["reps"], r["is_loop"])
+        for r in tool_loops(df).collect()
+    }
+    assert got[1] == (2, 6, 4, 1)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (1, 4, 5, 1)
+
+
+def test_tool_loops_replay_fuzz(spark):
+    import random
+
+    from fel_spark.operators.convstats import tool_loops
+
+    def py_loops(seqs, max_period, min_reps):
+        out = {}
+        for cid, tools in seqs.items():
+            if len(tools) < 2:
+                continue
+            best = None
+            for p in range(1, max_period + 1):
+                run = longest = 0
+                for i in range(len(tools)):
+                    if i >= p and tools[i] == tools[i - p]:
+                        run += 1
+                        longest = max(longest, run)
+                    else:
+                        run = 0
+                if longest > 0:
+                    reps = longest // p + 1
+                    cand = (reps, -p, p, longest)
+                    if best is None or cand > best:
+                        best = cand
+            if best is None:
+                out[cid] = (0, 0, 0, 0)
+            else:
+                reps, _, p, longest = best
+                out[cid] = (p, longest, reps, 1 if reps >= min_reps else 0)
+        return out
+
+    rng = random.Random(149)
+    seqs = {
+        c: [rng.choice("xyz") for _ in range(rng.randint(2, 20))]
+        for c in range(8)
+    }
+    rows = [
+        (c, i, t) for c, tools in seqs.items() for i, t in enumerate(tools)
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx long, tool string")
+    got = {
+        r["conv_id"]: (r["period"], r["longest_run"], r["reps"], r["is_loop"])
+        for r in tool_loops(df, max_period=3, min_reps=3).collect()
+    }
+    assert got == py_loops(seqs, 3, 3)
