@@ -2978,6 +2978,32 @@ def q_conv_tool_loops(spark, sf_dir):
     return tool_loops(t)
 
 
+def q_doc_cms_counts(spark, sf_dir):
+    """Count-Min sketch frequency estimation (r5,
+    `operators/sketches.py::count_min_cells` / `cms_estimates` —
+    Cormode & Muthukrishnan 2005): the 4x256 grid over all document
+    tokens (the shuffle is the GRID size, not the vocabulary), point
+    estimates for the corpus's true top-20 tokens, and the CMS >= truth
+    overcount each probe pays. Engine-neutral md5-prefix row hashes, so
+    the oracle replays the ENTIRE grid bit-for-bit — not a statistical
+    property of it."""
+    from fel_spark.operators.sketches import cms_estimates, count_min_cells
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(normalize_tokens(F.col("text"))).alias("tok")
+    )
+    cells = count_min_cells(toks, "tok", depth=4, width=256)
+    truth = toks.groupBy("tok").agg(F.count("*").cast("long").alias("true_cnt"))
+    top = truth.orderBy(F.col("true_cnt").desc(), F.col("tok").asc()).limit(20)
+    est = cms_estimates(cells, top, "tok", depth=4, width=256)
+    return est.select(
+        "tok",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4735,6 +4761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
+        "doc_cms_counts": q_doc_cms_counts,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -9232,6 +9259,44 @@ def oracle_sql() -> dict[str, str]:
         # conv_tool_loops: generated per-period lag/island unroll
         # (see _tool_loops_oracle)
         "conv_tool_loops": _tool_loops_oracle(4, 3),
+        # doc_cms_counts: bit-for-bit grid replay (md5-prefix row
+        # hashes mod width) + min-over-rows point estimates
+        "doc_cms_counts": f"""
+            WITH tk AS (
+                SELECT unnest({{toks}}) AS tok FROM documents
+            ),
+            cells AS (
+                SELECT i AS depth_i,
+                       CAST(CAST(('0x' || substr(md5(i || ':' || tok),
+                                                1, 15)) AS BIGINT) % 256
+                            AS BIGINT) AS col,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM tk, generate_series(0, 3) s(i)
+                GROUP BY 1, 2
+            ),
+            truth AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+                FROM tk GROUP BY 1
+            ),
+            top AS (
+                SELECT tok, true_cnt FROM truth
+                ORDER BY true_cnt DESC, tok ASC LIMIT 20
+            ),
+            pr AS (
+                SELECT top.tok, top.true_cnt, i AS depth_i,
+                       CAST(CAST(('0x' || substr(md5(i || ':' || top.tok),
+                                                1, 15)) AS BIGINT) % 256
+                            AS BIGINT) AS col
+                FROM top, generate_series(0, 3) s(i)
+            )
+            SELECT pr.tok, pr.true_cnt,
+                   CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est,
+                   CAST(min(coalesce(c.cnt, 0)) - pr.true_cnt AS BIGINT)
+                       AS overcount
+            FROM pr LEFT JOIN cells c
+              ON c.depth_i = pr.depth_i AND c.col = pr.col
+            GROUP BY pr.tok, pr.true_cnt
+        """.format(toks=_TOKS.format(c='text')),
         # conv_near_dup: full LSH replay at conversation granularity —
         # planted replays, md5 turn fingerprints, signature minima,
         # (band, joined-minima) bucket equality, exact set Jaccard
