@@ -3004,6 +3004,28 @@ def q_doc_cms_counts(spark, sf_dir):
     )
 
 
+def q_doc_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimation (r5,
+    `operators/sketches.py::hll_registers` / `hll_estimate` — Flajolet
+    et al. 2007): 256 registers over all document tokens (a 256-row
+    shuffle replaces the vocabulary-scale COUNT DISTINCT), the exact
+    integer dyadic harmonic sum (no float-order divergence), and the
+    small-range linear-counting correction. Output carries the exact
+    distinct count alongside, so the artifact shows the sketch's real
+    error. The oracle replays registers (bit-length ranks via bin()),
+    the scaled sum and the pinned IEEE estimate chain."""
+    from fel_spark.operators.sketches import hll_estimate, hll_registers
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(normalize_tokens(F.col("text"))).alias("tok")
+    )
+    est = hll_estimate(hll_registers(toks, "tok"))
+    true = toks.agg(
+        F.countDistinct("tok").cast("long").alias("true_distinct")
+    )
+    return est.crossJoin(F.broadcast(true))
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4762,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
         "doc_cms_counts": q_doc_cms_counts,
+        "doc_hll_distinct": q_doc_hll_distinct,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -9259,6 +9282,53 @@ def oracle_sql() -> dict[str, str]:
         # conv_tool_loops: generated per-period lag/island unroll
         # (see _tool_loops_oracle)
         "conv_tool_loops": _tool_loops_oracle(4, 3),
+        # doc_hll_distinct: register replay (bin() bit-length ranks),
+        # exact dyadic scaled sum, pinned IEEE estimate chain
+        "doc_hll_distinct": """
+            WITH tk AS (
+                SELECT unnest({toks}) AS tok FROM documents
+            ),
+            h AS (
+                SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                           AS h
+                FROM tk
+            ),
+            regs AS (
+                SELECT h % 256 AS bucket,
+                       CAST(max(CASE WHEN h // 256 = 0 THEN 53
+                                     ELSE 53 - length(bin(h // 256))
+                                END) AS BIGINT) AS rank
+                FROM h GROUP BY 1
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS occ,
+                       CAST(sum(CAST(pow(2.0, 52 - least(rank, 52))
+                                     AS BIGINT)) AS BIGINT) AS s_occ
+                FROM regs
+            ),
+            fin AS (
+                SELECT occ,
+                       256 - occ AS v,
+                       CAST(s_occ + (256 - occ) * 4503599627370496
+                            AS BIGINT) AS s
+                FROM agg
+            ),
+            es AS (
+                SELECT v, s,
+                       CAST(47072.71267120224 AS DOUBLE)
+                       * 4503599627370496.0 / s AS raw
+                FROM fin
+            )
+            SELECT CAST(256 AS BIGINT) AS m,
+                   CAST(v AS BIGINT) AS v_empty,
+                   s AS s_scaled,
+                   CAST(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                             THEN round(256.0 * ln(256.0 / v))
+                             ELSE round(raw) END AS BIGINT) AS est,
+                   (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tk)
+                       AS true_distinct
+            FROM es
+        """.format(toks=_TOKS.format(c='text')),
         # doc_cms_counts: bit-for-bit grid replay (md5-prefix row
         # hashes mod width) + min-over-rows point estimates
         "doc_cms_counts": f"""

@@ -76,3 +76,68 @@ def test_cms_shards_merge_cellwise(spark):
         for r in part.collect():
             merged[(r["depth_i"], r["col"])] += r["cnt"]
     assert dict(merged) == whole
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def _py_hll_regs(keys, b=8):
+    m = 1 << b
+    regs = {}
+    for k in set(keys):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket = h % m
+        w = h // m
+        rank = (60 - b + 1) if w == 0 else (60 - b) - w.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def test_hll_registers_replay_and_dup_insensitive(spark):
+    from fel_spark.operators.sketches import hll_registers
+
+    rng = random.Random(163)
+    keys = [f"u{rng.randint(0, 400)}" for _ in range(1500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["bucket"]: r["rank"] for r in hll_registers(df, "k").collect()
+    }
+    assert got == _py_hll_regs(keys)
+    # duplicate-insensitive: the distinct stream gives the same grid
+    dedup = spark.createDataFrame([(k,) for k in set(keys)], "k string")
+    got2 = {
+        r["bucket"]: r["rank"] for r in hll_registers(dedup, "k").collect()
+    }
+    assert got2 == got
+
+
+def test_hll_estimate_accuracy(spark):
+    from fel_spark.operators.sketches import hll_estimate, hll_registers
+
+    # m = 256 -> relative error ~1.04/sqrt(m) = 6.5% 1-sigma; assert 3x
+    for n, seed in ((300, 1), (5000, 2)):
+        keys = [f"s{seed}-{i}" for i in range(n)]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        est = hll_estimate(hll_registers(df, "k")).collect()[0]["est"]
+        assert abs(est - n) / n < 0.20, (n, est)
+
+
+def test_hll_shards_merge_by_max(spark):
+    from fel_spark.operators.sketches import hll_registers
+
+    keys = [f"m{i}" for i in range(900)]
+    df = spark.createDataFrame(
+        [(k, i % 3) for i, k in enumerate(keys)], "k string, shard int"
+    )
+    whole = {
+        r["bucket"]: r["rank"] for r in hll_registers(df, "k").collect()
+    }
+    merged = {}
+    for s in range(3):
+        part = hll_registers(df.filter(F.col("shard") == s), "k")
+        for r in part.collect():
+            merged[r["bucket"]] = max(
+                merged.get(r["bucket"], 0), r["rank"]
+            )
+    assert merged == whole
