@@ -3026,6 +3026,25 @@ def q_doc_hll_distinct(spark, sf_dir):
     return est.crossJoin(F.broadcast(true))
 
 
+def q_user_value_intervals(spark, sf_dir):
+    """Entity timelines / SCD type-2 intervals (r5,
+    `operators/temporal.py::value_intervals` — the attribute-history
+    shape Li et al.'s temporal linkage consumes): each user's
+    event_type observations collapse into per-run validity intervals
+    (gaps-and-islands on the dual row_number difference), valid_to =
+    next run's start, last run current. Recurring values stay separate
+    runs. Tie-broken by event_id (unique -> total order). Oracle
+    replays islands, interval bounds and the lead() chain."""
+    from fel_spark.operators.temporal import value_intervals
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return value_intervals(
+        e, "user_id", "event_type", "ts", order_cols=("event_id",)
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4785,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_loops": q_conv_tool_loops,
         "doc_cms_counts": q_doc_cms_counts,
         "doc_hll_distinct": q_doc_hll_distinct,
+        "user_value_intervals": q_user_value_intervals,
         "er_blocksplit_pairs": q_er_blocksplit_pairs,
         "er_pprl_bloom": q_er_pprl_bloom,
         "er_numeric_date": q_er_numeric_date,
@@ -9329,6 +9349,40 @@ def oracle_sql() -> dict[str, str]:
                        AS true_distinct
             FROM es
         """.format(toks=_TOKS.format(c='text')),
+        # user_value_intervals: dual row_number islands + lead() next
+        # run start, the identical (ts NULLS LAST, event_id) order
+        "user_value_intervals": """
+            WITH base AS (
+                SELECT user_id AS entity, event_type AS value,
+                       ts AS _ts, event_id
+                FROM events
+            ),
+            isl AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY entity
+                           ORDER BY _ts ASC NULLS LAST, event_id)
+                       - row_number() OVER (PARTITION BY entity, value
+                           ORDER BY _ts ASC NULLS LAST, event_id) AS _i
+                FROM base
+            ),
+            runs AS (
+                SELECT entity, value, _i,
+                       min(_ts) AS valid_from,
+                       CAST(count(*) AS BIGINT) AS n_obs
+                FROM isl GROUP BY 1, 2, 3
+            ),
+            fin AS (
+                SELECT entity, value, valid_from,
+                       lead(valid_from) OVER (PARTITION BY entity
+                           ORDER BY valid_from ASC NULLS LAST) AS valid_to,
+                       n_obs
+                FROM runs
+            )
+            SELECT entity, value, valid_from, valid_to, n_obs,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS is_current
+            FROM fin
+        """,
         # doc_cms_counts: bit-for-bit grid replay (md5-prefix row
         # hashes mod width) + min-over-rows point estimates
         "doc_cms_counts": f"""

@@ -108,3 +108,63 @@ def temporal_pair_scores(
             .alias("score_micro"),
         )
     )
+
+
+def value_intervals(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Entity timelines: collapse ordered per-entity observations into
+    VALIDITY INTERVALS per value run — the slowly-changing-dimension
+    (SCD type-2) build step, and the output shape Li et al.'s temporal
+    linkage consumes as an entity's attribute history. A run is a
+    maximal stretch of consecutive observations with the same value
+    (gaps-and-islands: island id = observation rank minus same-value
+    rank); its interval spans first to last observation, ``valid_to``
+    is the NEXT run's start (open on the right; NULL on the current
+    run), and ``is_current`` flags each entity's last run.
+
+    ``order_cols`` break timestamp ties deterministically (pass the
+    conv_integrity-style neutral key when observations can tie).
+
+    Output: (``entity``, ``value``, ``valid_from``, ``valid_to``,
+    ``n_obs``, ``is_current``).
+
+    Scale: every window is partitioned by the entity key — nothing
+    global, nothing pair-scale; entity histories parallelize freely.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c) for c in order_cols],
+    )
+    order = [F.col("_ts").asc_nulls_last()] + [F.col(c) for c in order_cols]
+    we = W.partitionBy("entity").orderBy(*order)
+    wv = W.partitionBy("entity", "value").orderBy(*order)
+    runs = (
+        base.withColumn(
+            "_isl", F.row_number().over(we) - F.row_number().over(wv)
+        )
+        .groupBy("entity", "value", "_isl")
+        .agg(
+            F.min("_ts").alias("valid_from"),
+            F.count("*").cast("long").alias("n_obs"),
+        )
+    )
+    wn = W.partitionBy("entity").orderBy(F.col("valid_from").asc_nulls_last())
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wn))
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int"),
+        )
+        .select(
+            "entity", "value", "valid_from", "valid_to", "n_obs", "is_current"
+        )
+    )

@@ -82,3 +82,78 @@ def test_null_value_is_disagreement_and_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # pure column math, no UDF
+
+
+# ---------------------------------------------------------------------------
+# SCD2 value intervals
+
+
+def test_value_intervals_runs_and_currency(spark):
+    from fel_spark.operators.temporal import value_intervals
+
+    # entity 1: a -> b -> a (three runs; the value RECURS — set-based
+    # grouping would wrongly merge run 1 and 3); entity 2: constant.
+    rows = [
+        (1, "a", 10), (1, "a", 20), (1, "b", 30), (1, "a", 40),
+        (2, "x", 5), (2, "x", 15),
+    ]
+    df = spark.createDataFrame(rows, "eid long, v string, ts long")
+    got = sorted(
+        (
+            r["entity"], r["value"], r["valid_from"], r["valid_to"],
+            r["n_obs"], r["is_current"],
+        )
+        for r in value_intervals(df, "eid", "v", "ts").collect()
+    )
+    assert got == [
+        (1, "a", 10, 30, 2, 0),
+        (1, "a", 40, None, 1, 1),
+        (1, "b", 30, 40, 1, 0),
+        (2, "x", 5, None, 2, 1),
+    ]
+
+
+def test_value_intervals_replay_fuzz(spark):
+    import random
+
+    from fel_spark.operators.temporal import value_intervals
+
+    def py_intervals(obs):
+        out = []
+        by_e = {}
+        for e, v, ts in obs:
+            by_e.setdefault(e, []).append((ts, v))
+        for e, rows_ in by_e.items():
+            rows_.sort()
+            runs = []
+            for ts, v in rows_:
+                if runs and runs[-1][0] == v:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([v, ts, 1])
+            for i, (v, start, n) in enumerate(runs):
+                nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+                out.append(
+                    (e, v, start, nxt, n, 1 if nxt is None else 0)
+                )
+        return sorted(out)
+
+    rng = random.Random(167)
+    obs = []
+    used = set()
+    for e in range(5):
+        for _ in range(rng.randint(1, 15)):
+            ts = rng.randint(0, 1000)
+            while (e, ts) in used:  # unique ts per entity: total order
+                ts = rng.randint(0, 1000)
+            used.add((e, ts))
+            obs.append((e, rng.choice("pq"), ts))
+    df = spark.createDataFrame(obs, "eid long, v string, ts long")
+    got = sorted(
+        (
+            r["entity"], r["value"], r["valid_from"], r["valid_to"],
+            r["n_obs"], r["is_current"],
+        )
+        for r in value_intervals(df, "eid", "v", "ts").collect()
+    )
+    assert got == py_intervals(obs)
