@@ -3045,6 +3045,72 @@ def q_user_value_intervals(spark, sf_dir):
     )
 
 
+_NB_FULL = [
+    "william turner", "elizabeth shaw", "robert castle", "katherine bell",
+    "james holt", "margaret reed", "charles voss", "richard moon",
+    "thomas pike", "michael frost", "susan gray", "theodore lamb",
+]
+_NB_NICK = [
+    "bill", "liz", "bob", "kate", "jim", "peggy", "chuck", "dick",
+    "tom", "mike", "sue", "ted",
+]
+
+
+def q_er_name_bridge(spark, sf_dir):
+    """Given-name bridging comparators (r5, `functions/names.py` —
+    Christen 2012 ch.3.2's nickname + initialism variation classes):
+    deterministic synthetic person names keyed by c_custkey (12 full
+    names; every third customer uses the hypocorism, every c%3==2 the
+    initial), pairs blocked on surname, scored by (a) canonical-given-
+    name equality through the ONE nickname table rendered to both
+    engines (`canonical_given_name_col` / `_sql` — the Caverphone
+    one-table convention) and (b) initials matching. Every surviving
+    surface pair has near-zero string overlap ("bill" vs "william",
+    "w" vs "william") — the bridge no edit/phonetic comparator makes."""
+    from fel_spark.functions.names import canonical_given_name_col
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    full = F.array(*[F.lit(x) for x in _NB_FULL])
+    nick = F.array(*[F.lit(x) for x in _NB_NICK])
+    idx = (F.col("c_custkey") % 12 + 1).cast("int")
+    variant = F.col("c_custkey") % 3
+    fullname = F.element_at(full, idx)
+    first = F.split(fullname, " ")[0]
+    last = F.split(fullname, " ")[1]
+    name = (
+        F.when(variant == 0, F.concat_ws(" ", F.element_at(nick, idx), last))
+        .when(variant == 1, fullname)
+        .otherwise(F.concat_ws(" ", F.substring(first, 1, 1), last))
+    )
+    recs = c.select(F.col("c_custkey").alias("rid"), name.alias("name"))
+    d = recs.select(
+        "rid",
+        F.split(F.col("name"), " ")[0].alias("f"),
+        F.split(F.col("name"), " ")[1].alias("l"),
+    )
+    a = d.select(
+        F.col("rid").alias("id_a"), F.col("f").alias("f_a"), F.col("l")
+    )
+    b = d.select(
+        F.col("rid").alias("id_b"), F.col("f").alias("f_b"), F.col("l")
+    )
+    pairs = a.join(b, "l").filter(F.col("id_a") < F.col("id_b"))
+    ca = canonical_given_name_col(F.col("f_a"))
+    cb = canonical_given_name_col(F.col("f_b"))
+    init = (
+        ((F.length("f_a") == 1) & (F.col("f_a") == F.substring(cb, 1, 1)))
+        | ((F.length("f_b") == 1) & (F.col("f_b") == F.substring(ca, 1, 1)))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "f_a",
+        "f_b",
+        F.when(ca == cb, 1).otherwise(0).cast("int").alias("canon_match"),
+        F.when(init, 1).otherwise(0).cast("int").alias("initials_match"),
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4799,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_smith_waterman": q_er_smith_waterman,
         "er_needleman_wunsch": q_er_needleman_wunsch,
         "er_token_ratios": q_er_token_ratios,
+        "er_name_bridge": q_er_name_bridge,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -5945,6 +6012,52 @@ def _tool_loops_oracle(max_period: int, min_reps: int) -> str:
                    CAST(CASE WHEN coalesce(top.reps, 0) >= {min_reps}
                              THEN 1 ELSE 0 END AS INTEGER) AS is_loop
             FROM convs LEFT JOIN top ON top.cid = convs.cid"""
+
+
+def _name_bridge_oracle() -> str:
+    """Generated replay of q_er_name_bridge: identical name-list
+    construction (DuckDB list literals) + the nickname CASE rendered
+    from the SAME table + the initials rule."""
+    from fel_spark.functions.names import canonical_given_name_sql
+
+    full = "[" + ", ".join(f"'{x}'" for x in _NB_FULL) + "]"
+    nick = "[" + ", ".join(f"'{x}'" for x in _NB_NICK) + "]"
+    ca = canonical_given_name_sql("a.f")
+    cb = canonical_given_name_sql("b.f")
+    return f"""
+            WITH c AS (
+                SELECT c_custkey FROM customer WHERE c_custkey < 600
+            ),
+            recs AS (
+                SELECT c_custkey AS rid,
+                       CASE CAST(c_custkey % 3 AS INTEGER)
+                            WHEN 0 THEN {nick}[CAST(c_custkey % 12 + 1 AS INTEGER)]
+                                 || ' ' ||
+                                 string_split({full}[CAST(c_custkey % 12 + 1 AS INTEGER)], ' ')[2]
+                            WHEN 1 THEN {full}[CAST(c_custkey % 12 + 1 AS INTEGER)]
+                            ELSE substr(string_split({full}[CAST(c_custkey % 12 + 1 AS INTEGER)], ' ')[1], 1, 1)
+                                 || ' ' ||
+                                 string_split({full}[CAST(c_custkey % 12 + 1 AS INTEGER)], ' ')[2]
+                       END AS name
+                FROM c
+            ),
+            d AS (
+                SELECT rid,
+                       string_split(name, ' ')[1] AS f,
+                       string_split(name, ' ')[2] AS l
+                FROM recs
+            )
+            SELECT a.rid AS id_a, b.rid AS id_b,
+                   a.f AS f_a, b.f AS f_b,
+                   CAST(CASE WHEN ({ca}) = ({cb}) THEN 1 ELSE 0 END
+                        AS INTEGER) AS canon_match,
+                   CAST(CASE WHEN (length(a.f) = 1
+                                   AND a.f = substr({cb}, 1, 1))
+                              OR (length(b.f) = 1
+                                  AND b.f = substr({ca}, 1, 1))
+                             THEN 1 ELSE 0 END AS INTEGER)
+                       AS initials_match
+            FROM d a JOIN d b ON a.l = b.l AND a.rid < b.rid"""
 
 
 def _canopy_oracle(
@@ -9421,6 +9534,9 @@ def oracle_sql() -> dict[str, str]:
               ON c.depth_i = pr.depth_i AND c.col = pr.col
             GROUP BY pr.tok, pr.true_cnt
         """.format(toks=_TOKS.format(c='text')),
+        # er_name_bridge: same list literals; the nickname CASE is
+        # generated from the ONE table (names.canonical_given_name_sql)
+        "er_name_bridge": _name_bridge_oracle(),
         # conv_near_dup: full LSH replay at conversation granularity —
         # planted replays, md5 turn fingerprints, signature minima,
         # (band, joined-minima) bucket equality, exact set Jaccard
