@@ -3111,6 +3111,47 @@ def q_er_name_bridge(spark, sf_dir):
     )
 
 
+def q_er_confusables_fold(spark, sf_dir):
+    """Homoglyph-fold blocking key (r5, `functions/text.py::
+    fold_confusables` — the UTS #39 skeleton idea over a curated 1:1
+    Cyrillic/Greek->ASCII table, one FROM/TO pair driving translate()
+    in both engines): every third part name is re-ingested SPOOFED
+    (Latin a/e/o/p/c swapped for their Cyrillic homoglyphs, a distinct
+    id space) — codepoint-different, glyph-identical twins that any
+    raw string key splits. Grouping by the FOLDED key reunites them;
+    the output counts members, distinct surface forms and spoofed
+    members per folded key."""
+    from fel_spark.functions.text import fold_confusables
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    )
+    spoof = p.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 1_000_000).alias("p_partkey"),
+        F.translate(
+            F.col("name"), "aeopc", "\u0430\u0435\u043e\u0440\u0441"
+        ).alias("name"),
+    )
+    recs = p.unionByName(spoof)
+    return (
+        recs.select(
+            "p_partkey",
+            "name",
+            fold_confusables(F.col("name")).alias("key"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("name").cast("long").alias("n_surface_forms"),
+            F.sum(
+                F.when(F.col("p_partkey") >= 1_000_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spoofed"),
+        )
+    )
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4866,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_needleman_wunsch": q_er_needleman_wunsch,
         "er_token_ratios": q_er_token_ratios,
         "er_name_bridge": q_er_name_bridge,
+        "er_confusables_fold": q_er_confusables_fold,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -6058,6 +6100,36 @@ def _name_bridge_oracle() -> str:
                              THEN 1 ELSE 0 END AS INTEGER)
                        AS initials_match
             FROM d a JOIN d b ON a.l = b.l AND a.rid < b.rid"""
+
+
+def _confusables_oracle() -> str:
+    """Replay of q_er_confusables_fold with the same spoof direction
+    and the SAME fold table (text.fold_confusables_sql)."""
+    from fel_spark.functions.text import fold_confusables_sql
+
+    spoof_to = "\u0430\u0435\u043e\u0440\u0441"
+    return f"""
+            WITH p AS (
+                SELECT p_partkey, lower(p_name) AS name FROM part
+            ),
+            recs AS (
+                SELECT p_partkey, name FROM p
+                UNION ALL
+                SELECT p_partkey + 1000000,
+                       translate(name, 'aeopc', '{spoof_to}')
+                FROM p WHERE p_partkey % 3 = 0
+            ),
+            keyed AS (
+                SELECT p_partkey, name,
+                       {fold_confusables_sql("name")} AS key
+                FROM recs
+            )
+            SELECT key,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(DISTINCT name) AS BIGINT) AS n_surface_forms,
+                   CAST(sum(CASE WHEN p_partkey >= 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_spoofed
+            FROM keyed GROUP BY 1"""
 
 
 def _canopy_oracle(
@@ -9537,6 +9609,9 @@ def oracle_sql() -> dict[str, str]:
         # er_name_bridge: same list literals; the nickname CASE is
         # generated from the ONE table (names.canonical_given_name_sql)
         "er_name_bridge": _name_bridge_oracle(),
+        # er_confusables_fold: same spoof + the one fold table
+        # (see _confusables_oracle)
+        "er_confusables_fold": _confusables_oracle(),
         # conv_near_dup: full LSH replay at conversation granularity —
         # planted replays, md5 turn fingerprints, signature minima,
         # (band, joined-minima) bucket equality, exact set Jaccard

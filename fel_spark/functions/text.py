@@ -256,3 +256,47 @@ def char_bigrams(col: Column | str) -> Column:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode homoglyph (confusables) folding
+
+# Curated 1:1 homoglyph -> ASCII table (a focused subset of Unicode
+# TR#39's confusables data, public): Cyrillic and Greek letters whose
+# glyphs are visually identical to Latin ones — the classic spoofing
+# vector for usernames/domains/entity aliases that defeats every string
+# comparator because codepoints differ while glyphs do not. Single
+# source of truth for both engines (the phonetic.py convention):
+# translate() is char-for-char in Spark AND DuckDB, so one FROM/TO
+# string pair drives both renderings.
+_CONFUSABLES = {
+    # Cyrillic lowercase
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "у": "y", "х": "x", "і": "i",
+    "ј": "j", "ѕ": "s",
+    # Cyrillic uppercase
+    "А": "A", "В": "B", "Е": "E", "К": "K",
+    "М": "M", "Н": "H", "О": "O", "Р": "P",
+    "С": "C", "Т": "T", "Х": "X",
+    # Greek lookalikes
+    "ο": "o", "α": "a", "ρ": "p", "ν": "v",
+    "ι": "i", "Ο": "O", "Α": "A", "Β": "B",
+    "Ε": "E", "Η": "H", "Κ": "K", "Μ": "M",
+    "Ν": "N", "Ρ": "P", "Τ": "T", "Χ": "X",
+    "Ζ": "Z",
+}
+_CONF_FROM = "".join(_CONFUSABLES)
+_CONF_TO = "".join(_CONFUSABLES.values())
+
+
+def fold_confusables(c: Column) -> Column:
+    """Fold homoglyph codepoints to their ASCII lookalikes (UTS #39
+    "skeleton" idea restricted to the curated 1:1 table) — run BEFORE
+    any comparator/blocking key so a Cyrillic 'а' cannot split an
+    entity from its Latin-'a' twin. Pure translate: codegen, no UDF."""
+    return F.translate(c, _CONF_FROM, _CONF_TO)
+
+
+def fold_confusables_sql(expr: str) -> str:
+    """The identical folding rendered for DuckDB (same FROM/TO pair)."""
+    return f"translate({expr}, '{_CONF_FROM}', '{_CONF_TO}')"

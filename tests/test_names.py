@@ -56,3 +56,40 @@ def test_initials_col(spark):
         [("james robert smith",), ("ana",)], "s string"
     ).select(initials_col(F.split(F.col("s"), " ")).alias("i"))
     assert [r["i"] for r in df.collect()] == ["jrs", "a"]
+
+
+# ---------------------------------------------------------------------------
+# homoglyph folding (functions/text.py)
+
+
+def test_fold_confusables_both_engines_agree(spark):
+    from fel_spark.functions.text import (
+        _CONFUSABLES,
+        fold_confusables,
+        fold_confusables_sql,
+    )
+
+    spoofs = [
+        "раyраl",            # Cyrillic р/а
+        "Μοscow",            # Greek Mu + omicron
+        "plain ascii",
+        "".join(_CONFUSABLES),  # every table entry at once
+        "",
+    ]
+    con = duckdb.connect()
+    duck = {
+        s: con.sql(
+            f"SELECT {fold_confusables_sql('s')} FROM (SELECT ? AS s) t",
+            params=[s],
+        ).fetchone()[0]
+        for s in spoofs
+    }
+    df = spark.createDataFrame([(s,) for s in spoofs], "s string").select(
+        "s", fold_confusables(F.col("s")).alias("f")
+    )
+    for r in df.collect():
+        assert r["f"] == duck[r["s"]], (r["s"], r["f"], duck[r["s"]])
+        assert all(ch not in _CONFUSABLES for ch in r["f"])
+    assert duck["раyраl"] == "paypal"
+    assert duck["Μοscow"] == "Moscow"
+    assert duck["plain ascii"] == "plain ascii"
