@@ -251,3 +251,31 @@ def incremental_cluster_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def cms_cells_stream(
+    stream: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Streaming Count-Min maintenance: the sketch IS the textbook
+    streaming summary (Cormode & Muthukrishnan 2005 define it over a
+    stream), and `sketches.count_min_cells` is a pure explode + hash
+    aggregate — no window, no sort — so it runs UNCHANGED as a
+    Structured Streaming aggregation (complete/update output). The
+    memory-sink equivalence test pins stream == batch cell-for-cell;
+    at deploy scale the d*w-cell state is a constant regardless of key
+    cardinality, which is the whole point."""
+    from fel_spark.operators.sketches import count_min_cells
+
+    return count_min_cells(stream, key_col, depth=depth, width=width)
+
+
+def hll_registers_stream(
+    stream: DataFrame, key_col: str, b: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: register max is an order-free
+    monotone aggregate, so `sketches.hll_registers` runs unchanged over
+    a stream — approximate distinct-keys-so-far from 2^b rows of
+    state. Stream == batch register-for-register (memory-sink test)."""
+    from fel_spark.operators.sketches import hll_registers
+
+    return hll_registers(stream, key_col, b=b)

@@ -141,3 +141,60 @@ def test_hll_shards_merge_by_max(spark):
                 merged.get(r["bucket"], 0), r["rank"]
             )
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# streaming maintenance (streaming/incremental.py wrappers)
+
+
+def test_cms_and_hll_stream_equal_batch(spark, tmp_path):
+    from fel_spark.operators.sketches import count_min_cells, hll_registers
+    from fel_spark.streaming.incremental import (
+        cms_cells_stream,
+        hll_registers_stream,
+    )
+
+    rng = random.Random(173)
+    rows = [(f"key-{rng.randint(0, 120)}",) for _ in range(1200)]
+    df = spark.createDataFrame(rows, "k string")
+    src = str(tmp_path / "sketch_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    assert stream.isStreaming
+
+    q1 = (
+        cms_cells_stream(stream, "k", depth=D, width=W)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    got_cms = {
+        (r["depth_i"], r["col"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream_test").collect()
+    }
+    want_cms = {
+        (r["depth_i"], r["col"]): r["cnt"]
+        for r in count_min_cells(df, "k", depth=D, width=W).collect()
+    }
+    assert got_cms == want_cms
+
+    q2 = (
+        hll_registers_stream(stream, "k")
+        .writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_hll = {
+        r["bucket"]: r["rank"]
+        for r in spark.sql("select * from hll_stream_test").collect()
+    }
+    want_hll = {
+        r["bucket"]: r["rank"] for r in hll_registers(df, "k").collect()
+    }
+    assert got_hll == want_hll
