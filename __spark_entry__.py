@@ -3152,6 +3152,18 @@ def q_er_confusables_fold(spark, sf_dir):
     )
 
 
+def q_er_lsh_curve(spark, sf_dir):
+    """MinHash-LSH operating S-curve (r5, `operators/blocking.py::
+    lsh_operating_curve` — MMDS ch.3.4): P(candidate | jaccard) =
+    1 - (1 - s^r)^b for the repo's default 4-band x 2-row banding, on a
+    101-point grid — the design audit that justifies the banding before
+    a corpus pass (half-collision threshold ~(1/b)^(1/r) = 0.5 here).
+    Pure math table; the oracle mirrors the IEEE pow chain."""
+    from fel_spark.operators.blocking import lsh_operating_curve
+
+    return lsh_operating_curve(spark)
+
+
 def q_er_blocksplit_pairs(spark, sf_dir):
     """Lossless skew-balanced pair enumeration (r5,
     `operators/loadbalance.py::blocksplit_pairs` — Kolb, Thor & Rahm,
@@ -4908,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_token_ratios": q_er_token_ratios,
         "er_name_bridge": q_er_name_bridge,
         "er_confusables_fold": q_er_confusables_fold,
+        "er_lsh_curve": q_er_lsh_curve,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -9612,6 +9625,13 @@ def oracle_sql() -> dict[str, str]:
         # er_confusables_fold: same spoof + the one fold table
         # (see _confusables_oracle)
         "er_confusables_fold": _confusables_oracle(),
+        # er_lsh_curve: the same grid + pinned pow chain
+        "er_lsh_curve": """
+            SELECT CAST(round(i / 100.0 * 10000) AS BIGINT) AS jaccard_4dp,
+                   CAST(round((1.0 - pow(1.0 - pow(i / 100.0, 2.0), 4.0))
+                              * 1000000) AS BIGINT) AS p_candidate_micro
+            FROM generate_series(0, 100) t(i)
+        """,
         # conv_near_dup: full LSH replay at conversation granularity —
         # planted replays, md5 turn fingerprints, signature minima,
         # (band, joined-minima) bucket equality, exact set Jaccard

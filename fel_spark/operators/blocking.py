@@ -806,3 +806,36 @@ def adaptive_sorted_blocks(
             .alias("is_start"),
         )
     )
+
+
+def lsh_operating_curve(
+    spark,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    steps: int = 100,
+) -> DataFrame:
+    """The MinHash-LSH S-curve (Leskovec, Rajaraman & Ullman, MMDS
+    ch.3.4): P(candidate | jaccard = s) = 1 - (1 - s^r)^b for b bands
+    of r rows — the design-audit table that justifies a banding choice
+    BEFORE a corpus-scale run (the threshold where the curve crosses
+    1/2 is ~(1/b)^(1/r); recall lost below it and junk admitted above
+    it read straight off the table). One row per grid point:
+    (``jaccard_4dp``, ``p_candidate_micro``) with the pinned IEEE
+    pow chain mirrored by the oracle.
+
+    Scale: a ``steps``-row driver-free table from ``spark.range`` —
+    this is an audit artifact, not a data pass."""
+    r, b = float(rows_per_band), float(bands)
+    s = F.col("id") / F.lit(float(steps))
+    return spark.range(0, steps + 1).select(
+        F.round(s * 10_000).cast("long").alias("jaccard_4dp"),
+        F.round(
+            (
+                F.lit(1.0)
+                - F.pow(F.lit(1.0) - F.pow(s, F.lit(r)), F.lit(b))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("p_candidate_micro"),
+    )

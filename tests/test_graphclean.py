@@ -226,3 +226,20 @@ def test_adaptive_sorted_blocks_prefix_len_invariant(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_lsh_operating_curve_matches_closed_form(spark):
+    from fel_spark.operators.blocking import lsh_operating_curve
+
+    rows = {
+        r["jaccard_4dp"]: r["p_candidate_micro"]
+        for r in lsh_operating_curve(spark, bands=4, rows_per_band=2).collect()
+    }
+    assert rows[0] == 0 and rows[10_000] == 1_000_000
+    # monotone non-decreasing
+    vals = [rows[k] for k in sorted(rows)]
+    assert vals == sorted(vals)
+    for i in (25, 50, 75):
+        s = i / 100.0
+        want = round((1.0 - (1.0 - s**2.0) ** 4.0) * 1_000_000)
+        assert rows[round(s * 10_000)] == want
