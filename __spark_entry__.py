@@ -3682,6 +3682,25 @@ def q_er_one_to_one(spark, sf_dir):
     )
 
 
+def q_er_b_matching(spark, sf_dir):
+    """Greedy capacitated b-matching (r5, `operators/matching.py::
+    b_matching_greedy` — the b-suitor locally-dominant-within-capacity
+    rounds, Khan/Pothen SISC 2016): one-to-many linkage (cap_a=1,
+    cap_b=2 — each odd-doc "master" accepts up to two even-doc
+    mentions) over the mod-11 bipartite JW pairs; 3 bounded rounds
+    (run to convergence this equals sequential greedy with caps —
+    fuzz-proven). Oracle: generated round unroll carrying per-vertex
+    REMAINING-capacity tables through the rounds."""
+    from fel_spark.operators.matching import b_matching_greedy
+
+    return b_matching_greedy(
+        _er_bipartite_pairs(spark, sf_dir, 11),
+        cap_a=1,
+        cap_b=2,
+        max_rounds=3,
+    )
+
+
 def q_er_star_clusters(spark, sf_dir):
     """One-shot parallel star clustering (r5, `operators/matching.py::
     star_clusters` — Aslam, Pelekhov & Rus 2004; the chain-resistant
@@ -4921,6 +4940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_name_bridge": q_er_name_bridge,
         "er_confusables_fold": q_er_confusables_fold,
         "er_lsh_curve": q_er_lsh_curve,
+        "er_b_matching": q_er_b_matching,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -6143,6 +6163,61 @@ def _confusables_oracle() -> str:
                    CAST(sum(CASE WHEN p_partkey >= 1000000
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_spoofed
             FROM keyed GROUP BY 1"""
+
+
+def _b_matching_oracle(rounds: int, mod: int, cap_a: int, cap_b: int) -> str:
+    """Generated CTE unroll of q_er_b_matching: each round ranks
+    surviving edges per endpoint under the shared total order, takes
+    edges within the REMAINING capacity at both endpoints, shrinks the
+    per-vertex capacity tables by the takes, and drops taken edges and
+    edges at saturated vertices — the exact b_matching_greedy round."""
+    parts = ["WITH " + _ER_BIPARTITE_PAIRS_CTE.format(mod=mod) + f""",
+    ca1 AS (SELECT DISTINCT id_a, {cap_a} AS cap FROM e1),
+    cb1 AS (SELECT DISTINCT id_b, {cap_b} AS cap FROM e1)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    m{k} AS (
+        SELECT id_a, id_b, score, CAST({k} AS INTEGER) AS round
+        FROM (
+            SELECT e.*, ca.cap AS capa, cb.cap AS capb,
+                   row_number() OVER (PARTITION BY e.id_a
+                       ORDER BY e.score DESC, e.id_a ASC, e.id_b ASC)
+                       AS ra,
+                   row_number() OVER (PARTITION BY e.id_b
+                       ORDER BY e.score DESC, e.id_a ASC, e.id_b ASC)
+                       AS rb
+            FROM e{k} e
+            JOIN ca{k} ca ON ca.id_a = e.id_a
+            JOIN cb{k} cb ON cb.id_b = e.id_b
+        ) t WHERE ra <= capa AND rb <= capb
+    )""")
+        if k < rounds:
+            parts.append(f""",
+    ca{k + 1} AS (
+        SELECT ca.id_a, ca.cap - coalesce(t.n, 0) AS cap
+        FROM ca{k} ca LEFT JOIN (
+            SELECT id_a, count(*) AS n FROM m{k} GROUP BY 1
+        ) t ON t.id_a = ca.id_a
+        WHERE ca.cap - coalesce(t.n, 0) > 0
+    ),
+    cb{k + 1} AS (
+        SELECT cb.id_b, cb.cap - coalesce(t.n, 0) AS cap
+        FROM cb{k} cb LEFT JOIN (
+            SELECT id_b, count(*) AS n FROM m{k} GROUP BY 1
+        ) t ON t.id_b = cb.id_b
+        WHERE cb.cap - coalesce(t.n, 0) > 0
+    ),
+    e{k + 1} AS (
+        SELECT e.* FROM e{k} e
+        ANTI JOIN m{k} m ON m.id_a = e.id_a AND m.id_b = e.id_b
+        WHERE e.id_a IN (SELECT id_a FROM ca{k + 1})
+          AND e.id_b IN (SELECT id_b FROM cb{k + 1})
+    )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
 
 
 def _canopy_oracle(
@@ -9626,6 +9701,9 @@ def oracle_sql() -> dict[str, str]:
         # (see _confusables_oracle)
         "er_confusables_fold": _confusables_oracle(),
         # er_lsh_curve: the same grid + pinned pow chain
+        # er_b_matching: generated capacity-carrying round unroll
+        # (see _b_matching_oracle)
+        "er_b_matching": _b_matching_oracle(3, 11, 1, 2),
         "er_lsh_curve": """
             SELECT CAST(round(i / 100.0 * 10000) AS BIGINT) AS jaccard_4dp,
                    CAST(round((1.0 - pow(1.0 - pow(i / 100.0, 2.0), 4.0))

@@ -596,3 +596,94 @@ def label_propagation(
     return labels.select(
         F.col("v").alias("id"), F.col("label").alias("cluster_id")
     )
+
+
+def b_matching_greedy(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    cap_a: int = 1,
+    cap_b: int = 2,
+    max_rounds: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Greedy CAPACITATED assignment (b-matching): each A record links
+    to at most ``cap_a`` B records and each B record accepts at most
+    ``cap_b`` A records — the one-to-many linkage shape (deduplicated
+    master vs raw mentions, household linkage, one canonical entity
+    absorbing several transcripts). Sequential definition: scan edges
+    by the shared total order (score DESC, id_a ASC, id_b ASC), take an
+    edge when BOTH endpoints still have capacity. Parallelized as
+    rounds of locally-dominant-within-capacity selection — the
+    b-SUITOR scheme (Khan, Pothen et al., "Efficient approximation
+    algorithms for weighted b-matching", SIAM SISC 2016, generalizing
+    Preis's dominant-edge argument): a round takes every edge whose
+    rank among surviving edges is within the REMAINING capacity at
+    both endpoints; per-vertex capacities shrink by the takes, edges
+    at saturated vertices drop, repeat. Run to convergence this equals
+    the sequential greedy under unique edge order (fuzz-proven in
+    `tests/test_matching.py`); ``max_rounds`` is the deterministic
+    bounded prefix both engines compute (the one_to_one convention —
+    with cap 1 on both sides this IS `one_to_one_greedy`).
+
+    Output: taken edges with a 1-based ``round`` column.
+
+    Scale: per round two capacity joins (vertex-keyed, dictionary- or
+    corpus-vertex-scale, co-partitioned), two window ranks on the
+    shrinking edge set, one anti join; localCheckpoint per round.
+    """
+    order = [F.col(score_col).desc(), F.col(id_a).asc(), F.col(id_b).asc()]
+    ca = pairs.select(id_a).distinct().withColumn("_ca", F.lit(cap_a))
+    cb = pairs.select(id_b).distinct().withColumn("_cb", F.lit(cap_b))
+    edges = pairs
+    out: DataFrame | None = None
+    for rnd in range(1, max_rounds + 1):
+        wa = Window.partitionBy(id_a).orderBy(*order)
+        wb = Window.partitionBy(id_b).orderBy(*order)
+        ranked = (
+            edges.withColumn("_ra", F.row_number().over(wa))
+            .withColumn("_rb", F.row_number().over(wb))
+            .join(ca, id_a)
+            .join(cb, id_b)
+        )
+        take = ranked.filter(
+            (F.col("_ra") <= F.col("_ca")) & (F.col("_rb") <= F.col("_cb"))
+        ).select(*edges.columns, F.lit(rnd).alias("round"))
+        if checkpoint:
+            take = take.localCheckpoint(eager=True)
+            if take.isEmpty():
+                break
+        out = take if out is None else out.unionByName(take)
+        if rnd == max_rounds:
+            break
+        na = take.groupBy(id_a).agg(F.count("*").alias("_n"))
+        ca = (
+            ca.join(na, id_a, "left")
+            .select(
+                id_a,
+                (F.col("_ca") - F.coalesce("_n", F.lit(0))).alias("_ca"),
+            )
+            .filter(F.col("_ca") > 0)
+        )
+        nb = take.groupBy(id_b).agg(F.count("*").alias("_n"))
+        cb = (
+            cb.join(nb, id_b, "left")
+            .select(
+                id_b,
+                (F.col("_cb") - F.coalesce("_n", F.lit(0))).alias("_cb"),
+            )
+            .filter(F.col("_cb") > 0)
+        )
+        edges = (
+            edges.join(take.select(id_a, id_b), [id_a, id_b], "left_anti")
+            .join(ca.select(id_a), id_a, "left_semi")
+            .join(cb.select(id_b), id_b, "left_semi")
+        )
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+            ca = ca.localCheckpoint(eager=True)
+            cb = cb.localCheckpoint(eager=True)
+    if out is None:
+        return pairs.withColumn("round", F.lit(0)).limit(0)
+    return out

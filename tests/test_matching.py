@@ -607,3 +607,85 @@ def test_label_propagation_self_vote_merges_isolated_edge(spark):
         ).collect()
     }
     assert merged[3] == merged[7] == 3
+
+
+# ---------------------------------------------------------------------------
+# capacitated greedy b-matching
+
+
+def _seq_greedy_caps(edges, cap_a, cap_b):
+    """Sequential greedy with capacities under the shared total order."""
+    from collections import defaultdict
+
+    na, nb = defaultdict(int), defaultdict(int)
+    out = set()
+    for a, b, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        if na[a] < cap_a and nb[b] < cap_b:
+            na[a] += 1
+            nb[b] += 1
+            out.add((a, b, s))
+    return out
+
+
+def test_b_matching_equals_sequential_greedy_fuzz(spark):
+    from fel_spark.operators.matching import b_matching_greedy
+
+    rng = random.Random(179)
+    for trial, (ca, cb) in enumerate([(1, 2), (2, 3), (1, 1)]):
+        edges = set()
+        while len(edges) < 100:
+            a = rng.randint(0, 19)
+            b = 100 + rng.randint(0, 14)
+            edges.add((a, b))
+        rows = [(a, b, rng.randint(1, 50)) for a, b in sorted(edges)]
+        got = {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in b_matching_greedy(
+                _pairs_df(spark, rows), cap_a=ca, cap_b=cb, max_rounds=40
+            ).collect()
+        }
+        assert got == _seq_greedy_caps(rows, ca, cb), (trial, ca, cb)
+
+
+def test_b_matching_respects_caps(spark):
+    from collections import Counter
+
+    from fel_spark.operators.matching import b_matching_greedy
+
+    rng = random.Random(181)
+    rows = [
+        (rng.randint(0, 8), 100 + rng.randint(0, 5), rng.randint(1, 30))
+        for _ in range(80)
+    ]
+    rows = list({(a, b): (a, b, s) for a, b, s in rows}.values())
+    out = b_matching_greedy(
+        _pairs_df(spark, rows), cap_a=2, cap_b=3, max_rounds=30
+    ).collect()
+    ca = Counter(r["id_a"] for r in out)
+    cb = Counter(r["id_b"] for r in out)
+    assert all(v <= 2 for v in ca.values())
+    assert all(v <= 3 for v in cb.values())
+
+
+def test_b_matching_cap1_equals_one_to_one(spark):
+    from fel_spark.operators.matching import b_matching_greedy
+
+    rng = random.Random(191)
+    rows = [
+        (rng.randint(0, 10), 50 + rng.randint(0, 10), rng.randint(1, 9))
+        for _ in range(60)
+    ]
+    rows = list({(a, b): (a, b, s) for a, b, s in rows}.values())
+    bm = {
+        (r["id_a"], r["id_b"])
+        for r in b_matching_greedy(
+            _pairs_df(spark, rows), cap_a=1, cap_b=1, max_rounds=40
+        ).collect()
+    }
+    oo = {
+        (r["id_a"], r["id_b"])
+        for r in one_to_one_greedy(
+            _pairs_df(spark, rows), max_rounds=40
+        ).collect()
+    }
+    assert bm == oo
