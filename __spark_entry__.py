@@ -3701,6 +3701,23 @@ def q_er_b_matching(spark, sf_dir):
     )
 
 
+def q_er_stable_marriage(spark, sf_dir):
+    """Deferred-acceptance stable matching (r5, `operators/matching.py
+    ::stable_marriage` — Gale & Shapley 1962; unique A-optimal outcome
+    per McVitie-Wilson 1971, which is what lets synchronous parallel
+    rounds equal the sequential algorithm, fuzz-proven): 4 bounded
+    rounds of propose / keep-best / displace over the mod-11 bipartite
+    JW pairs — the stability-guaranteed member of the assignment
+    family (no blocking pair survives convergence; property-tested).
+    Oracle: generated round unroll carrying the proposal-pointer state
+    table and the tentative matching through the rounds."""
+    from fel_spark.operators.matching import stable_marriage
+
+    return stable_marriage(
+        _er_bipartite_pairs(spark, sf_dir, 11), max_rounds=4
+    )
+
+
 def q_er_star_clusters(spark, sf_dir):
     """One-shot parallel star clustering (r5, `operators/matching.py::
     star_clusters` — Aslam, Pelekhov & Rus 2004; the chain-resistant
@@ -4941,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_confusables_fold": q_er_confusables_fold,
         "er_lsh_curve": q_er_lsh_curve,
         "er_b_matching": q_er_b_matching,
+        "er_stable_marriage": q_er_stable_marriage,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -6217,6 +6235,52 @@ def _b_matching_oracle(rounds: int, mod: int, cap_a: int, cap_b: int) -> str:
         f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
     )
     parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+def _stable_marriage_oracle(rounds: int, mod: int) -> str:
+    """Generated CTE unroll of q_er_stable_marriage: per round,
+    unmatched A's with preferences left propose to their next choice
+    (the pointer table a{k} carries proposals-made), every B keeps the
+    best of tentative + newcomers under (score DESC, id_a ASC), and
+    displaced A's resume — the exact stable_marriage round."""
+    parts = ["WITH " + _ER_BIPARTITE_PAIRS_CTE.format(mod=mod) + """,
+    pref AS MATERIALIZED (
+        SELECT e1.*, row_number() OVER (PARTITION BY id_a
+            ORDER BY score DESC, id_b ASC) AS pr
+        FROM e1
+    ),
+    degs AS (SELECT id_a, max(pr) AS deg FROM pref GROUP BY 1),
+    a1 AS (SELECT id_a, 0 AS p FROM degs),
+    t1 AS (SELECT id_a, id_b, score, pr FROM pref WHERE 1 = 0)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    prop{k} AS MATERIALIZED (
+        SELECT a.id_a, a.p + 1 AS p_next
+        FROM a{k} a JOIN degs d ON d.id_a = a.id_a
+        WHERE a.p < d.deg
+          AND a.id_a NOT IN (SELECT id_a FROM t{k})
+    ),
+    np{k} AS (
+        SELECT p.id_a, p.id_b, p.score, p.pr
+        FROM prop{k} q JOIN pref p
+          ON p.id_a = q.id_a AND p.pr = q.p_next
+    ),
+    t{k + 1} AS MATERIALIZED (
+        SELECT id_a, id_b, score, pr FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY c.id_b
+                ORDER BY c.score DESC, c.id_a ASC) AS rn
+            FROM (SELECT * FROM t{k}
+                  UNION ALL SELECT * FROM np{k}) c
+        ) x WHERE rn = 1
+    ),
+    a{k + 1} AS MATERIALIZED (
+        SELECT a.id_a, coalesce(q.p_next, a.p) AS p
+        FROM a{k} a LEFT JOIN prop{k} q ON q.id_a = a.id_a
+    )""")
+    parts.append(f"""
+    SELECT id_a, id_b, score, CAST(pr AS INTEGER) AS p
+    FROM t{rounds + 1}""")
     return "".join(parts)
 
 
@@ -9704,6 +9768,9 @@ def oracle_sql() -> dict[str, str]:
         # er_b_matching: generated capacity-carrying round unroll
         # (see _b_matching_oracle)
         "er_b_matching": _b_matching_oracle(3, 11, 1, 2),
+        # er_stable_marriage: generated pointer-state round unroll
+        # (see _stable_marriage_oracle)
+        "er_stable_marriage": _stable_marriage_oracle(4, 11),
         "er_lsh_curve": """
             SELECT CAST(round(i / 100.0 * 10000) AS BIGINT) AS jaccard_4dp,
                    CAST(round((1.0 - pow(1.0 - pow(i / 100.0, 2.0), 4.0))

@@ -687,3 +687,112 @@ def b_matching_greedy(
     if out is None:
         return pairs.withColumn("round", F.lit(0)).limit(0)
     return out
+
+
+def stable_marriage(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    max_rounds: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deferred-acceptance stable matching (Gale & Shapley, "College
+    admissions and the stability of marriage", Amer. Math. Monthly
+    1962) over a scored bipartite candidate set: the STABILITY
+    guarantee the greedy layers lack — no unmatched pair (a, b) exists
+    where both strictly prefer each other to their assigned partners
+    (greedy CAN leave such blocking pairs when a high-score edge is
+    consumed transitively). Preferences on both sides are the edge
+    scores under the engine-neutral orders (A side: score DESC, id_b
+    ASC; B side: score DESC, id_a ASC). By McVitie & Wilson 1971 the
+    A-proposing outcome is the UNIQUE A-optimal stable matching
+    independent of proposal order, which is what makes the synchronous
+    parallel rounds here converge to exactly the sequential algorithm
+    (fuzz-proven in `tests/test_matching.py`).
+
+    Round state per A record: ``p`` = proposals made so far; an
+    unmatched A proposes to its (p+1)-th preference, every B keeps the
+    best proposal among newcomers + its current tentative partner and
+    rejects the rest; displaced A's resume from their next preference.
+    ``max_rounds`` is the bounded deterministic prefix (the
+    one_to_one/b_matching convention); tentative matches after the
+    last round are returned.
+
+    Output: (id_a, id_b, score, p) — p the winning proposal's index in
+    A's preference list (1 = first choice).
+
+    Scale: the preference ranks are ONE window per side computed once;
+    each round is a rank-indexed join (proposal lookup), a per-B
+    argmax window over at most |tentative| + |proposers| rows, and
+    vertex-keyed bookkeeping joins — the edge set itself is never
+    rescanned. State is localCheckpoint'd per round.
+    """
+    pref = pairs.withColumn(
+        "_pr",
+        F.row_number().over(
+            Window.partitionBy(id_a).orderBy(
+                F.col(score_col).desc(), F.col(id_b).asc()
+            )
+        ),
+    )
+    if checkpoint:
+        pref = pref.localCheckpoint(eager=True)
+    degs = pref.groupBy(id_a).agg(F.max("_pr").alias("_deg"))
+    state = degs.select(id_a, F.lit(0).alias("_p"), "_deg")
+    tent: DataFrame | None = None
+    wb = Window.partitionBy(id_b).orderBy(
+        F.col(score_col).desc(), F.col(id_a).asc()
+    )
+    for _ in range(max_rounds):
+        if tent is None:
+            unmatched = state
+        else:
+            unmatched = state.join(
+                tent.select(id_a), id_a, "left_anti"
+            )
+        proposers = unmatched.filter(F.col("_p") < F.col("_deg")).select(
+            id_a, (F.col("_p") + 1).alias("_p_next")
+        )
+        if checkpoint:
+            proposers = proposers.localCheckpoint(eager=True)
+            if proposers.isEmpty():
+                break
+        props = (
+            proposers.select(
+                F.col(id_a).alias("_prop_a"), F.col("_p_next")
+            )
+            .join(
+                pref,
+                (F.col("_prop_a") == F.col(id_a))
+                & (F.col("_p_next") == F.col("_pr")),
+            )
+            .select(id_a, id_b, score_col, "_pr")
+        )
+        cand = props if tent is None else tent.unionByName(props)
+        keep = (
+            cand.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if checkpoint:
+            keep = keep.localCheckpoint(eager=True)
+        tent = keep
+        # advance p for everyone who proposed this round
+        state = (
+            state.join(proposers.select(id_a, "_p_next"), id_a, "left")
+            .select(
+                id_a,
+                F.coalesce("_p_next", F.col("_p")).alias("_p"),
+                "_deg",
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+    if tent is None:
+        return pairs.select(
+            id_a, id_b, score_col
+        ).withColumn("p", F.lit(0)).limit(0)
+    return tent.select(
+        id_a, id_b, score_col, F.col("_pr").cast("int").alias("p")
+    )

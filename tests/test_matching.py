@@ -689,3 +689,82 @@ def test_b_matching_cap1_equals_one_to_one(spark):
         ).collect()
     }
     assert bm == oo
+
+
+# ---------------------------------------------------------------------------
+# Gale-Shapley stable matching
+
+
+def _seq_gale_shapley(edges):
+    """Textbook sequential deferred acceptance (A-proposing); unique
+    A-optimal outcome (McVitie-Wilson) regardless of order."""
+    prefs = {}
+    score = {}
+    for a, b, s in edges:
+        prefs.setdefault(a, []).append((-s, b))
+        score[(a, b)] = s
+    for a in prefs:
+        prefs[a].sort()
+    ptr = {a: 0 for a in prefs}
+    tent = {}  # b -> a
+    free = list(prefs)
+    while free:
+        a = free.pop()
+        while ptr[a] < len(prefs[a]):
+            b = prefs[a][ptr[a]][1]
+            ptr[a] += 1
+            cur = tent.get(b)
+            if cur is None:
+                tent[b] = a
+                break
+            # b prefers higher score, tie smaller id_a
+            if (-score[(a, b)], a) < (-score[(cur, b)], cur):
+                tent[b] = a
+                free.append(cur)
+                break
+        # else: a exhausted its list, stays unmatched
+    return {(a, b, score[(a, b)]) for b, a in tent.items()}
+
+
+def test_stable_marriage_equals_sequential_fuzz(spark):
+    from fel_spark.operators.matching import stable_marriage
+
+    rng = random.Random(193)
+    for trial in range(3):
+        edges = set()
+        while len(edges) < 90:
+            edges.add((rng.randint(0, 14), 100 + rng.randint(0, 14)))
+        rows = [(a, b, rng.randint(1, 60)) for a, b in sorted(edges)]
+        rows = list({(a, b): (a, b, s) for a, b, s in rows}.values())
+        got = {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in stable_marriage(
+                _pairs_df(spark, rows), max_rounds=40
+            ).collect()
+        }
+        assert got == _seq_gale_shapley(rows), trial
+
+
+def test_stable_marriage_no_blocking_pair(spark):
+    from fel_spark.operators.matching import stable_marriage
+
+    rng = random.Random(197)
+    rows = list(
+        {
+            (a, b): (a, b, rng.randint(1, 40))
+            for a, b in [
+                (rng.randint(0, 9), 100 + rng.randint(0, 9))
+                for _ in range(70)
+            ]
+        }.values()
+    )
+    out = stable_marriage(_pairs_df(spark, rows), max_rounds=40).collect()
+    match_a = {r["id_a"]: (r["id_b"], r["score"]) for r in out}
+    match_b = {r["id_b"]: (r["id_a"], r["score"]) for r in out}
+    score = {(a, b): s for a, b, s in rows}
+    for (a, b), s in score.items():
+        sa = match_a.get(a)
+        sb = match_b.get(b)
+        a_prefers = sa is None or (-s, b) < (-sa[1], sa[0])
+        b_prefers = sb is None or (-s, a) < (-sb[1], sb[0])
+        assert not (a_prefers and b_prefers), (a, b, s, sa, sb)
