@@ -3718,6 +3718,27 @@ def q_er_stable_marriage(spark, sf_dir):
     )
 
 
+def q_er_depth_audit(spark, sf_dir):
+    """Cluster chain-length audit (r5, `operators/cluster.py::
+    cluster_depth_audit`): per transitive cluster of the mod-17
+    JW >= 0.80 match graph — the SAME graph the star / merge-center /
+    correlation layers decide over — the root's BFS eccentricity: how
+    many lucky-edge hops CC chained together (the failure mode the
+    radius-1 layers exist to bound, Hassanzadeh et al. VLDB 2009).
+    Bounded synchronous BFS, 12 rounds (ample here; the `converged`
+    flag is the operator's, the query exports the three stable
+    columns). Oracle: recursive min-label components + a recursive
+    bounded min-distance BFS from each root."""
+    from fel_spark.operators.cluster import cluster_depth_audit
+
+    edges = _er_jw_edges(spark, sf_dir, 17, 800_000).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return cluster_depth_audit(edges, max_rounds=12).select(
+        "cluster_id", "n_nodes", "root_ecc"
+    )
+
+
 def q_er_star_clusters(spark, sf_dir):
     """One-shot parallel star clustering (r5, `operators/matching.py::
     star_clusters` — Aslam, Pelekhov & Rus 2004; the chain-resistant
@@ -4959,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_lsh_curve": q_er_lsh_curve,
         "er_b_matching": q_er_b_matching,
         "er_stable_marriage": q_er_stable_marriage,
+        "er_depth_audit": q_er_depth_audit,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -9768,6 +9790,51 @@ def oracle_sql() -> dict[str, str]:
         # er_b_matching: generated capacity-carrying round unroll
         # (see _b_matching_oracle)
         "er_b_matching": _b_matching_oracle(3, 11, 1, 2),
+        # er_depth_audit: recursive min-label components + bounded
+        # recursive BFS min-distance from each root
+        "er_depth_audit": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM d a JOIN d b
+                  ON a.doc_id % 17 = b.doc_id % 17 AND a.doc_id < b.doc_id
+                WHERE CAST(round(jaro_winkler_similarity(a.s, b.s)
+                                 * 1000000) AS BIGINT) >= 800000
+            ),
+            sym AS (
+                SELECT src, dst FROM e
+                UNION ALL
+                SELECT dst, src FROM e
+            ),
+            reach(id, comp) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT sym.dst, r.comp
+                FROM reach r JOIN sym ON sym.src = r.id
+            ),
+            lab AS (
+                SELECT id, min(comp) AS root FROM reach GROUP BY id
+            ),
+            bfs(id, dist) AS (
+                SELECT DISTINCT root, 0 FROM lab
+                UNION
+                SELECT sym.dst, b.dist + 1
+                FROM bfs b JOIN sym ON sym.src = b.id
+                WHERE b.dist + 1 <= 12
+            ),
+            dmin AS (
+                SELECT id, min(dist) AS dist FROM bfs GROUP BY id
+            )
+            SELECT lab.root AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(max(dmin.dist) AS BIGINT) AS root_ecc
+            FROM lab JOIN dmin ON dmin.id = lab.id
+            GROUP BY lab.root
+        """,
         # er_stable_marriage: generated pointer-state round unroll
         # (see _stable_marriage_oracle)
         "er_stable_marriage": _stable_marriage_oracle(4, 11),

@@ -324,3 +324,84 @@ def repair_clusters(
         )
         .select("id", "cluster", "support_micro", "ejected", "repaired_cluster")
     )
+
+
+def cluster_depth_audit(
+    edges: DataFrame,
+    max_rounds: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Chain-length diagnostic for transitive clusters: per connected
+    component, the ECCENTRICITY OF ITS ROOT (min-id node) — the number
+    of BFS rounds needed to reach the farthest member. This is the
+    quantity the radius-1 decision layers (`matching.star_clusters` /
+    `pivot_clusters`) exist to bound: a CC cluster with root
+    eccentricity 7 merged records seven lucky edges apart, which no
+    single pairwise score ever endorsed (Hassanzadeh et al. VLDB 2009
+    measure exactly this failure mode). Run it on the match graph
+    BEFORE choosing a decision layer; large eccentricities are the
+    signal to switch off plain CC.
+
+    ``edges``: (src, dst) undirected pairs. Output: one row per
+    component — (``cluster_id`` = root id, ``n_nodes``, ``root_ecc``,
+    ``converged`` 1/0 — 0 means the BFS hit ``max_rounds`` with
+    frontier remaining, so root_ecc is a lower bound).
+
+    Scale: bounded synchronous BFS — per round one co-partitioned join
+    of the frontier onto the symmetrized edge list + an anti join
+    against visited, localCheckpoint'd (the `connected_components`
+    lineage discipline); components expand in parallel.
+    """
+    raw = edges.select("src", "dst")
+    comp = connected_components(raw)
+    sym = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    # roots: component label IS the min reachable id
+    visited = comp.select(
+        F.col("component").alias("cluster_id"), F.col("id"),
+        F.when(F.col("id") == F.col("component"), 0).alias("dist"),
+    )
+    frontier = visited.filter(F.col("dist") == 0)
+    visited = frontier
+    ecc = frontier.select("cluster_id").withColumn("root_ecc", F.lit(0))
+    converged = False
+    for rnd in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(
+                "cluster_id", F.col("dst").alias("id"), F.lit(rnd).alias("dist")
+            )
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        # a node reachable from two frontier nodes appears once (distinct);
+        # cross-cluster duplicates are impossible (components are disjoint)
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                converged = True
+                break
+        visited = visited.unionByName(nxt)
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=True)
+        ecc = ecc.unionByName(
+            nxt.select("cluster_id").distinct().withColumn(
+                "root_ecc", F.lit(rnd)
+            )
+        )
+        frontier = nxt
+    sizes = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    out = ecc.groupBy("cluster_id").agg(
+        F.max("root_ecc").cast("long").alias("root_ecc")
+    )
+    return sizes.join(out, "cluster_id").select(
+        "cluster_id",
+        "n_nodes",
+        "root_ecc",
+        F.lit(1 if converged else 0).cast("int").alias("converged"),
+    )

@@ -243,3 +243,73 @@ def test_lsh_operating_curve_matches_closed_form(spark):
         s = i / 100.0
         want = round((1.0 - (1.0 - s**2.0) ** 4.0) * 1_000_000)
         assert rows[round(s * 10_000)] == want
+
+
+# ---------------------------------------------------------------------------
+# cluster depth audit (cluster.cluster_depth_audit)
+
+
+def _py_depth(edges, max_rounds):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen_all = set()
+    out = {}
+    for v in sorted(adj):
+        if v in seen_all:
+            continue
+        comp, q = {v}, deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in comp:
+                    comp.add(w)
+                    q.append(w)
+        root = min(comp)
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist and dist[u] + 1 <= max_rounds:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        out[root] = (len(comp), max(dist.values()))
+        seen_all |= comp
+    return out
+
+
+def test_cluster_depth_audit_replay_fuzz(spark):
+    from fel_spark.operators.cluster import cluster_depth_audit
+
+    rng = random.Random(199)
+    edges = set()
+    while len(edges) < 50:
+        a, b = rng.randint(0, 39), rng.randint(0, 39)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows = sorted(edges)
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["cluster_id"]: (r["n_nodes"], r["root_ecc"])
+        for r in cluster_depth_audit(df, max_rounds=12).collect()
+    }
+    assert got == _py_depth(rows, 12)
+
+
+def test_cluster_depth_audit_chain_vs_clique(spark):
+    from fel_spark.operators.cluster import cluster_depth_audit
+
+    # path 0-1-2-3-4 (ecc 4 from root 0) vs clique {10,11,12} (ecc 1)
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4),
+            (10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["cluster_id"]: (r["n_nodes"], r["root_ecc"], r["converged"])
+        for r in cluster_depth_audit(df, max_rounds=8).collect()
+    }
+    assert got[0] == (5, 4, 1)
+    assert got[10] == (3, 1, 1)
