@@ -3739,6 +3739,61 @@ def q_er_depth_audit(spark, sf_dir):
     )
 
 
+def q_conv_flow_align(spark, sf_dir):
+    """Conversation FLOW alignment (r5): two sessions' tool-call
+    sequences compared ORDER-AWARE by Needleman-Wunsch global
+    alignment (`operators/editsim.py::needleman_wunsch_scores`) over
+    single-char-coded flows — the sequence-level complement to
+    conv_near_dup's order-free turn sets and er_group_linkage's greedy
+    turn alignment (an agent retrying the same flow with one inserted
+    step scores one gap, not a mismatch cascade). Flow = first letter
+    of event_type for the first 12 turns under the conv_integrity
+    neutral rank key (total via event_id). Pairs: user mod-13 blocks.
+    Oracle: same flow construction via string_agg + the NW recursive
+    row-DP replay."""
+    from fel_spark.operators.editsim import needleman_wunsch_scores
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.coalesce(F.col("event_id"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("event_type"), F.lit("")),
+    )
+    t = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("ti", F.row_number().over(w))
+        .filter(F.col("ti") <= 12)
+        .select(
+            "user_id",
+            "ti",
+            F.substring(F.coalesce("event_type", F.lit("_")), 1, 1).alias(
+                "code"
+            ),
+        )
+    )
+    flows = t.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "code"))),
+                lambda x: x["code"],
+            ),
+            "",
+        ).alias("flow")
+    )
+    a = flows.select(
+        F.col("user_id").alias("id_a"),
+        F.col("flow").alias("s_a"),
+        (F.col("user_id") % 13).alias("bk"),
+    )
+    b = flows.select(
+        F.col("user_id").alias("id_b"),
+        F.col("flow").alias("s_b"),
+        (F.col("user_id") % 13).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+    return needleman_wunsch_scores(pairs, "s_a", "s_b")
+
+
 def q_er_star_clusters(spark, sf_dir):
     """One-shot parallel star clustering (r5, `operators/matching.py::
     star_clusters` — Aslam, Pelekhov & Rus 2004; the chain-resistant
@@ -4984,6 +5039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
+        "conv_flow_align": q_conv_flow_align,
         "doc_cms_counts": q_doc_cms_counts,
         "doc_hll_distinct": q_doc_hll_distinct,
         "user_value_intervals": q_user_value_intervals,
@@ -9968,6 +10024,72 @@ def oracle_sql() -> dict[str, str]:
                                        * 1000000) END) AS BIGINT)
                        AS token_set_sim_micro
             FROM strs
+        """,
+        # conv_flow_align: flow strings via string_agg over the same
+        # total rank key, then the NW recursive row-DP replay
+        "conv_flow_align": """
+            WITH RECURSIVE
+            t AS (
+                SELECT user_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts ASC NULLS LAST,
+                                    coalesce(event_id,
+                                             -4611686018427387904),
+                                    coalesce(event_type, '')) AS ti,
+                       substr(coalesce(event_type, '_'), 1, 1) AS code
+                FROM events
+            ),
+            flows AS (
+                SELECT user_id,
+                       string_agg(code, '' ORDER BY ti) AS flow
+                FROM t WHERE ti <= 12 GROUP BY user_id
+            ),
+            pr AS (
+                SELECT a.user_id AS id_a, b.user_id AS id_b,
+                       a.flow AS s_a, b.flow AS s_b
+                FROM flows a JOIN flows b
+                  ON a.user_id % 13 = b.user_id % 13
+                 AND a.user_id < b.user_id
+            ),
+            pp AS (
+                SELECT id_a, id_b,
+                       string_split(s_a, '') AS a,
+                       string_split(s_b, '') AS b,
+                       length(s_a) AS alen, length(s_b) AS blen
+                FROM pr
+            ),
+            dp(id_a, id_b, i, row) AS (
+                SELECT id_a, id_b, 0,
+                       list_transform(range(0, blen + 1), x -> -x)
+                FROM pp
+                UNION ALL
+                SELECT r.id_a, r.id_b, r.i + 1,
+                       list_concat([-(r.i + 1)], list_transform(
+                           range(1, q.blen + 1),
+                           j -> list_aggregate(list_concat(
+                                    [-(r.i + 1)],
+                                    list_transform(range(1, j + 1),
+                                        k -> greatest(
+                                                 r.row[k]
+                                                 + CASE WHEN q.b[k]
+                                                             = q.a[r.i + 1]
+                                                        THEN 2 ELSE -1 END,
+                                                 r.row[k + 1] - 1) + k)),
+                                'max') - j))
+                FROM dp r
+                JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+                WHERE r.i < q.alen
+            )
+            SELECT pr.id_a, pr.id_b, pr.s_a, pr.s_b,
+                   CAST(r.row[q.blen + 1] AS BIGINT) AS nw,
+                   CAST(CASE WHEN greatest(q.alen, q.blen) = 0 THEN 1000000
+                             ELSE (greatest(r.row[q.blen + 1], 0) * 1000000)
+                                  // (2 * greatest(q.alen, q.blen)) END
+                        AS BIGINT) AS nw_sim_micro
+            FROM dp r
+            JOIN pp q ON q.id_a = r.id_a AND q.id_b = r.id_b
+            JOIN pr ON pr.id_a = r.id_a AND pr.id_b = r.id_b
+            WHERE r.i = q.alen
         """,
         # er_needleman_wunsch: recursive row-DP with the -g*i row
         # boundary as the k = 0 term of the decaying prefix max
