@@ -3794,6 +3794,41 @@ def q_conv_flow_align(spark, sf_dir):
     return needleman_wunsch_scores(pairs, "s_a", "s_b")
 
 
+def q_er_cluster_sizes(spark, sf_dir):
+    """Cluster-size distribution audit (r5): the first sanity report an
+    ER run prints — for each cluster SIZE over the mod-17 JW match
+    graph's transitive clusters (vertices only; singleton isolates are
+    the blocking stage's concern): how many clusters, how many records
+    they hold, the record share in micro units, and the quadratic
+    verify cost C(s,2) per cluster — a fat tail here is the chain-merge
+    smell `er_depth_audit` then localizes. One hash agg over the CC
+    output + one dictionary-scale agg."""
+    from fel_spark.operators.cluster import connected_components
+
+    edges = _er_jw_edges(spark, sf_dir, 17, 800_000).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("s"))
+    total = sizes.agg(F.sum("s").cast("long").alias("_t"))
+    return (
+        sizes.groupBy("s")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("s").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("s") * F.col("n_clusters")).cast("long").alias("n_records"),
+            F.expr("(s * n_clusters * 1000000) div _t")
+            .cast("long")
+            .alias("record_share_micro"),
+            (F.col("s") * (F.col("s") - 1) / 2 * F.col("n_clusters"))
+            .cast("long")
+            .alias("verify_pairs"),
+        )
+    )
+
+
 def q_er_star_clusters(spark, sf_dir):
     """One-shot parallel star clustering (r5, `operators/matching.py::
     star_clusters` — Aslam, Pelekhov & Rus 2004; the chain-resistant
@@ -5036,6 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_b_matching": q_er_b_matching,
         "er_stable_marriage": q_er_stable_marriage,
         "er_depth_audit": q_er_depth_audit,
+        "er_cluster_sizes": q_er_cluster_sizes,
         "doc_text_tiles": q_doc_text_tiles,
         "conv_near_dup": q_conv_near_dup,
         "conv_tool_loops": q_conv_tool_loops,
@@ -9846,6 +9882,48 @@ def oracle_sql() -> dict[str, str]:
         # er_b_matching: generated capacity-carrying round unroll
         # (see _b_matching_oracle)
         "er_b_matching": _b_matching_oracle(3, 11, 1, 2),
+        # er_cluster_sizes: recursive min-label components + size
+        # histogram algebra (div floor both engines)
+        "er_cluster_sizes": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, substr(text, 1, 10) AS s
+                FROM documents WHERE length(text) > 0
+            ),
+            e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM d a JOIN d b
+                  ON a.doc_id % 17 = b.doc_id % 17 AND a.doc_id < b.doc_id
+                WHERE CAST(round(jaro_winkler_similarity(a.s, b.s)
+                                 * 1000000) AS BIGINT) >= 800000
+            ),
+            sym AS (
+                SELECT src, dst FROM e
+                UNION ALL
+                SELECT dst, src FROM e
+            ),
+            reach(id, comp) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT sym.dst, r.comp
+                FROM reach r JOIN sym ON sym.src = r.id
+            ),
+            lab AS (SELECT id, min(comp) AS root FROM reach GROUP BY id),
+            sizes AS (
+                SELECT root, CAST(count(*) AS BIGINT) AS s
+                FROM lab GROUP BY 1
+            ),
+            total AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM sizes)
+            SELECT s AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(s * count(*) AS BIGINT) AS n_records,
+                   CAST((s * count(*) * 1000000) // t AS BIGINT)
+                       AS record_share_micro,
+                   CAST(s * (s - 1) / 2 * count(*) AS BIGINT)
+                       AS verify_pairs
+            FROM sizes CROSS JOIN total
+            GROUP BY s, t
+        """,
         # er_depth_audit: recursive min-label components + bounded
         # recursive BFS min-distance from each root
         "er_depth_audit": """
