@@ -36,6 +36,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par_n(spark: SparkSession) -> int:
+    """Scan-parallelism floor, derived from the session (guide §2/§6):
+    2x the scheduler's parallelism so the tail of a heavy stage keeps
+    every core busy. Scale-adaptive — on a cluster this is 2x total
+    cores, not a local constant."""
+    return max(2 * spark.sparkContext.defaultParallelism, 8)
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Parallel table read for compute-heavy queries. The bench parquet
+    files are written as a SINGLE row group, so a plain scan can never
+    split: every downstream map-side operator (broadcast-join pair
+    enumeration, Arrow UDF batches) runs in ONE task regardless of
+    cores. A deterministic hash repartition on the table's unique id
+    (no round-robin, so no sort-before-repartition and retry-safe,
+    guide §2.5) spreads the probe side across the session parallelism
+    for a few milliseconds of exchange on these row counts."""
+    return _t(spark, sf_dir, name).repartition(_par_n(spark), F.col(key))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -3180,13 +3200,15 @@ def q_er_blocksplit_pairs(spark, sf_dir):
     Fellegi-Sunter scoring path."""
     from fel_spark.operators.loadbalance import blocksplit_pairs
 
-    blocked = _t(spark, sf_dir, "documents").select(
+    blocked = _tp(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").alias("mention_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("hot"))
         .otherwise(F.concat(F.lit("k"), (F.col("doc_id") % 41).cast("string")))
         .alias("block_key"),
     )
-    pairs = blocksplit_pairs(blocked, max_block=25)
+    # one block per record here (a single when/otherwise key), so pairs
+    # are unique by construction: skip the cross-block dedup shuffle
+    pairs = blocksplit_pairs(blocked, max_block=25, unique_blocks=True)
     return pairs.select(
         F.col("mention_id_a").alias("id_a"),
         F.col("mention_id_b").alias("id_b"),
@@ -3274,7 +3296,9 @@ def q_er_collective(spark, sf_dir):
     identity."""
     from fel_spark.operators.collective import collective_scores
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "n_chars", "source"
+    )
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("n_chars").alias("nc_a"),
@@ -3294,14 +3318,29 @@ def q_er_collective(spark, sf_dir):
         * 10000
     ).cast("long")
     pairs = (
-        a.join(b, "bk")
+        a.join(F.broadcast(b), "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", base.alias("base_4dp"))
     )
+    # band the |xid - yid| <= 40 window join: keying on source alone gives
+    # ~20 distinct join keys and a quadratic per-key intermediate; adding
+    # the id-div-40 band (probe side explodes to its 3 adjacent bands)
+    # keeps the join linear and each qualifying pair found exactly once
     x = d.select(F.col("doc_id").alias("xid"), F.col("source").alias("src"))
     y = d.select(F.col("doc_id").alias("yid"), F.col("source").alias("src"))
+    xb = x.withColumn(
+        "_band",
+        F.explode(
+            F.array(
+                F.floor(F.col("xid") / 40) - 1,
+                F.floor(F.col("xid") / 40),
+                F.floor(F.col("xid") / 40) + 1,
+            )
+        ),
+    )
+    yb = y.withColumn("_band", F.floor(F.col("yid") / 40))
     edges = (
-        x.join(y, "src")
+        xb.join(F.broadcast(yb), ["src", "_band"])
         .filter(
             (F.col("xid") != F.col("yid"))
             & (F.abs(F.col("xid") - F.col("yid")) <= 40)
@@ -4014,7 +4053,7 @@ def _er_jw_edges(spark, sf_dir, mod: int, thresh: int, keep_score: bool = False)
     from fel_spark.functions.sim import jaro_winkler_pudf
 
     d = (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .filter(F.length("text") > 0)
         .select("doc_id", F.substring("text", 1, 10).alias("s"))
     )
@@ -4028,8 +4067,11 @@ def _er_jw_edges(spark, sf_dir, mod: int, thresh: int, keep_score: bool = False)
         F.col("s").alias("s_b"),
         (F.col("doc_id") % mod).alias("bk"),
     )
+    # broadcast the build side: a mod-N key has only N distinct values, so
+    # a shuffle join would bottleneck on N partitions; the broadcast hash
+    # join streams the (repartitioned) probe side fully parallel (guide §3.1)
     return (
-        a.join(b, "bk")
+        a.join(F.broadcast(b), "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "jw_micro",
@@ -4313,7 +4355,9 @@ def _fs_multilevel_inputs(spark, sf_dir):
     (far / close / exact-ish length bands), lang_level in {0,1}; gold =
     mod-5 residue (co-blocked matches exist at every sf — see
     q_er_threshold_curve)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
     a = d.select(
         *[F.col(c).alias(f"{c}_a") for c in d.columns],
         (F.col("doc_id") % 13).alias("bk"),
@@ -4322,7 +4366,9 @@ def _fs_multilevel_inputs(spark, sf_dir):
         *[F.col(c).alias(f"{c}_b") for c in d.columns],
         (F.col("doc_id") % 13).alias("bk"),
     )
-    p = a.join(b, "bk").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    # 13 distinct join keys: broadcast the build side so pair enumeration
+    # parallelizes over the probe side's partitions (guide §3.1)
+    p = a.join(F.broadcast(b), "bk").filter(F.col("doc_id_a") < F.col("doc_id_b"))
     diff = F.abs(F.col("n_chars_a") - F.col("n_chars_b"))
     return p.select(
         F.col("doc_id_a").alias("id_a"),
@@ -4872,7 +4918,7 @@ def q_er_metablocking(spark, sf_dir):
     joins -> mean threshold op-for-op."""
     from fel_spark.operators.blocking import metablocking_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     blocked = None
     for m in (13, 17, 19):
         part = d.select(

@@ -417,11 +417,18 @@ def metablocking_pairs(
     oversized blocks are both the scale hazard and the least
     discriminative evidence.
 
-    Scale shape: distinct -> (optional) purge via one block-keyed count
-    -> self-join co-partitioned on the block key -> ONE pair-keyed hash
-    aggregate -> per-record block-count join -> 1-row mean cross join.
-    Weights are micro-unit integers; the mean divides two exact integer
-    sums, so the WEP threshold compare replays engine-exact.
+    Scale shape (r6): distinct -> (optional) purge via one block-keyed
+    count -> per-record block-key SETS (one small aggregate) -> self-join
+    on the block key with each side carrying its key set, each pair
+    OWNED by its lexicographically least common block (the standard
+    meta-blocking exactly-once emission trick — Papadakis et al. 2014
+    §4, "least common block index"), so the pair stream is never
+    shuffled or pair-keyed-aggregated: CBS and JS come from
+    array_intersect of the two carried key sets, map-side after the
+    join. The 1-row mean is a full partial aggregate of that stream and
+    the WEP filter a second map-side pass. Weights are micro-unit
+    integers; the mean divides two exact integer sums, so the WEP
+    threshold compare replays engine-exact.
 
     Returns kept edges: (id_a, id_b, common, js_micro).
     """
@@ -433,23 +440,22 @@ def metablocking_pairs(
         b = b.join(
             sizes.filter(F.col("_n") <= purge_above).select("bk"), "bk"
         )
-    per_rec = b.groupBy("rid").agg(F.count("*").alias("nb"))
-    pa = b.select(F.col("rid").alias("id_a"), "bk")
-    pb = b.select(F.col("rid").alias("id_b"), "bk")
-    common = (
-        pa.join(pb, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    keysets = b.groupBy("rid").agg(F.sort_array(F.collect_set("bk")).alias("_keys"))
+    expl = keysets.select("rid", "_keys", F.explode("_keys").alias("bk"))
+    pa = expl.select(F.col("rid").alias("id_a"), F.col("_keys").alias("_ka"), "bk")
+    pb = expl.select(F.col("rid").alias("id_b"), F.col("_keys").alias("_kb"), "bk")
+    common_keys = F.array_intersect(F.col("_ka"), F.col("_kb"))
     edges = (
-        common.join(
-            per_rec.select(F.col("rid").alias("id_a"), F.col("nb").alias("nb_a")),
+        pa.join(F.broadcast(pb), "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # exactly-once: only the least common block emits the pair
+        .filter(F.col("bk") == F.array_min(common_keys))
+        .select(
             "id_a",
-        )
-        .join(
-            per_rec.select(F.col("rid").alias("id_b"), F.col("nb").alias("nb_b")),
             "id_b",
+            F.size(common_keys).cast("long").alias("common"),
+            F.size("_ka").alias("nb_a"),
+            F.size("_kb").alias("nb_b"),
         )
         .withColumn(
             "js_micro",

@@ -74,9 +74,18 @@ def blocksplit_pairs(
     id_col: str = "mention_id",
     payload_cols: tuple[str, ...] = (),
     max_block: int = DEFAULT_MAX_BLOCK,
+    unique_blocks: bool = False,
 ) -> DataFrame:
     """Enumerate ALL intra-block pairs (id_a < id_b, deduped across
     blocks) with per-task work bounded by ``max_block``.
+
+    ``unique_blocks=True`` declares that every record belongs to at most
+    ONE block (disjoint blocking schemes, e.g. a single modulus or a
+    single phonetic key). Pairs are then unique by construction — within
+    a block the split emits each pair exactly once, and no pair can
+    recur across blocks — so the final cross-block ``dropDuplicates``
+    (a full shuffle of the quadratic pair stream) is skipped. The
+    emitted pair SET is identical either way; only the plan changes.
 
     Drop-in replacement for ``blocking.candidate_pairs`` that never
     drops a pair and never lets one hot key become one giant join
@@ -148,6 +157,8 @@ def blocksplit_pairs(
         .filter(owned)
         .drop("_task", "_shard_a", "_shard_b", "_diag_a", "_diag_b")
     )
+    if unique_blocks:
+        return pairs
     return pairs.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
 
 
