@@ -4057,6 +4057,34 @@ def _er_jw_edges(spark, sf_dir, mod: int, thresh: int, keep_score: bool = False)
         .filter(F.length("text") > 0)
         .select("doc_id", F.substring("text", 1, 10).alias("s"))
     )
+    # jw_micro is a pure function of the STRING pair, and the 10-char
+    # prefixes repeat heavily (distinct strings << documents): evaluate
+    # the Python kernel once per distinct unordered string pair and keep
+    # only the pairs at/above the threshold — a small table (threshold
+    # survival is a few percent) that broadcasts. The quadratic document-
+    # pair stream then never crosses the Python boundary (guide §4.1):
+    # the inner broadcast join below both attaches jw_micro and applies
+    # the threshold filter in the JVM.
+    # repartition AFTER distinct: AQE coalesces the tiny distinct output
+    # to one partition, which would serialize the quadratic cross +
+    # kernel below into a single task — the classic small-output /
+    # heavy-downstream AQE trap (explicit numPartitions is respected)
+    su = d.select("s").distinct().repartition(_par_n(spark))
+    # nondeterministic copy: the threshold filter sits on the UDF output
+    # and would otherwise be pushed below the projection, evaluating the
+    # kernel twice per string pair (guide §4.4)
+    jw_once = jaro_winkler_pudf.asNondeterministic()
+    jw_pass = (
+        su.select(F.col("s").alias("s_lo"))
+        .join(su.select(F.col("s").alias("s_hi")), F.col("s_lo") <= F.col("s_hi"))
+        .withColumn(
+            "jw_micro",
+            F.round(jw_once(F.col("s_lo"), F.col("s_hi")) * 1_000_000).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("jw_micro") >= thresh)
+    )
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("s").alias("s_a"),
@@ -4069,17 +4097,19 @@ def _er_jw_edges(spark, sf_dir, mod: int, thresh: int, keep_score: bool = False)
     )
     # broadcast the build side: a mod-N key has only N distinct values, so
     # a shuffle join would bottleneck on N partitions; the broadcast hash
-    # join streams the (repartitioned) probe side fully parallel (guide §3.1)
+    # join streams the (repartitioned) probe side fully parallel (guide §3.1).
+    # The jw_pass lookup is keyed on the ORDERED string pair (least/
+    # greatest computed JVM-side per probe row), so the one-sided cross
+    # table serves both orientations without a union of two subtrees.
     return (
         a.join(F.broadcast(b), "bk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "jw_micro",
-            F.round(
-                jaro_winkler_pudf(F.col("s_a"), F.col("s_b")) * 1_000_000
-            ).cast("long"),
+        .withColumn("_slo", F.least("s_a", "s_b"))
+        .withColumn("_shi", F.greatest("s_a", "s_b"))
+        .join(
+            F.broadcast(jw_pass),
+            (F.col("_slo") == F.col("s_lo")) & (F.col("_shi") == F.col("s_hi")),
         )
-        .filter(F.col("jw_micro") >= thresh)
         .select("id_a", "id_b", *(["jw_micro"] if keep_score else []))
     )
 

@@ -417,18 +417,20 @@ def metablocking_pairs(
     oversized blocks are both the scale hazard and the least
     discriminative evidence.
 
-    Scale shape (r6): distinct -> (optional) purge via one block-keyed
-    count -> per-record block-key SETS (one small aggregate) -> self-join
-    on the block key with each side carrying its key set, each pair
-    OWNED by its lexicographically least common block (the standard
-    meta-blocking exactly-once emission trick — Papadakis et al. 2014
-    §4, "least common block index"), so the pair stream is never
-    shuffled or pair-keyed-aggregated: CBS and JS come from
-    array_intersect of the two carried key sets, map-side after the
-    join. The 1-row mean is a full partial aggregate of that stream and
-    the WEP filter a second map-side pass. Weights are micro-unit
-    integers; the mean divides two exact integer sums, so the WEP
-    threshold compare replays engine-exact.
+    Scale shape (r6): both edge weights (CBS, JS) depend on a record
+    only through its BLOCK-KEY SET, so the whole weight computation runs
+    at keyset granularity — records collapse onto their distinct
+    keysets (a table that is tiny whenever blocking keys are shared),
+    candidate keyset pairs come from a block-key self-join owned by the
+    lexicographically least common block (Papadakis et al. 2014 §4
+    exactly-once emission), and per-keyset-pair record-pair COUNTS are
+    closed-form (n_a*n_b across keysets, n*(n-1)/2 on the diagonal).
+    The global WEP mean is then an exact weighted sum over keyset pairs
+    — the quadratic record-pair stream is never enumerated for it — and
+    only the KEPT keyset pairs expand to record pairs, via two
+    broadcast joins. The mean divides the same two exact integer sums
+    as the per-edge formulation, so the threshold compare replays
+    engine-exact.
 
     Returns kept edges: (id_a, id_b, common, js_micro).
     """
@@ -440,22 +442,33 @@ def metablocking_pairs(
         b = b.join(
             sizes.filter(F.col("_n") <= purge_above).select("bk"), "bk"
         )
-    keysets = b.groupBy("rid").agg(F.sort_array(F.collect_set("bk")).alias("_keys"))
-    expl = keysets.select("rid", "_keys", F.explode("_keys").alias("bk"))
-    pa = expl.select(F.col("rid").alias("id_a"), F.col("_keys").alias("_ka"), "bk")
-    pb = expl.select(F.col("rid").alias("id_b"), F.col("_keys").alias("_kb"), "bk")
+    rec2ks = b.groupBy("rid").agg(
+        F.sort_array(F.collect_set("bk")).alias("_keys")
+    )
+    ksu = rec2ks.groupBy("_keys").agg(F.count("*").alias("_n"))
+    ke = ksu.select("_keys", "_n", F.explode("_keys").alias("bk"))
+    ka = ke.select(F.col("_keys").alias("_ka"), F.col("_n").alias("_na"), "bk")
+    kb = ke.select(F.col("_keys").alias("_kb"), F.col("_n").alias("_nb"), "bk")
     common_keys = F.array_intersect(F.col("_ka"), F.col("_kb"))
-    edges = (
-        pa.join(F.broadcast(pb), "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # exactly-once: only the least common block emits the pair
+    kp = (
+        ka.join(F.broadcast(kb), "bk")
+        .filter(F.col("_ka") <= F.col("_kb"))
+        # exactly-once: only the least common block emits the keyset pair
         .filter(F.col("bk") == F.array_min(common_keys))
         .select(
-            "id_a",
-            "id_b",
+            "_ka",
+            "_kb",
             F.size(common_keys).cast("long").alias("common"),
             F.size("_ka").alias("nb_a"),
             F.size("_kb").alias("nb_b"),
+            # record pairs represented by this keyset pair (id_a < id_b)
+            F.when(
+                F.col("_ka") == F.col("_kb"),
+                F.expr("(_na * (_na - 1)) div 2"),
+            )
+            .otherwise(F.col("_na") * F.col("_nb"))
+            .cast("long")
+            .alias("_cnt"),
         )
         .withColumn(
             "js_micro",
@@ -466,13 +479,34 @@ def metablocking_pairs(
             ).cast("long"),
         )
     )
-    mean = edges.agg(
-        (F.sum("js_micro").cast("double") / F.count(F.lit(1))).alias("_thr")
+    # same two exact integer sums as the per-edge mean: sum(js) over all
+    # edges == sum(js * cnt) over keyset pairs; count(edges) == sum(cnt).
+    # Zero-count pairs (singleton diagonal keysets) are excluded so an
+    # edgeless input yields NULL/NULL -> NULL, matching the per-edge
+    # mean over an empty frame (not an ANSI 0/0 error).
+    mean = kp.filter(F.col("_cnt") > 0).agg(
+        (
+            F.sum(F.col("js_micro") * F.col("_cnt")).cast("double")
+            / F.sum("_cnt")
+        ).alias("_thr")
     )
-    return (
-        edges.crossJoin(F.broadcast(mean))
+    kept = (
+        kp.crossJoin(F.broadcast(mean))
         .filter(F.col("js_micro").cast("double") >= F.col("_thr"))
-        .select("id_a", "id_b", F.col("common").cast("long").alias("common"), "js_micro")
+        .select("_ka", "_kb", "common", "js_micro")
+    )
+    ra = rec2ks.select(F.col("rid").alias("_x"), F.col("_keys").alias("_ka"))
+    rb = rec2ks.select(F.col("rid").alias("_y"), F.col("_keys").alias("_kb"))
+    return (
+        ra.join(F.broadcast(kept), "_ka")
+        .join(F.broadcast(rb), "_kb")
+        .filter((F.col("_ka") != F.col("_kb")) | (F.col("_x") < F.col("_y")))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            F.col("common").cast("long").alias("common"),
+            "js_micro",
+        )
     )
 
 
