@@ -4140,7 +4140,15 @@ def q_er_ktruss(spark, sf_dir):
     generated peel unroll with the identical oriented triangle count."""
     from fel_spark.operators.graphclean import k_truss
 
-    return k_truss(_er_jw_edges(spark, sf_dir, 19, 800_000), 3, max_rounds=3)
+    # the JW >= 0.80 edge list is node-scale (MBs) — broadcast it into
+    # the per-round wedge/closure joins so triangle enumeration is
+    # map-side (guide §3.1)
+    return k_truss(
+        _er_jw_edges(spark, sf_dir, 19, 800_000),
+        3,
+        max_rounds=3,
+        broadcast_edges=True,
+    )
 
 
 def q_er_mcl(spark, sf_dir):

@@ -120,20 +120,34 @@ def triangle_support(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    assume_oriented: bool = False,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Per-edge triangle support on the oriented graph. ``edges`` must be
     one row per undirected edge; orientation (low id first) is applied
     here. Each triangle {a<b<c} is counted once as the wedge
     (a->b, a->c) closed by (b->c), and contributes support to all three
     of its edges. -> (id_a, id_b, support) with id_a < id_b, support 0
-    edges included."""
-    e = edges.select(
-        F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
-    ).distinct()
+    edges included.
+
+    ``assume_oriented=True`` declares the input already oriented
+    (id_a < id_b) and distinct, skipping a full re-orientation shuffle —
+    the contract k_truss's peel loop maintains between rounds.
+    ``broadcast_edges=True`` broadcasts the edge list into the wedge and
+    closure joins (guide §3.1): the quadratic wedge stream is then
+    generated and closed map-side instead of being shuffled against the
+    edge set — right whenever the edge list fits in executor memory."""
+    if assume_oriented:
+        e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    else:
+        e = edges.select(
+            F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
+        ).distinct()
+    bc = F.broadcast if broadcast_edges else (lambda df: df)
     # wedges at the low vertex: (a->b, a->c) with b < c
     tri = (
         e.alias("x")
-        .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
+        .join(bc(e.alias("y")), F.col("x.a") == F.col("y.a"))
         .filter(F.col("x.b") < F.col("y.b"))
         .select(
             F.col("x.a").alias("ta"),
@@ -141,7 +155,7 @@ def triangle_support(
             F.col("y.b").alias("tc"),
         )
         .join(
-            e.select(F.col("a").alias("tb"), F.col("b").alias("tc")),
+            bc(e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))),
             ["tb", "tc"],
             "left_semi",
         )
@@ -171,6 +185,7 @@ def k_truss(
     id_b: str = "id_b",
     max_rounds: int = 4,
     checkpoint: bool = True,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Synchronous k-truss peel (Cohen 2008): round r deletes every
     surviving EDGE whose triangle support in the surviving subgraph is
@@ -193,7 +208,15 @@ def k_truss(
     live = all_e
     out: DataFrame | None = None
     for rnd in range(1, max_rounds + 1):
-        sup = triangle_support(live, "a", "b")
+        # live is oriented+distinct by construction (all_e orients, the
+        # anti-join only removes rows): skip the per-round re-distinct
+        sup = triangle_support(
+            live,
+            "a",
+            "b",
+            assume_oriented=True,
+            broadcast_edges=broadcast_edges,
+        )
         drop = sup.filter(F.col("support") < need).select("a", "b")
         if checkpoint:
             drop = drop.localCheckpoint(eager=True)

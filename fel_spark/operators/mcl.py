@@ -45,12 +45,14 @@ __all__ = ["mcl_clusters", "mcl_matrix"]
 _SCALE = 1_000_000
 
 
-def _normalize(entries: DataFrame) -> DataFrame:
-    """Column-normalize integer entries to micro-units:
-    q = (p * 1e6) div colsum. Exact integer math (floor division)."""
-    w = Window.partitionBy("c")
+def _div_norm(entries: DataFrame, colsums: DataFrame) -> DataFrame:
+    """Column-normalize integer entries to micro-units against the given
+    per-column sums: q = (p * 1e6) div colsum. Exact integer math (floor
+    division). ``colsums`` is (c, _s) — node-scale, broadcast — so the
+    entry stream is normalized map-side instead of re-shuffled and
+    sorted under a window (guide §2.4)."""
     return (
-        entries.withColumn("_s", F.sum("p").over(w))
+        entries.join(F.broadcast(colsums), "c")
         .select(
             "r",
             "c",
@@ -58,6 +60,17 @@ def _normalize(entries: DataFrame) -> DataFrame:
         )
         .filter(F.col("p") > 0)
     )
+
+
+def _colsums(entries: DataFrame) -> DataFrame:
+    return entries.groupBy("c").agg(F.sum("p").alias("_s"))
+
+
+def _normalize(entries: DataFrame) -> DataFrame:
+    """Column-normalize integer entries to micro-units:
+    q = (p * 1e6) div colsum. NOTE: references ``entries`` twice (sums +
+    join); callers pass a checkpointed/cheap frame."""
+    return _div_norm(entries, _colsums(entries))
 
 
 def mcl_matrix(
@@ -76,6 +89,11 @@ def mcl_matrix(
     (positive integers; default 1 per edge); self-loops of weight
     ``max(weights)`` per column are added per van Dongen's standard
     loop-augmentation before the first normalization."""
+    if checkpoint:
+        # the input lineage (often an expensive pair/scoring chain) is
+        # referenced once per orientation plus again by the loop
+        # aggregate; evaluate it exactly once
+        pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col(id_a).alias("r"),
         F.col(id_b).alias("c"),
@@ -94,7 +112,13 @@ def mcl_matrix(
         .agg(F.max("p").alias("p"))
         .select(F.col("c").alias("r"), "c", "p")
     )
-    entries = _normalize(sym.unionByName(loops))
+    base = sym.unionByName(loops)
+    if checkpoint:
+        # the union references the (possibly expensive) pairs lineage
+        # several times (both orientations + the loop aggregate); pin it
+        # once so normalization's two passes read materialized rows
+        base = base.localCheckpoint(eager=True)
+    entries = _normalize(base)
     if checkpoint:
         entries = entries.localCheckpoint(eager=True)
     for _ in range(n_iter):
@@ -110,10 +134,26 @@ def mcl_matrix(
             .groupBy("r", "c")
             .agg(F.sum(F.col("pl") * F.col("pr")).alias("p"))
         )
-        # inflation: entrywise square, renormalize, prune
-        inflated = _normalize(expanded).select(
-            "r", "c", (F.col("p") * F.col("p")).alias("p")
+        # colsum(M2) computed ANALYTICALLY from M — colsum2[c] =
+        # sum_k colsum(M)[k] * M[k, c] (exact integer identity) — so the
+        # expanded matrix is never re-shuffled just to normalize it: the
+        # expansion's (r, c) aggregate is the round's only heavy exchange
+        cs2 = (
+            entries.join(
+                F.broadcast(
+                    _colsums(entries).withColumnRenamed("c", "r").withColumnRenamed("_s", "_sk")
+                ),
+                "r",
+            )
+            .groupBy("c")
+            .agg(F.sum(F.col("_sk") * F.col("p")).alias("_s"))
         )
+        q = _div_norm(expanded, cs2)
+        if checkpoint:
+            # inflation references q twice (its own colsums + the join)
+            q = q.localCheckpoint(eager=True)
+        # inflation: entrywise square, renormalize, prune
+        inflated = q.select("r", "c", (F.col("p") * F.col("p")).alias("p"))
         entries = _normalize(inflated).filter(F.col("p") >= prune_micro)
         if checkpoint:
             entries = entries.localCheckpoint(eager=True)
