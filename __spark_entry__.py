@@ -3207,8 +3207,12 @@ def q_er_blocksplit_pairs(spark, sf_dir):
         .alias("block_key"),
     )
     # one block per record here (a single when/otherwise key), so pairs
-    # are unique by construction: skip the cross-block dedup shuffle
-    pairs = blocksplit_pairs(blocked, max_block=25, unique_blocks=True)
+    # are unique by construction: skip the cross-block dedup shuffle;
+    # the blocked table is node-scale, so the broadcast strategy makes
+    # the split's pair enumeration fully map-side
+    pairs = blocksplit_pairs(
+        blocked, max_block=25, unique_blocks=True, broadcast_side=True
+    )
     return pairs.select(
         F.col("mention_id_a").alias("id_a"),
         F.col("mention_id_b").alias("id_b"),
@@ -3347,8 +3351,19 @@ def q_er_collective(spark, sf_dir):
         )
         .select(F.col("xid").alias("id"), F.col("yid").alias("nbr"))
     )
+    # evidence restricted to the mod-17 candidate universe (a tuple for a
+    # non-co-blocked pair can never join a candidate row, so counts are
+    # identical) — the shrunken evidence tables then broadcast, and the
+    # quadratic pair stream is never shuffled or checkpointed
     return collective_scores(
-        pairs, edges, rounds=2, boost=500, threshold=9000, cap=10_000
+        pairs,
+        edges,
+        rounds=2,
+        boost=500,
+        threshold=9000,
+        cap=10_000,
+        candidate_filter=(F.col("id_a") % 17) == (F.col("id_b") % 17),
+        broadcast_evidence=True,
     )
 
 

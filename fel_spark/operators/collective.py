@@ -54,24 +54,39 @@ def neighbor_match_evidence(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    candidate_filter=None,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, ev) — orientation-normalized counts of matched pairs
     across the two ids' neighborhoods. ``edges`` is (id, nbr) with BOTH
     directions present (undirected contract, caller-enforced); tuple
     multiplicity counts, so a pair supported by two distinct matched
-    neighbor pairs scores 2."""
+    neighbor pairs scores 2.
+
+    ``candidate_filter`` (a Column over the output ``id_a``/``id_b``) is
+    a membership predicate for the CANDIDATE-PAIR universe: evidence for
+    a pair outside the blocking can never be consumed by the left join
+    in :func:`collective_scores`, so dropping those tuples BEFORE the
+    aggregate leaves every consumed count identical while shrinking the
+    evidence table by the blocking's selectivity (often enough to
+    broadcast it — guide §2.3, shuffle fewer bytes).
+    ``broadcast_edges`` broadcasts the relation graph into the two
+    neighborhood joins (right whenever the graph is node-scale)."""
+    bc = F.broadcast if broadcast_edges else (lambda df: df)
     m = matched.select(id_a, id_b)
     ex = edges.select(F.col("id").alias(id_a), F.col("nbr").alias("_na"))
     ey = edges.select(F.col("id").alias(id_b), F.col("nbr").alias("_nb"))
     cand = (
-        m.join(ex, id_a)
-        .join(ey, id_b)
+        m.join(bc(ex), id_a)
+        .join(bc(ey), id_b)
         .filter(F.col("_na") != F.col("_nb"))
         .select(
             F.least("_na", "_nb").alias(id_a),
             F.greatest("_na", "_nb").alias(id_b),
         )
     )
+    if candidate_filter is not None:
+        cand = cand.filter(candidate_filter)
     return cand.groupBy(id_a, id_b).agg(F.count(F.lit(1)).alias("ev"))
 
 
@@ -85,6 +100,8 @@ def collective_scores(
     boost: int = DEFAULT_BOOST,
     threshold: int = DEFAULT_THRESHOLD,
     cap: int = DEFAULT_CAP,
+    candidate_filter=None,
+    broadcast_evidence: bool = False,
 ) -> DataFrame:
     """Iterated relational evidence propagation over a candidate-pair set.
 
@@ -94,13 +111,30 @@ def collective_scores(
     ev_r{t}); plus the final boolean ``matched`` (last round's score >=
     threshold). The input pair orientation must already be normalized
     (id_a < id_b), the same contract every pair operator here shares.
+
+    ``candidate_filter`` restricts evidence tuples to the candidate
+    universe before aggregation (see
+    :func:`neighbor_match_evidence` — consumed counts are unchanged).
+    ``broadcast_evidence=True`` declares the (filtered) evidence tables
+    node-pair-scale: each round's left join then broadcasts the evidence
+    side, the quadratic pair stream is never shuffled or checkpointed,
+    and the relation graph is broadcast into the evidence joins too.
     """
     keys = [id_a, id_b]
     cur = pairs
     score = F.col(base_col)
     for t in range(1, rounds + 1):
         matched = cur.filter(score >= threshold).select(*keys)
-        ev = neighbor_match_evidence(matched, edges, id_a, id_b)
+        ev = neighbor_match_evidence(
+            matched,
+            edges,
+            id_a,
+            id_b,
+            candidate_filter=candidate_filter,
+            broadcast_edges=broadcast_evidence,
+        )
+        if broadcast_evidence:
+            ev = F.broadcast(ev)
         cur = (
             cur.join(ev, keys, "left")
             .withColumn(f"ev_r{t}", F.coalesce(F.col("ev"), F.lit(0)).cast("long"))
@@ -112,9 +146,11 @@ def collective_scores(
         )
         cur = cur.withColumn(f"score_r{t}_4dp", score)
         score = F.col(f"score_r{t}_4dp")
-        if t < rounds:
+        if t < rounds and not broadcast_evidence:
             # each round is a pure function of the previous matched set;
             # pin the shrinking lineage so round t+1 doesn't recompute
-            # the whole prefix.
+            # the whole prefix. (With broadcast evidence the prefix is
+            # map-side re-enumerable, so re-evaluation is cheaper than
+            # materializing the quadratic stream.)
             cur = cur.localCheckpoint(eager=False)
     return cur.withColumn("matched", F.col(f"score_r{rounds}_4dp") >= threshold)

@@ -75,6 +75,7 @@ def blocksplit_pairs(
     payload_cols: tuple[str, ...] = (),
     max_block: int = DEFAULT_MAX_BLOCK,
     unique_blocks: bool = False,
+    broadcast_side: bool = False,
 ) -> DataFrame:
     """Enumerate ALL intra-block pairs (id_a < id_b, deduped across
     blocks) with per-task work bounded by ``max_block``.
@@ -86,6 +87,19 @@ def blocksplit_pairs(
     recur across blocks — so the final cross-block ``dropDuplicates``
     (a full shuffle of the quadratic pair stream) is skipped. The
     emitted pair SET is identical either way; only the plan changes.
+
+    ``broadcast_side=True`` switches the execution strategy (same pair
+    set, same bounded per-unit work): instead of shuffling both
+    replicated sides into m(m+1)/2 keyed join tasks, each hot row's m
+    shard-copies probe a BROADCAST of the unreplicated input keyed on
+    (block_key, shard) — copy j pairs with shard j, and ``id_a < id_b``
+    keeps each unordered pair exactly once (the pair {x, y} is produced
+    by x's copy j=shard(y) and y's copy j=shard(x); the orientation
+    filter keeps one). Pair enumeration is then fully map-side over any
+    input partitioning — no shuffle, no task-key skew. Use it whenever
+    the blocked input fits in executor memory (the bench shape); the
+    default shuffle-task formulation remains the arbitrarily-large-input
+    path (ICDE'12's reduce-task model).
 
     Drop-in replacement for ``blocking.candidate_pairs`` that never
     drops a pair and never lets one hot key become one giant join
@@ -100,6 +114,45 @@ def blocksplit_pairs(
     ann = _with_shards(blocked, id_col, max_block)
     cold = ann.filter(F.col("_m").isNull())
     hot = ann.filter(F.col("_m").isNotNull())
+    cols = [id_col, *payload_cols]
+
+    if broadcast_side:
+        probe_hot = hot.withColumn(
+            "_j", F.explode(F.sequence(F.lit(0), F.col("_m") - 1))
+        )
+        build_hot = hot.select(
+            "block_key",
+            F.col("_shard").alias("_j"),
+            *[F.col(c).alias(f"{c}_b") for c in cols],
+        )
+        hot_pairs = (
+            probe_hot.select(
+                "block_key", "_j", *[F.col(c).alias(f"{c}_a") for c in cols]
+            )
+            .join(F.broadcast(build_hot), ["block_key", "_j"])
+            .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+            .drop("block_key", "_j")
+        )
+        cold_pairs = (
+            cold.select(
+                "block_key", *[F.col(c).alias(f"{c}_a") for c in cols]
+            )
+            .join(
+                F.broadcast(
+                    cold.select(
+                        "block_key",
+                        *[F.col(c).alias(f"{c}_b") for c in cols],
+                    )
+                ),
+                "block_key",
+            )
+            .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+            .drop("block_key")
+        )
+        pairs = hot_pairs.unionByName(cold_pairs)
+        if unique_blocks:
+            return pairs
+        return pairs.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
 
     # Replicate each hot row to its m tasks: j ranges over all shards;
     # task id is the unordered (min, max) shard pair.
@@ -124,7 +177,6 @@ def blocksplit_pairs(
     )
 
     both = hot_tasks.unionByName(cold_tasks)
-    cols = [id_col, *payload_cols]
     a = both.select(
         [F.col(c).alias(f"{c}_a") for c in cols]
         + [

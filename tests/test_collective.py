@@ -72,3 +72,25 @@ def test_collective_scores_round1_pure_function_of_base(spark):
     edges = _edges(spark, [(1, 3), (2, 4)])
     out = collective_scores(pairs, edges, rounds=2).collect()
     assert all(r["ev_r1"] == 0 and r["ev_r2"] == 0 and not r["matched"] for r in out)
+
+
+def test_collective_scores_broadcast_evidence_and_filter_parity(spark):
+    """r6: candidate_filter + broadcast_evidence change only the plan —
+    every output row (both rounds' evidence, scores, matched) is
+    identical to the default shuffle path."""
+    pairs = spark.createDataFrame(
+        [(i, j, 9000 - 100 * ((i + j) % 8)) for i in range(0, 30) for j in range(i + 1, 30) if (i % 3) == (j % 3)],
+        ["id_a", "id_b", "base_4dp"],
+    )
+    und = [(i, i + 3) for i in range(0, 27)] + [(i, i + 6) for i in range(0, 24)]
+    edges = _edges(spark, und)
+    base = collective_scores(pairs, edges, rounds=2).collect()
+    fast = collective_scores(
+        pairs,
+        edges,
+        rounds=2,
+        candidate_filter=(F.col("id_a") % 3) == (F.col("id_b") % 3),
+        broadcast_evidence=True,
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(tuple, base)) == sorted(map(tuple, fast))

@@ -79,3 +79,51 @@ def test_blocksplit_audit_bounds(spark):
     assert row.replicated_rows > 0
     assert row.n_tasks > row.n_blocks
     blocked.unpersist()
+
+
+def test_blocksplit_broadcast_side_equals_naive_pairs(spark):
+    """The r6 broadcast execution strategy emits the identical pair set
+    (multi-key input, so the cross-block dedup path is exercised too)."""
+    blocked = _skewed_blocked(spark).cache()
+    naive = candidate_pairs(blocked, payload_cols=("span",))
+    split = blocksplit_pairs(
+        blocked, payload_cols=("span",), max_block=25, broadcast_side=True
+    )
+    n_rows = sorted(
+        tuple(r)
+        for r in naive.select(
+            "mention_id_a", "mention_id_b", "span_a", "span_b"
+        ).collect()
+    )
+    s_rows = sorted(
+        tuple(r)
+        for r in split.select(
+            "mention_id_a", "mention_id_b", "span_a", "span_b"
+        ).collect()
+    )
+    assert n_rows == s_rows
+    blocked.unpersist()
+
+
+def test_blocksplit_unique_blocks_skips_dedup_same_set(spark):
+    """With a DISJOINT blocking scheme, unique_blocks=True (both
+    strategies) returns the same unique pair set as the default path."""
+    base = spark.range(300).select(
+        F.col("id").alias("mention_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 13).cast("string")))
+        .alias("block_key"),
+    )
+    ref = sorted(
+        (r["mention_id_a"], r["mention_id_b"])
+        for r in blocksplit_pairs(base, max_block=20).collect()
+    )
+    for bs in (False, True):
+        got = sorted(
+            (r["mention_id_a"], r["mention_id_b"])
+            for r in blocksplit_pairs(
+                base, max_block=20, unique_blocks=True, broadcast_side=bs
+            ).collect()
+        )
+        assert got == ref
+        assert len(got) == len(set(got))
