@@ -80,8 +80,10 @@ def _candidate_pairs(
     else:
         a = phon.select(F.col("rid").alias("id_a"), "bk")
         b = phon.select(F.col("rid").alias("id_b"), "bk")
+        # phonetic codes are few: broadcast the build side so the pair
+        # enumeration streams the probe side fully parallel (guide §3.1)
         p_phon = (
-            a.join(b, "bk")
+            a.join(F.broadcast(b), "bk")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.lit("phonetic").alias("rule"))
         )
@@ -95,22 +97,58 @@ def _candidate_pairs(
 
 
 def _features(pairs: DataFrame, records: DataFrame, id_col: str, name_col: str) -> DataFrame:
-    """Attach graded comparator levels (map-only past the id joins)."""
+    """Attach graded comparator levels.
+
+    r6 shape: every comparator is a pure function of the NAME pair, and
+    names repeat across records (the bench corpus has ~2.2 records per
+    distinct name, so ~5x name-pair duplication in the candidate set).
+    Records map to dense name ids, the expensive comparators (Arrow JW
+    kernel, Levenshtein, token Jaccard) run once per DISTINCT name-id
+    pair, and one narrow int-keyed join fans the levels back out to the
+    record pairs (guide §2.3 — shuffle keys, not payloads; §4 — fewer
+    rows across the Python boundary). Emitted levels are identical."""
     from fel_spark.functions.sim import jaro_winkler_pudf
+    from pyspark.sql import Window as W
 
     norm = F.lower(F.trim(F.col(name_col)))
-    names = records.select(F.col(id_col).alias("_rid"), norm.alias("_nm"))
+    names0 = records.select(F.col(id_col).alias("_rid"), norm.alias("_nm"))
+    nid = (
+        names0.select("_nm")
+        .distinct()
+        .withColumn("_nid", F.row_number().over(W.orderBy("_nm")))
+    )
+    names = names0.join(F.broadcast(nid), "_nm")
     j = (
         pairs.join(
-            names.select(
-                F.col("_rid").alias("id_a"), F.col("_nm").alias("_nm_a")
+            F.broadcast(
+                names.select(
+                    F.col("_rid").alias("id_a"), F.col("_nid").alias("_nid_a")
+                )
             ),
             "id_a",
         ).join(
-            names.select(
-                F.col("_rid").alias("id_b"), F.col("_nm").alias("_nm_b")
+            F.broadcast(
+                names.select(
+                    F.col("_rid").alias("id_b"), F.col("_nid").alias("_nid_b")
+                )
             ),
             "id_b",
+        )
+    )
+    np = (
+        j.select("_nid_a", "_nid_b")
+        .distinct()
+        .join(
+            F.broadcast(
+                nid.select(F.col("_nid").alias("_nid_a"), F.col("_nm").alias("_nm_a"))
+            ),
+            "_nid_a",
+        )
+        .join(
+            F.broadcast(
+                nid.select(F.col("_nid").alias("_nid_b"), F.col("_nm").alias("_nm_b"))
+            ),
+            "_nid_b",
         )
     )
     jw = jaro_winkler_pudf(F.col("_nm_a"), F.col("_nm_b"))
@@ -120,10 +158,9 @@ def _features(pairs: DataFrame, records: DataFrame, id_col: str, name_col: str) 
     ta = F.array_distinct(F.split(F.col("_nm_a"), " "))
     tb = F.array_distinct(F.split(F.col("_nm_b"), " "))
     tok_j = F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb))
-    return j.select(
-        "id_a",
-        "id_b",
-        "rules",
+    npx = np.select(
+        "_nid_a",
+        "_nid_b",
         F.when(jw >= 0.92, 2).when(jw >= 0.80, 1).otherwise(0)
         .cast("long")
         .alias("jw_level"),
@@ -134,6 +171,9 @@ def _features(pairs: DataFrame, records: DataFrame, id_col: str, name_col: str) 
         .cast("long")
         .alias("tok_level"),
     )
+    return j.select("id_a", "id_b", "rules", "_nid_a", "_nid_b").join(
+        npx, ["_nid_a", "_nid_b"]
+    ).select("id_a", "id_b", "rules", "jw_level", "lev_level", "tok_level")
 
 
 def run_record_linkage(
@@ -185,6 +225,13 @@ def run_record_linkage(
         raise ValueError(f"unknown clusterer: {clusterer!r}")
     if pairgen not in ("plain", "blocksplit"):
         raise ValueError(f"unknown pairgen: {pairgen!r}")
+    # scan-parallelism floor: bench inputs are single-row-group parquet
+    # (one scan task), and every downstream pair enumeration fans out
+    # from the records scan — spread it across the session parallelism
+    # once, deterministically (guide §2/§6)
+    records = records.repartition(
+        max(2 * spark.sparkContext.defaultParallelism, 8), F.col(id_col)
+    )
     from fel_spark.operators.linkage import (
         fs_em_train_multilevel,
         fs_multilevel_weights_from_mu,
