@@ -441,7 +441,7 @@ def q_intent_part(spark, sf_dir):
 
 def q_doc_token_stats(spark, sf_dir):
     """Token counting + quality ratios (training-data pipeline ops)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     toks = normalize_tokens("text")
     sw = F.array([F.lit(w) for w in STOPWORDS])
     return d.select(
@@ -538,7 +538,7 @@ def q_doc_span_coverage(spark, sf_dir):
     (shingle explode -> hot-span agg -> coverage join) via md5 fps."""
     from fel_spark.operators.dedup import span_coverage
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     cov = span_coverage(d, window=8, min_docs=2, hash_fn=F.md5)
     return cov.select(
         "doc_id",
@@ -585,7 +585,7 @@ def q_doc_decontaminate(spark, sf_dir):
     fractions, and the zero-shingle keep-row join."""
     from fel_spark.operators.dedup import decontaminate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     ev = d.filter(F.col("doc_id") % 97 == 0)
     tr = d.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(tr, ev, window=8, hash_fn=F.md5)
@@ -609,7 +609,7 @@ def q_doc_filter(spark, sf_dir):
     and one keep decision, all integer-digest thresholds, map-only."""
     from fel_spark.operators.filtering import corpus_filter_decisions
 
-    return corpus_filter_decisions(_t(spark, sf_dir, "documents"))
+    return corpus_filter_decisions(_tp(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_doc_stratified_sample(spark, sf_dir):
@@ -637,7 +637,7 @@ def q_doc_pack_chunks(spark, sf_dir):
     from fel_spark.operators.packing import pack_sequences
 
     return pack_sequences(
-        _t(spark, sf_dir, "documents"),
+        _tp(spark, sf_dir, "documents", "doc_id"),
         budget=512,
         n_shards=8,
         shard_fn=lambda c: md5_hash60(c, seed=5),
@@ -695,7 +695,7 @@ def q_doc_langid_model(spark, sf_dir):
 
 def q_doc_langid(spark, sf_dir):
     """Language-ID heuristic: stopword token share -> 'en' / 'other'."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     toks = normalize_tokens("text")
     sw = F.array([F.lit(w) for w in STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
@@ -708,7 +708,7 @@ def q_doc_langid(spark, sf_dir):
 
 def q_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for 3 probe vectors."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings", "vec_id")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -746,7 +746,7 @@ def q_minhash_near_dup(spark, sf_dir):
     # signature chain and both verify-side id-joins) would otherwise re-run
     # the regex normalization over the corpus each
     d = (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", normalize_fast("text").alias("tn"))
         .persist()
     )
@@ -819,7 +819,7 @@ def q_doc_repetition(spark, sf_dir):
     (tests/test_plan_shapes.py pins this)."""
     from fel_spark.operators.textstats import repetition_signals
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    return repetition_signals(_tp(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -935,7 +935,7 @@ def q_bpe_tokenize_trained(spark, sf_dir):
         word_counts,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     merges = train_bpe_merges(word_counts(d), num_merges=16, max_words=10_000)
     out = tokenize_bpe(d, merges)
     return out.select(
@@ -954,7 +954,7 @@ def q_doc_tfidf_topk(spark, sf_dir):
     1-row corpus count crossed in, window top-k — is value-checked."""
     from fel_spark.operators.keywords import tfidf_topk
 
-    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+    return tfidf_topk(_tp(spark, sf_dir, "documents", "doc_id"), k=3)
 
 
 def q_doc_profile(spark, sf_dir):
@@ -1476,7 +1476,7 @@ def q_doc_semantic_dedup(spark, sf_dir):
 
     from fel_spark.operators.dedup import semantic_dedup
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings", "vec_id")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     dup = base.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -3380,6 +3380,9 @@ def q_er_group_linkage(spark, sf_dir):
     generated 3-round greedy unroll + the same roll-up."""
     from fel_spark.operators.grouplink import group_linkage
 
+    # left at the plain read: the query is bound by its 3 greedy rounds
+    # of small windows/anti-joins (driver latency), not by scan
+    # parallelism — a repartition measured ~1.5s slower (r6 A/B)
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
     sizes = ev.groupBy(F.col("user_id").alias("group")).agg(
         F.count(F.lit(1)).alias("n")
