@@ -582,26 +582,38 @@ def fs_score_multilevel(
 ) -> DataFrame:
     """Score pairs under the multi-level model: per pair, sum the
     (feature, level) weights its observed levels select — exact integer
-    addition of micro-unit weights, broadcast weight join, one
-    pair-keyed shuffle. Returns (id_a, id_b, fs_score_micro)."""
+    addition of micro-unit weights. Returns (id_a, id_b, fs_score_micro).
+
+    r6 shape: one broadcast weight LOOKUP JOIN per feature, summed as
+    columns — fully map-side; the pair stream is never exploded
+    per-feature or pair-keyed-shuffled (guide §2.4). Semantics match the
+    melt+aggregate formulation exactly, including the edge cases: a
+    feature level missing from the weight grid contributes nothing, and
+    a pair whose EVERY level is missing disappears (with the full
+    declared grid fs_weights_multilevel emits, nothing is ever missing)."""
     ia, ib = id_cols
-    kvs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("feature"),
-                F.col(k).cast("long").alias("level"),
+    out = pairs.select(ia, ib, *feature_cols)
+    matched = []
+    for k in feature_cols:
+        wk = F.broadcast(
+            weights.filter(F.col("feature") == k).select(
+                F.col("level").alias(f"_l_{k}"),
+                F.col("w_micro").alias(f"_w_{k}"),
             )
-            for k in feature_cols
-        ]
-    )
-    melted = pairs.select(ia, ib, F.explode(kvs).alias("kv")).select(
-        ia, ib, "kv.feature", "kv.level"
-    )
-    w = F.broadcast(weights.select("feature", "level", "w_micro"))
-    return (
-        melted.join(w, ["feature", "level"])
-        .groupBy(ia, ib)
-        .agg(F.sum("w_micro").cast("long").alias("fs_score_micro"))
+        )
+        out = out.join(
+            wk, F.col(k).cast("long") == F.col(f"_l_{k}"), "left"
+        )
+        matched.append(F.col(f"_w_{k}"))
+    any_match = None
+    total = None
+    for m in matched:
+        hit = m.isNotNull()
+        any_match = hit if any_match is None else (any_match | hit)
+        term = F.coalesce(m, F.lit(0))
+        total = term if total is None else total + term
+    return out.filter(any_match).select(
+        ia, ib, total.cast("long").alias("fs_score_micro")
     )
 
 

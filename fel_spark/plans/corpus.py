@@ -75,6 +75,14 @@ def run_corpus_prep(
     """
     runner = StageRunner(spark, run_dir)
 
+    # scan-parallelism floor: a single-row-group input parquet scans as
+    # ONE task, and the filtered snapshot inherits that layout for every
+    # downstream stage — spread the corpus once, deterministically by id
+    # (guide §2/§6)
+    docs = docs.repartition(
+        max(2 * spark.sparkContext.defaultParallelism, 8), F.col(id_col)
+    )
+
     def _filtered(r: StageRunner) -> DataFrame:
         fk = dict(filter_kwargs or {})
         if "bc_lang_model" not in fk:
@@ -86,9 +94,12 @@ def run_corpus_prep(
             fk["bc_lang_model"] = spark.sparkContext.broadcast(
                 default_langid_model()
             )
+        # decisions feed BOTH the audit and the keep semi-join: pin the
+        # (narrow, id+flags) frame once instead of running the full
+        # filter compute over the corpus twice
         dec = corpus_filter_decisions(
             docs, id_col=id_col, text_col=text_col, **fk
-        )
+        ).localCheckpoint(eager=True)
         r.log_aux("filter_audit", filter_audit(dec))
         return docs.join(
             dec.filter(F.col("keep")).select(id_col), id_col, "left_semi"
