@@ -447,7 +447,13 @@ def metablocking_pairs(
     )
     ksu = rec2ks.groupBy("_keys").agg(F.count("*").alias("_n"))
     ke = ksu.select("_keys", "_n", F.explode("_keys").alias("bk"))
-    ka = ke.select(F.col("_keys").alias("_ka"), F.col("_n").alias("_na"), "bk")
+    # the keyset table is tiny, so AQE coalesces it to one partition —
+    # but the self-join below fans each row out by its block's keysets;
+    # spread the probe side (explicit numPartitions defeats coalescing)
+    par = max(2 * blocked.sparkSession.sparkContext.defaultParallelism, 8)
+    ka = ke.repartition(par).select(
+        F.col("_keys").alias("_ka"), F.col("_n").alias("_na"), "bk"
+    )
     kb = ke.select(F.col("_keys").alias("_kb"), F.col("_n").alias("_nb"), "bk")
     common_keys = F.array_intersect(F.col("_ka"), F.col("_kb"))
     kp = (
@@ -478,6 +484,9 @@ def metablocking_pairs(
                 * 1_000_000
             ).cast("long"),
         )
+        # consumed twice (the mean and the WEP filter): pin the
+        # keyset-pair-scale frame instead of rebuilding the block join
+        .localCheckpoint(eager=False)
     )
     # same two exact integer sums as the per-edge mean: sum(js) over all
     # edges == sum(js * cnt) over keyset pairs; count(edges) == sum(cnt).
@@ -495,7 +504,16 @@ def metablocking_pairs(
         .filter(F.col("js_micro").cast("double") >= F.col("_thr"))
         .select("_ka", "_kb", "common", "js_micro")
     )
-    ra = rec2ks.select(F.col("rid").alias("_x"), F.col("_keys").alias("_ka"))
+    # the record->keyset table is tiny post-aggregate, so AQE coalesces
+    # it to one partition — but each probe row fans out to its keyset's
+    # kept partners times their records, so spread the probe side over
+    # the session parallelism (explicit numPartitions defeats coalescing)
+    par = max(
+        2 * rec2ks.sparkSession.sparkContext.defaultParallelism, 8
+    )
+    ra = rec2ks.repartition(par, "rid").select(
+        F.col("rid").alias("_x"), F.col("_keys").alias("_ka")
+    )
     rb = rec2ks.select(F.col("rid").alias("_y"), F.col("_keys").alias("_kb"))
     return (
         ra.join(F.broadcast(kept), "_ka")
