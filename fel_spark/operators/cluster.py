@@ -248,9 +248,15 @@ def repair_clusters(
     min_support_micro: int,
     id_col: str = "id",
     cluster_col: str = "cluster",
+    src_col: str = "src",
+    dst_col: str = "dst",
 ) -> DataFrame:
     """One repair pass over transitive clusters: eject weakly-supported
     members, relabel the survivors.
+
+    ``edges`` columns are ``src_col``/``dst_col`` (default src/dst, the
+    matching.py convention), one row per undirected pair, either
+    orientation.
 
     Transitive closure over-merges by construction — one spurious edge
     chains two real entities, and every member it dragged in keeps the
@@ -277,8 +283,8 @@ def repair_clusters(
         F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster")
     )
     sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
-    e_src = edges.select(F.col("src").alias("id"), F.col("dst").alias("_o"))
-    e_dst = edges.select(F.col("dst").alias("id"), F.col("src").alias("_o"))
+    e_src = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("_o"))
+    e_dst = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("_o"))
     incident = e_src.unionByName(e_dst)
     within = (
         incident.join(a, "id")
@@ -344,8 +350,13 @@ def cluster_depth_audit(
 
     ``edges``: (src, dst) undirected pairs. Output: one row per
     component — (``cluster_id`` = root id, ``n_nodes``, ``root_ecc``,
-    ``converged`` 1/0 — 0 means the BFS hit ``max_rounds`` with
-    frontier remaining, so root_ecc is a lower bound).
+    ``converged`` 1/0). NOTE (ADVICE r5): ``converged`` is a GLOBAL,
+    checkpoint-only flag — it is stamped identically on every component
+    row (one component still expanding at ``max_rounds`` marks the whole
+    audit unconverged, i.e. every root_ecc is then only a lower bound),
+    and with ``checkpoint=False`` the frontier-emptiness probe never
+    runs, so the flag is conservatively 0 even when the BFS converged.
+    Treat it as "all eccentricities proven exact", not per-component.
 
     Scale: bounded synchronous BFS — per round one co-partitioned join
     of the frontier onto the symmetrized edge list + an anti join

@@ -83,18 +83,31 @@ def dup_rate_estimate(
     # exact integer floor-division everywhere (Spark `div` == DuckDB `//`
     # on non-negative BIGINTs): f1^2 exceeds double's 2^53 exactness at
     # corpus scale, so no float ever enters the estimate
+    # empty-sample contract (ADVICE r5): with zero sampled rows the sums
+    # aggregate to NULL — counts are coalesced to 0 and the ratio fields
+    # are explicitly NULL (undefined over an empty sample) instead of
+    # silently NULL-propagated or an ANSI division error. Non-empty
+    # samples evaluate the identical expressions.
     return agg.select(
-        "n_sampled",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
         "d_observed",
-        "f1",
-        "f2",
-        F.expr("d_observed + (f1 * (f1 - 1)) div (2 * (f2 + 1))")
+        F.coalesce("f1", F.lit(0)).cast("long").alias("f1"),
+        F.coalesce("f2", F.lit(0)).cast("long").alias("f2"),
+        F.when(
+            F.col("n_sampled").isNotNull(),
+            F.expr("d_observed + (f1 * (f1 - 1)) div (2 * (f2 + 1))"),
+        )
         .cast("long")
         .alias("chao1_hat"),
-        F.expr("(f1 * 1000000) div n_sampled")
+        F.when(
+            F.col("n_sampled") > 0, F.expr("(f1 * 1000000) div n_sampled")
+        )
         .cast("long")
         .alias("unseen_mass_micro"),
-        F.expr("((n_sampled - d_observed) * 1000000) div n_sampled")
+        F.when(
+            F.col("n_sampled") > 0,
+            F.expr("((n_sampled - d_observed) * 1000000) div n_sampled"),
+        )
         .cast("long")
         .alias("dup_rate_micro"),
     )

@@ -33,6 +33,8 @@ def truth_discovery(
 ) -> DataFrame:
     """Iterative truth discovery with source-reliability weights.
 
+    ``rounds`` must be >= 1 (the result is the last round's truth table).
+
     The fusion layer PAST majority vote (`golden_records`): when sources
     conflict, a vote should count more when it comes from a source that
     has been right elsewhere. The accuracy-weighted-vote fixpoint is the
@@ -66,6 +68,8 @@ def truth_discovery(
     convention (swoosh/collective), so Catalyst never sees an
     O(rounds)-deep plan.
     """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     c = (
         claims.select(
             F.col(src_col).alias("src"),
