@@ -1476,7 +1476,9 @@ def q_doc_semantic_dedup(spark, sf_dir):
 
     from fel_spark.operators.dedup import semantic_dedup
 
-    e = _tp(spark, sf_dir, "embeddings", "vec_id")
+    # plain read: the operator is GEMM-bound inside its own cell
+    # repartitioning — the scan-floor exchange measured ~flat-to-slower
+    e = _t(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     dup = base.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),

@@ -205,28 +205,108 @@ def k_truss(
     ).distinct()
     if checkpoint:
         all_e = all_e.localCheckpoint(eager=True)
-    live = all_e
+    if not checkpoint:
+        # recompute path: without lineage cuts the decremental update
+        # below would reference each round's support frame several times
+        # per round and the plan would grow exponentially — re-derive
+        # support on the shrinking live graph instead (small-graph /
+        # test configuration)
+        live = all_e
+        out0: DataFrame | None = None
+        for rnd in range(1, max_rounds + 1):
+            sup0 = triangle_support(
+                live, "a", "b", assume_oriented=True,
+                broadcast_edges=broadcast_edges,
+            )
+            drop0 = sup0.filter(F.col("support") < need).select("a", "b")
+            peeled0 = drop0.withColumn("peel_round", F.lit(rnd))
+            out0 = peeled0 if out0 is None else out0.unionByName(peeled0)
+            live = live.join(drop0, ["a", "b"], "left_anti")
+        return _truss_assemble(all_e, out0, id_a, id_b)
+    # full triangle enumeration ONCE; later rounds maintain support
+    # DECREMENTALLY (the classic peeling formulation): every distinct
+    # triangle of the current live graph that contains a dropped edge
+    # disappears, decrementing each of its SURVIVING edges by exactly 1.
+    # sup(live_t) == sup(live_{t-1}) - delta_t restricted to survivors,
+    # so the per-round drop sets — and hence peel_round labels — are
+    # identical to full recomputation (r6; guide §1.2 "remove passes").
+    # Requires checkpointing (each round's support frame is referenced
+    # several times; the eager cut also powers the convergence probe).
+    sup = triangle_support(
+        all_e,
+        "a",
+        "b",
+        assume_oriented=True,
+        broadcast_edges=broadcast_edges,
+    )
+    sup = sup.localCheckpoint(eager=True)
+    bc = F.broadcast if broadcast_edges else (lambda df: df)
     out: DataFrame | None = None
     for rnd in range(1, max_rounds + 1):
-        # live is oriented+distinct by construction (all_e orients, the
-        # anti-join only removes rows): skip the per-round re-distinct
-        sup = triangle_support(
-            live,
-            "a",
-            "b",
-            assume_oriented=True,
-            broadcast_edges=broadcast_edges,
-        )
         drop = sup.filter(F.col("support") < need).select("a", "b")
-        if checkpoint:
-            drop = drop.localCheckpoint(eager=True)
-            if drop.isEmpty():
-                break
+        drop = drop.localCheckpoint(eager=True)
+        if drop.isEmpty():
+            break
         peeled = drop.withColumn("peel_round", F.lit(rnd))
         out = peeled if out is None else out.unionByName(peeled)
-        live = live.join(drop, ["a", "b"], "left_anti")
-        if checkpoint:
-            live = live.localCheckpoint(eager=True)
+        # distinct triangles of the CURRENT live graph containing >= 1
+        # dropped edge: complete each dropped (a, b) with every z
+        # adjacent to a whose (b, z) edge is also live; a triangle with
+        # two dropped edges is found from both but kept once (distinct)
+        live_e = sup.select("a", "b")
+        adj = live_e.select(
+            F.col("a").alias("_u"), F.col("b").alias("_z")
+        ).unionByName(
+            live_e.select(F.col("b").alias("_u"), F.col("a").alias("_z"))
+        )
+        tri = (
+            drop.join(bc(adj), drop["a"] == adj["_u"])
+            .filter(F.col("_z") != F.col("b"))
+            .join(
+                bc(
+                    live_e.select(
+                        F.col("a").alias("_e1"), F.col("b").alias("_e2")
+                    )
+                ),
+                (F.least("b", "_z") == F.col("_e1"))
+                & (F.greatest("b", "_z") == F.col("_e2")),
+                "left_semi",
+            )
+            .select(
+                F.array_sort(F.array("a", "b", "_z")).alias("_t")
+            )
+            .distinct()
+            .select(
+                F.col("_t")[0].alias("t1"),
+                F.col("_t")[1].alias("t2"),
+                F.col("_t")[2].alias("t3"),
+            )
+        )
+        delta = (
+            tri.select(F.col("t1").alias("a"), F.col("t2").alias("b"))
+            .unionByName(tri.select(F.col("t1").alias("a"), F.col("t3").alias("b")))
+            .unionByName(tri.select(F.col("t2").alias("a"), F.col("t3").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("_d"))
+        )
+        sup = (
+            sup.join(drop, ["a", "b"], "left_anti")
+            .join(bc(delta), ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (F.col("support") - F.coalesce("_d", F.lit(0)))
+                .cast("long")
+                .alias("support"),
+            )
+        )
+        sup = sup.localCheckpoint(eager=True)
+    return _truss_assemble(all_e, out, id_a, id_b)
+
+
+def _truss_assemble(
+    all_e: DataFrame, out: DataFrame | None, id_a: str, id_b: str
+) -> DataFrame:
     if out is None:
         return all_e.select(
             F.col("a").alias(id_a),

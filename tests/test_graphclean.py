@@ -313,3 +313,28 @@ def test_cluster_depth_audit_chain_vs_clique(spark):
     }
     assert got[0] == (5, 4, 1)
     assert got[10] == (3, 1, 1)
+
+
+def test_k_truss_decremental_cascade_fuzz(spark):
+    """r6: support is maintained DECREMENTALLY after the first full
+    triangle pass — k=4 (need=2) genuinely cascades over rounds (k=3
+    cannot: support-0 drops sit in no triangle), so this pins the
+    delta bookkeeping (distinct triangles containing a dropped edge,
+    each surviving edge -1) to the recompute reference, with and
+    without broadcast edges. (checkpoint=False takes the per-round
+    recompute path, whose un-cut lineage grows exponentially with
+    rounds — it stays covered by the existing max_rounds=1 test.)"""
+    rng = random.Random(79)
+    for trial in range(2):
+        rows = _rand_edges(rng, 14, 52)
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        ref = _py_ktruss(rows, 4, 6)
+        for kw in (
+            {"checkpoint": True},
+            {"checkpoint": True, "broadcast_edges": True},
+        ):
+            got = {
+                (r["id_a"], r["id_b"]): (r["peel_round"], r["in_truss"])
+                for r in k_truss(df, 4, max_rounds=6, **kw).collect()
+            }
+            assert got == ref, (trial, kw)
